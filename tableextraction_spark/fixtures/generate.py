@@ -1,0 +1,294 @@
+"""Deterministic synthetic corpus generator: interleaved text+media documents
+with rendered table pages and independently-computed golden output spans.
+
+Replaces the reference's sample-PDF fixtures (``/root/reference/data/*.pdf``,
+golden YAML in ``README.md:70-227``) with machine-checkable equivalents
+(SURVEY.md §5, FIXTURES.md): the generator draws every grid line and glyph
+itself, so ground-truth cells/text are known exactly, and the expected output
+spans are built **directly from the plan** — independent of the kernel's
+detection/assembly code paths.
+
+Everything is a pure function of (SEED, doc_num): safe to call inside Spark
+tasks for distributed corpus materialization.
+
+Input schema (BASELINE.json input_hint):
+    doc_id: string
+    spans:  array<struct<kind:string, text:string, media_ref:string, offset:int>>
+Media side table: (media_ref, doc_id, page_no, content:binary) — IMG1 pages.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from ..font import render_text, text_width
+from ..media import encode_image
+
+SEED = 4242
+PAGE_W, PAGE_H = 800, 700
+PAD = 12          # text padding inside a cell (px)
+ROW_H = 36        # grid row height (px)
+LINE_T = 2        # grid line thickness (px)
+MIN_COL_W = 46    # must exceed detect min run length (0.04·PAGE_W = 32)
+SKEW_EVERY = 23   # doc_num % SKEW_EVERY == 5 → long multi-page doc (skew tail)
+SKEW_PAGES = 10
+
+EN_WORDS = (
+    "steel grade width depth value total name code type size mass load temp "
+    "bolt beam pipe rod wire mesh sheet plate alloy zinc iron core test spec "
+    "unit item rate mark form heat cast melt bend fold cut mill"
+).split()
+RU_WORDS = (
+    "сталь марка размер массив проба сплав лист труба прокат шов стык котел "
+    "болт вал гайка щит слой"
+).split()
+VOCAB = EN_WORDS + RU_WORDS
+HEADER_WORDS = (
+    "Grade Width Depth Value Total Name Code Type Size Mass Load Temp "
+    "Марка Размер Проба Сплав"
+).split()
+
+
+def _rng(doc_num: int) -> np.random.Generator:
+    return np.random.default_rng([SEED, int(doc_num)])
+
+
+def _word(rng, words=VOCAB) -> str:
+    return words[int(rng.integers(0, len(words)))]
+
+
+# ---------------------------------------------------------------- plan
+
+
+def _plan_table(rng) -> dict:
+    n_cols = int(rng.integers(2, 5))
+    n_recs = int(rng.integers(2, 6))
+    grouped = bool(n_cols >= 3 and rng.random() < 0.4)
+    group = None
+    if grouped:
+        gsize = int(rng.integers(2, min(3, n_cols - 1) + 1))
+        gstart = int(rng.integers(0, n_cols - gsize + 1))
+        group = (gstart, gsize, _word(rng, HEADER_WORDS))
+    headers = [_word(rng, HEADER_WORDS) for _ in range(n_cols)]
+    records = []
+    for _ in range(n_recs):
+        row = []
+        for _ in range(n_cols):
+            if rng.random() < 0.15:  # hyphen-wrapped word → exercises cleanup
+                a, b = _word(rng), _word(rng)
+                row.append({"raw": f"{a} - {b}", "clean": a + b})
+            else:
+                w = _word(rng)
+                row.append({"raw": w, "clean": w})
+        records.append(row)
+    return {"n_cols": n_cols, "headers": headers, "group": group, "records": records}
+
+
+def plan_doc(doc_num: int) -> dict:
+    rng = _rng(doc_num)
+    n_pages = SKEW_PAGES if doc_num % SKEW_EVERY == 5 else int(rng.integers(1, 4))
+    pages = []
+    for _ in range(n_pages):
+        r = rng.random()
+        n_tables = 0 if r < 0.15 else (1 if r < 0.70 else 2)
+        pages.append(
+            {
+                "tables": [_plan_table(rng) for _ in range(n_tables)],
+                "text_spans": [
+                    " ".join(_word(rng) for _ in range(int(rng.integers(3, 9))))
+                    for _ in range(int(rng.integers(1, 3)))
+                ],
+            }
+        )
+    return {"doc_id": f"doc-{doc_num:06d}", "pages": pages}
+
+
+# ---------------------------------------------------------------- geometry
+
+
+def _table_geometry(tp: dict, rng) -> dict:
+    """Column boundaries + row boundaries + per-cell ground truth."""
+    n_cols, group = tp["n_cols"], tp["group"]
+    col_w = []
+    for c in range(n_cols):
+        texts = [tp["headers"][c]] + [r[c]["raw"] for r in tp["records"]]
+        col_w.append(max(MIN_COL_W, max(text_width(t) for t in texts) + 2 * PAD + 4))
+    if group:
+        gs, gn, gtext = group
+        need = text_width(gtext) + 2 * PAD + 4
+        have = sum(col_w[gs : gs + gn])
+        if have < need:
+            col_w[gs] += need - have
+    n_header_rows = 2 if group else 1
+    return {
+        "col_w": col_w,
+        "n_header_rows": n_header_rows,
+        "n_rows": n_header_rows + len(tp["records"]),
+        "width": sum(col_w),
+    }
+
+
+def _emit_cells(tp: dict, geo: dict, x0: int, y0: int) -> list[dict]:
+    """Ground-truth cells (x1,y1,x2,y2,text,is_header) for one table."""
+    xs = np.concatenate([[x0], x0 + np.cumsum(geo["col_w"])]).astype(int)
+    hr = geo["n_header_rows"]
+    ys = [y0 + i * ROW_H for i in range(geo["n_rows"] + 1)]
+    cells = []
+    group = tp["group"]
+    if group:
+        gs, gn, gtext = group
+        for c in range(tp["n_cols"]):
+            if gs <= c < gs + gn:
+                continue  # covered below
+            cells.append(  # vertically-merged single column header
+                dict(x1=xs[c], y1=ys[0], x2=xs[c + 1], y2=ys[2],
+                     text=tp["headers"][c], header=True)
+            )
+        cells.append(
+            dict(x1=xs[gs], y1=ys[0], x2=xs[gs + gn], y2=ys[1], text=gtext, header=True)
+        )
+        for c in range(gs, gs + gn):
+            cells.append(
+                dict(x1=xs[c], y1=ys[1], x2=xs[c + 1], y2=ys[2],
+                     text=tp["headers"][c], header=True)
+            )
+    else:
+        for c in range(tp["n_cols"]):
+            cells.append(
+                dict(x1=xs[c], y1=ys[0], x2=xs[c + 1], y2=ys[1],
+                     text=tp["headers"][c], header=True)
+            )
+    for r, row in enumerate(tp["records"]):
+        for c in range(tp["n_cols"]):
+            cells.append(
+                dict(x1=xs[c], y1=ys[hr + r], x2=xs[c + 1], y2=ys[hr + r + 1],
+                     text=row[c]["raw"], header=False)
+            )
+    return cells
+
+
+def _draw_cells(canvas: np.ndarray, cells: list[dict]) -> None:
+    t = LINE_T
+    for cl in cells:
+        x1, y1, x2, y2 = cl["x1"], cl["y1"], cl["x2"], cl["y2"]
+        canvas[y1 : y1 + t, x1 : x2 + t] = 0
+        canvas[y2 : y2 + t, x1 : x2 + t] = 0
+        canvas[y1 : y2 + t, x1 : x1 + t] = 0
+        canvas[y1 : y2 + t, x2 : x2 + t] = 0
+        if cl["text"]:
+            render_text(canvas, x1 + PAD, y1 + PAD, cl["text"])
+
+
+def render_page(page_plan: dict, rng) -> tuple[np.ndarray, list[list[dict]]]:
+    """Page plan → (uint8 canvas, per-table ground-truth cell lists)."""
+    canvas = np.full((PAGE_H, PAGE_W), 255, dtype=np.uint8)
+    y = 50
+    truth = []
+    for tp in page_plan["tables"]:
+        geo = _table_geometry(tp, rng)
+        x0 = 40 + int(rng.integers(0, max(1, PAGE_W - geo["width"] - 80)))
+        cells = _emit_cells(tp, geo, x0, y)
+        _draw_cells(canvas, cells)
+        truth.append(cells)
+        y += geo["n_rows"] * ROW_H + 50
+    return canvas, truth
+
+
+# ---------------------------------------------------------------- oracle
+
+
+def expected_table_json(tp: dict) -> str:
+    """Golden serialized structure, built from the plan alone (independent of
+    the kernel's row-grouping / change-point / tree code)."""
+    group = tp["group"]
+    headers, columns = [], []
+    for c in range(tp["n_cols"]):
+        if group and group[0] <= c < group[0] + group[1]:
+            continue_flag = True
+        else:
+            continue_flag = False
+        if not continue_flag:
+            headers.append({"text": tp["headers"][c], "children": []})
+            columns.append((c, tp["headers"][c]))
+    if group:
+        gs, gn, gtext = group
+        node = {
+            "text": gtext,
+            "children": [{"text": tp["headers"][c], "children": []} for c in range(gs, gs + gn)],
+        }
+        # insert at the correct x position among top-level singles
+        insert_at = sum(1 for c, _ in columns if c < gs)
+        headers.insert(insert_at, node)
+        for off, c in enumerate(range(gs, gs + gn)):
+            columns.insert(insert_at + off, (c, f"{gtext}/{tp['headers'][c]}"))
+    columns.sort(key=lambda t: t[0])
+    col_paths = [p for _, p in columns]
+    records = [[cell["clean"] for cell in row] for row in tp["records"]]
+    return json.dumps(
+        {"columns": col_paths, "headers": headers, "records": records},
+        ensure_ascii=False,
+        separators=(",", ":"),
+    )
+
+
+# ---------------------------------------------------------------- corpus
+
+
+def gen_doc(doc_num: int, with_blobs: bool = True):
+    """doc_num → (doc_row, blob_rows, expected_row).
+
+    doc_row/expected_row: {doc_id, spans:[{kind,text,media_ref,offset}]}
+    blob_rows: [{media_ref, doc_id, page_no, content}]
+    """
+    plan = plan_doc(doc_num)
+    rng = _rng(doc_num * 2 + 1)  # render jitter stream, separate from plan
+    doc_id = plan["doc_id"]
+    in_spans, out_spans, blobs = [], [], []
+
+    def _push(spans, kind, text, media_ref):
+        spans.append(
+            {"kind": kind, "text": text, "media_ref": media_ref, "offset": len(spans)}
+        )
+
+    for page_no, page in enumerate(plan["pages"]):
+        media_ref = f"m-{doc_id}-p{page_no:03d}"
+        for t in page["text_spans"]:
+            _push(in_spans, "text", t, "")
+            _push(out_spans, "text", t, "")
+        _push(in_spans, "media", "", media_ref)
+        _push(out_spans, "media", "", media_ref)
+        for tp in page["tables"]:
+            _push(out_spans, "table", expected_table_json(tp), media_ref)
+        if with_blobs:
+            canvas, _ = render_page(page, rng)
+            blobs.append(
+                {
+                    "media_ref": media_ref,
+                    "doc_id": doc_id,
+                    "page_no": page_no,
+                    "content": encode_image(canvas),
+                }
+            )
+        else:
+            # still consume the jitter stream so blobs are reproducible
+            for tp in page["tables"]:
+                geo = _table_geometry(tp, rng)
+                rng.integers(0, max(1, PAGE_W - geo["width"] - 80))
+    return (
+        {"doc_id": doc_id, "spans": in_spans},
+        blobs,
+        {"doc_id": doc_id, "spans": out_spans},
+    )
+
+
+def gen_corpus(n_docs: int, start: int = 0):
+    """[start, start+n_docs) → (doc_rows, blob_rows, expected_rows)."""
+    docs, blobs, expected = [], [], []
+    for i in range(start, start + n_docs):
+        d, b, e = gen_doc(i)
+        docs.append(d)
+        blobs.extend(b)
+        expected.append(e)
+    return docs, blobs, expected

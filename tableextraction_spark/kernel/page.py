@@ -1,0 +1,59 @@
+"""Per-page orchestration: gray page → detected tables with cells + OCR text.
+
+This is the in-UDF composition of the kernel stages — the batched equivalent
+of reference stages B–E (``table_extraction/extractor.py:31-63``):
+gray/binarize → line detection → region clustering → nodes → cells → OCR.
+
+Resolution note: the reference renders each page twice (dpi 50 detect /
+dpi 500 OCR) and rescales bboxes by ``factor = high/low``
+(``extractor.py:24-25``, ``detection.py:98,119,607-628``).  Our run-length
+line detector is O(pixels) vectorized NumPy (no per-line Hough votes), so
+detection runs directly at OCR resolution — one decode, one scale.  The
+factor-rescale semantics are preserved in :func:`scale_bboxes` (unit-tested
+parity with ``resize_tables_cells``) and used by the deploy-time PDF adapter
+where a genuine low-dpi render is the cheaper scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..font import decode_text
+from .binarize import binarize, grayzation
+from .cells import cells_from_nodes
+from .lines import detect_segments
+from .nodes import dedup_grid_fixpoint, intersect_lines, snap_nodes
+from .tables import cluster_tables
+
+OCR_INSET = 6  # px trimmed inside a cell bbox to exclude border-line ink
+
+
+def scale_bboxes(bboxes: np.ndarray, factor: float) -> np.ndarray:
+    """Low-res bboxes → high-res (``detection.py:607-628`` parity)."""
+    return (np.asarray(bboxes) * factor).astype(np.int64)
+
+
+def process_page(gray: np.ndarray, min_len_frac: float = 0.04, inset: int = OCR_INSET):
+    """uint8 gray page → list of (table_bbox, cells int[C,4], texts list[str]).
+
+    Tables in reading order; cells in reading order; texts raw (hyphenation
+    cleanup happens at assembly, matching the reference which cleans after
+    OCR — ``recognition.py:151-164``).
+    """
+    gray = grayzation(gray)
+    ink = binarize(gray)
+    horiz, vert = detect_segments(ink, min_len_frac)
+    out = []
+    for bbox, hm, vm in cluster_tables(horiz, vert):
+        tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        eps = max(2, int(0.01 * (tw + th)))  # detection.py ε = 1%·(h+w)
+        nodes = dedup_grid_fixpoint(snap_nodes(intersect_lines(vm, hm, eps), eps))
+        cells = cells_from_nodes(nodes, ink)
+        if len(cells) == 0:
+            continue
+        texts = [
+            decode_text(gray[y1 + inset : y2 - inset + 1, x1 + inset : x2 - inset + 1])
+            for x1, y1, x2, y2 in cells
+        ]
+        out.append((bbox, cells, texts))
+    return out

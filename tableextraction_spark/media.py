@@ -1,0 +1,73 @@
+"""Raw grayscale page-image codec (the engine's media payload format).
+
+The reference rasterizes PDFs with Poppler into RGB numpy arrays
+(`table_extraction/preprocessing.py:10-62`).  This container has no Poppler /
+cv2 / PIL, so the engine defines its own trivially-decodable deterministic
+format: ``IMG1`` = magic + little-endian uint32 width/height + H*W uint8
+grayscale pixels (255 = white background, 0 = black ink).  The decode step for
+real PDF bytes is a pluggable strategy; see :func:`decode_page` which routes on
+the magic and raises ``NotImplementedError`` for real PDF payloads (pdfium /
+pdf2image would be slotted in per-executor at deployment; clearly stubbed).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"IMG1"
+_HEADER = struct.Struct("<4sII")  # magic, width, height
+
+
+def encode_image(img: np.ndarray) -> bytes:
+    """uint8 H×W grayscale → IMG1 bytes."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError(f"expected uint8 H×W grayscale, got {img.dtype} {img.shape}")
+    h, w = img.shape
+    return _HEADER.pack(MAGIC, w, h) + img.tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """IMG1 bytes → uint8 H×W grayscale (zero-copy view of the payload)."""
+    magic, w, h = _HEADER.unpack_from(payload, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad magic {magic!r}")
+    arr = np.frombuffer(payload, dtype=np.uint8, offset=_HEADER.size, count=w * h)
+    return arr.reshape(h, w)
+
+
+def decode_page(payload: bytes) -> np.ndarray:
+    """Decode one page payload to a grayscale array, routing on format magic.
+
+    Mirrors ``preprocessing.bytes_file_to_array`` (reference
+    ``table_extraction/preprocessing.py:10-28``): raw bytes in, uint8 page
+    array out.  PDF rasterization is deliberately stubbed — the geometry /
+    OCR pipeline after this point is format-agnostic.
+    """
+    head = bytes(payload[:4])
+    if head == MAGIC:
+        return decode_image(payload)
+    if head == b"%PDF":
+        raise NotImplementedError(
+            "PDF rasterization requires poppler/pdfium, not present in this "
+            "container; deploy-time adapter renders at high DPI once and "
+            "downscales for detection (SURVEY.md §2.1 dual-DPI scan)"
+        )
+    raise ValueError(f"unknown media payload magic {head!r}")
+
+
+def downscale(img: np.ndarray, factor: int) -> np.ndarray:
+    """Block-min downscale: the detection-resolution view of a page.
+
+    The reference renders every page twice (dpi 50 detect / dpi 500 OCR,
+    ``extractor.py:24-33``).  We render once at high resolution and reduce by
+    ``factor`` with a block **minimum**, which preserves thin dark grid lines
+    (a plain stride would drop them); bboxes found at low resolution are
+    scaled back up by ``factor`` exactly like the reference's
+    ``resize_tables_cells`` (``detection.py:607-628``).
+    """
+    h, w = img.shape
+    hc, wc = h - h % factor, w - w % factor
+    v = img[:hc, :wc].reshape(hc // factor, factor, wc // factor, factor)
+    return v.min(axis=(1, 3))
