@@ -1,0 +1,45 @@
+"""Per-partition lineage + counters (FIXTURES.md §5 schema).
+
+The reference only has commented-out ``logging`` calls
+(``table_extraction/detection.py:13-17``); the north rule requires real
+per-partition lineage: pages decoded, tables detected, cells OCR'd, errors —
+derived from the decode stage's output rows (page markers carry table_no=-1)
+grouped by the *decode stage's* partition id, captured via
+``spark_partition_id()`` **before** any shuffle.
+
+Counter semantics: ``pages_decoded`` / ``tables_detected`` / ``cells_ocrd`` /
+``errors`` are additive across partitions (global total = sum).
+``docs_processed`` is a per-partition distinct count — a document whose pages
+land in several partitions is counted in each, so the global sum is an upper
+bound, not a distinct count (use the spans output for exact doc counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stage_metrics(tables: DataFrame, run_id: str, stage: str = "decode_detect_ocr") -> DataFrame:
+    """Per-table/page rows (incl. partition_id col) → one row per partition."""
+    return (
+        tables.groupBy("partition_id")
+        .agg(
+            F.countDistinct("doc_id").alias("docs_processed"),
+            F.countDistinct("media_ref").alias("pages_decoded"),
+            F.sum((F.col("table_no") >= 0).cast("long")).alias("tables_detected"),
+            F.sum("n_cells").cast("long").alias("cells_ocrd"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("errors"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            "partition_id",
+            "docs_processed",
+            "pages_decoded",
+            "tables_detected",
+            "cells_ocrd",
+            "errors",
+            F.current_timestamp().alias("committed_at"),
+        )
+    )
