@@ -1,0 +1,54 @@
+"""spark-submit job entry (north rule: packaged for ``spark-submit --py-files``).
+
+    tools/make_submit_zip.sh                       # → dist/tablex.zip
+    spark-submit --py-files dist/tablex.zip \\
+        dist/job_main.py --docs s3://…/docs --blobs s3://…/blobs \\
+        --out s3://…/spans --metrics s3://…/metrics [--classify] [--no-resume]
+
+Replaces the reference's NiceGUI upload driver (``main.py:20-56``) with a
+cluster job: resume-aware, idempotent, lineage-writing.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="tablex-spark extraction job")
+    p.add_argument("--docs", required=True, help="input docs table path (parquet)")
+    p.add_argument("--blobs", required=True, help="media blobs table path (parquet)")
+    p.add_argument("--out", required=True, help="output spans table path")
+    p.add_argument("--metrics", default=None, help="lineage metrics table path")
+    p.add_argument("--no-resume", action="store_true", help="reprocess everything")
+    p.add_argument("--classify", action="store_true",
+                   help="enable the fuzzy-keyword table filter")
+    p.add_argument("--repartition", type=int, default=None,
+                   help="force blob repartitioning (skewed inputs)")
+    args = p.parse_args(argv)
+
+    # under spark-submit the session/master/memory come from the submit conf;
+    # builder.getOrCreate() picks them up (local fallback for ad-hoc runs)
+    spark = SparkSession.builder.appName("tablex-extract").getOrCreate()
+
+    from .pipeline import run_to_parquet
+
+    docs = spark.read.parquet(args.docs)
+    blobs = spark.read.parquet(args.blobs)
+    run_to_parquet(
+        spark,
+        docs,
+        blobs,
+        args.out,
+        metrics_path=args.metrics,
+        resume=not args.no_resume,
+        classify=args.classify,
+        repartition=args.repartition,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

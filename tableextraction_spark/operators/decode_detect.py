@@ -1,4 +1,4 @@
-"""Fused decode → detect → OCR → per-table assembly as one mapInArrow stage.
+"""Fused decode → detect → OCR → per-table assembly as one Arrow batch stage.
 
 Covers reference stages A–F at the per-table level
 (``table_extraction/extractor.py:24-68``): page decode
@@ -6,9 +6,12 @@ Covers reference stages A–F at the per-table level
 node/cell geometry (``detection.py:221-604``), template OCR
 (``recognition.py:167-238`` role), and per-table structure build
 (``builder.py:11-426`` + ``export.py:21-74``) — all inside one Arrow batch
-UDF so page pixels cross the JVM↔Python boundary exactly once and **never
-shuffle**: the stage maps straight over the media-blob scan, emitting only
-small JSON rows.
+UDF so page pixels cross process boundaries at most once and **never
+shuffle**: only small JSON rows leave the stage.
+
+Payload access is zero-copy: binary cells are sliced as memoryviews of the
+Arrow data buffer (an ``as_py()`` bytes copy per 0.5 MB page measured ~3× the
+whole-stage cost at 14k pages) and NumPy views them directly.
 
 Per-row failure isolation (reference wraps each stage in try/except returning
 False, ``extractor.py:27-66``): a failing page emits an ``error`` row instead
@@ -21,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pyarrow as pa
 
 TABLES_SCHEMA = (
@@ -28,46 +32,86 @@ TABLES_SCHEMA = (
     "n_cells int, payload string, error string"
 )
 
-_ARROW_SCHEMA = pa.schema(
-    [
-        ("doc_id", pa.string()),
-        ("media_ref", pa.string()),
-        ("page_no", pa.int32()),
-        ("table_no", pa.int32()),
-        ("n_cells", pa.int32()),
-        ("payload", pa.string()),
-        ("error", pa.string()),
+_FIELDS = [
+    ("doc_id", pa.string()),
+    ("media_ref", pa.string()),
+    ("page_no", pa.int32()),
+    ("table_no", pa.int32()),
+    ("n_cells", pa.int32()),
+    ("payload", pa.string()),
+    ("error", pa.string()),
+]
+
+
+def _binary_views(col: pa.Array) -> list[memoryview]:
+    """Zero-copy memoryview slices of a (Large)Binary array's data buffer."""
+    bufs = col.buffers()
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        col.offset : col.offset + len(col) + 1
     ]
-)
+    data = memoryview(bufs[2])
+    return [data[offsets[i] : offsets[i + 1]] for i in range(len(col))]
 
 
-def decode_detect_ocr(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """mapInArrow fn over (doc_id, media_ref, page_no, content) blob rows."""
-    # imports inside the UDF body: executed once per worker interpreter
+def process_content_rows(
+    batch: pa.RecordBatch, classify: bool = False, partition_id: int | None = None
+) -> pa.RecordBatch | None:
+    """(doc_id, media_ref, page_no, content) rows → per-page/per-table rows."""
     from ..kernel import assemble_table, process_page
+    from ..kernel.classify import classify_table
     from ..media import decode_page
 
-    for batch in batches:
-        doc_ids = batch.column("doc_id").to_pylist()
-        refs = batch.column("media_ref").to_pylist()
-        page_nos = batch.column("page_no").to_pylist()
-        contents = batch.column("content")
-        rows: list[tuple] = []
-        for i in range(batch.num_rows):
-            did, ref, pno = doc_ids[i], refs[i], int(page_nos[i])
-            try:
-                page = decode_page(contents[i].as_py())
-                tables = process_page(page)
-            except Exception as exc:  # per-row failure isolation
-                rows.append((did, ref, pno, -1, 0, None, f"{type(exc).__name__}: {exc}"))
+    doc_ids = batch.column("doc_id").to_pylist()
+    refs = batch.column("media_ref").to_pylist()
+    page_nos = batch.column("page_no").to_pylist()
+    payloads = _binary_views(batch.column("content"))
+    rows: list[tuple] = []
+    for i in range(batch.num_rows):
+        did, ref, pno = doc_ids[i], refs[i], int(page_nos[i])
+        try:
+            page = decode_page(payloads[i])
+            tables = process_page(page)
+        except Exception as exc:  # per-row failure isolation
+            rows.append((did, ref, pno, -1, 0, None, f"{type(exc).__name__}: {exc}"))
+            continue
+        rows.append((did, ref, pno, -1, 0, None, None))  # page marker
+        tno = 0
+        for _bbox, cells, texts in tables:
+            if classify and not classify_table(" ".join(texts)):
                 continue
-            rows.append((did, ref, pno, -1, 0, None, None))  # page marker
-            for tno, (_bbox, cells, texts) in enumerate(tables):
-                payload = assemble_table(cells, texts)
-                rows.append((did, ref, pno, tno, len(cells), payload, None))
-        if rows:
-            cols = list(zip(*rows))
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(c, type=f.type) for c, f in zip(cols, _ARROW_SCHEMA)],
-                schema=_ARROW_SCHEMA,
-            )
+            payload = assemble_table(cells, texts)
+            rows.append((did, ref, pno, tno, len(cells), payload, None))
+            tno += 1
+    if not rows:
+        return None
+    fields = list(_FIELDS)
+    if partition_id is not None:
+        rows = [r + (partition_id,) for r in rows]
+        fields.append(("partition_id", pa.int32()))
+    cols = list(zip(*rows))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(c, type=t) for c, (_n, t) in zip(cols, fields)],
+        schema=pa.schema(fields),
+    )
+
+
+def make_decode_detect_ocr(classify: bool = False):
+    """mapInArrow fn over (doc_id, media_ref, page_no, content) blob rows.
+
+    ``classify=True`` enables the reference's optional fuzzy-keyword table
+    filter (``recognition.py:78-97`` placement: between OCR and structure
+    assembly); dropped tables don't get a row, exactly like
+    ``filter_tables_by_classification`` drops crops.
+    """
+
+    def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            out = process_content_rows(batch, classify=classify)
+            if out is not None:
+                yield out
+
+    return decode_fn
+
+
+decode_detect_ocr = make_decode_detect_ocr(classify=False)

@@ -1,0 +1,23 @@
+"""Query registry for the driver contract (__spark_entry__.py).
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Oracle SQL runs on DuckDB over the same parquet (views pre-registered by the
+driver).  Column names/types and float rounding are aligned on both sides so
+the driver's order-insensitive value-hash matches.
+"""
+
+from __future__ import annotations
+
+from .relational import QUERIES as _REL
+from .textops import QUERIES as _TEXT
+from .vectorops import QUERIES as _VEC
+from .extraction import QUERIES as _EXTRACT
+
+REGISTRY: dict = {}
+for part in (_REL, _TEXT, _VEC, _EXTRACT):
+    overlap = REGISTRY.keys() & part.keys()
+    if overlap:  # pragma: no cover
+        raise AssertionError(f"duplicate query names: {overlap}")
+    REGISTRY.update(part)
+
+__all__ = ["REGISTRY"]

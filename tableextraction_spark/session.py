@@ -39,6 +39,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "64m")
+        # test-scale parquet is tiny but row-heavy (10 MB ≈ 600k rows) and
+        # compute-per-row dominates; small splits keep all cores busy.  At
+        # production scale (100 TB, 128 MB row groups) retune toward the
+        # 128m default — the knob, not the plan, changes.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # media blobs are ~0.5 MB binary cells; the vectorized parquet
+        # reader's default 4096-row batch would reserve ~2.3 GB contiguous
+        # per task (observed OutOfMemoryError at 14k pages).  256 rows
+        # ≈ 140 MB worst-case per scan task — the SURVEY §4.3 page-pixel
+        # budget applied to the scan side.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
     )
     return builder.getOrCreate()

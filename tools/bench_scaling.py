@@ -1,0 +1,128 @@
+"""Scaling-efficiency evidence for the north rule (N → 4N executors).
+
+No real cluster exists in this sandbox, so the same extraction job runs on
+the same materialized corpus at two parallelism levels in separate clean JVMs
+(subprocess per level), with repeats (min time — the standard estimator on a
+noisy shared host).  Default levels are local[4] → local[16], which stay
+within the box's physical cores; 8 → 32 crosses into SMT siblings where even
+a zero-IPC multiprocessing pool of the bare kernel only reaches ~0.7, so the
+hardware ceiling is measured alongside and a normalized engine efficiency
+(engine scaling ÷ hardware scaling at the same levels) is reported too.
+
+    efficiency      = (thr_4N / thr_N) / 4
+    engine_norm     = (thr_4N / thr_N) / (pool_4N / pool_N)
+
+Usage: python tools/bench_scaling.py [n_docs] [N] [4N] [reps]
+Prints one JSON line; recorded in BASELINE.md + BENCH notes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from tableextraction_spark.session import get_spark
+from bench import ensure_corpus
+from tableextraction_spark.pipeline import extract_spans
+
+cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); reps = int(sys.argv[3])
+spark = get_spark(app=f"scale{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+docs_path, blobs_path = ensure_corpus(spark, n_docs)
+docs = spark.read.parquet(docs_path)
+n_pages = spark.read.parquet(blobs_path).count()
+def consume(df):  # noop sink: full computation, no count-based join elimination
+    df.write.format("noop").mode("overwrite").save()
+consume(extract_spans(spark, docs.limit(8),
+                      spark.read.parquet(blobs_path).limit(64)))  # warm code paths
+best = None
+for _ in range(reps):
+    t0 = time.time(); consume(extract_spans(spark, docs, blobs_path))
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({{"cores": cores, "sec": round(best, 3), "n_pages": n_pages,
+                   "docs_per_sec": round(n_docs / best, 2),
+                   "pages_per_sec": round(n_pages / best, 2)}}))
+spark.stop()
+"""
+
+_POOL_CHILD = r"""
+import json, sys, time, multiprocessing as mp
+sys.path.insert(0, {repo!r})
+
+def work(args):
+    seed, n = args
+    from tableextraction_spark.fixtures.generate import gen_doc
+    from tableextraction_spark.media import decode_page
+    from tableextraction_spark.kernel import process_page
+    i, pages = seed * 1000, 0
+    while pages < n:
+        for b in gen_doc(i)[1]:
+            process_page(decode_page(b["content"])); pages += 1
+            if pages >= n: break
+        i += 1
+    return pages
+
+if __name__ == "__main__":
+    cores = int(sys.argv[1]); reps = int(sys.argv[2]); per = 40
+    best = None
+    with mp.Pool(cores) as p:
+        p.map(work, [(j, 4) for j in range(cores)])  # warm imports
+        for _ in range(reps):
+            t0 = time.time(); p.map(work, [(j, per) for j in range(cores)])
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+    print(json.dumps({{"cores": cores,
+                       "pages_per_sec": round(cores * per / best, 2)}}))
+"""
+
+
+def _run(code: str, args: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", code, *args],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+
+    child = _CHILD.format(repo=REPO)
+    pool = _POOL_CHILD.format(repo=REPO)
+    r_lo = _run(child, [str(lo), str(n_docs), str(reps)])
+    r_hi = _run(child, [str(hi), str(n_docs), str(reps)])
+    p_lo = _run(pool, [str(lo), str(reps)])
+    p_hi = _run(pool, [str(hi), str(reps)])
+
+    ratio = hi / lo
+    eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / ratio
+    hw = (p_hi["pages_per_sec"] / p_lo["pages_per_sec"]) / ratio
+    norm = eff / hw if hw > 0 else None
+    print(json.dumps({
+        "n_docs": n_docs,
+        "levels": [lo, hi],
+        f"local{lo}": r_lo,
+        f"local{hi}": r_hi,
+        "hardware_baseline_pool": {f"{lo}": p_lo, f"{hi}": p_hi},
+        "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling_efficiency": round(hw, 3),
+        "engine_efficiency_normalized": round(norm, 3) if norm else None,
+        "gate": ">=0.8",
+        "pass": eff >= 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()
