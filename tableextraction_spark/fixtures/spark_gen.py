@@ -42,6 +42,20 @@ def blobs_dataframe(spark: SparkSession, n_docs: int, parts: int | None = None) 
     return spark.range(n_docs).repartition(parts).mapInPandas(gen, BLOBS_SCHEMA)
 
 
+def expected_dataframe(spark: SparkSession, n_docs: int, parts: int | None = None) -> DataFrame:
+    """Golden output spans (plan-derived, independent of the kernel)."""
+    parts = parts or min(n_docs, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_doc(int(i), with_blobs=False)[2] for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"doc_id": [r["doc_id"] for r in rows], "spans": [r["spans"] for r in rows]}
+            )
+
+    return spark.range(n_docs).repartition(parts).mapInPandas(gen, DOCS_SCHEMA)
+
+
 # Media tables must be WRITTEN with small row groups: the row group is the
 # atomic scan split, and at ~0.5 MB per page the parquet default (128 MB)
 # packs hundreds of pages into one split — parallelism collapses to

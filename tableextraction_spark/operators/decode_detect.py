@@ -29,7 +29,7 @@ import pyarrow as pa
 
 TABLES_SCHEMA = (
     "doc_id string, media_ref string, page_no int, table_no int, "
-    "n_cells int, payload string, error string"
+    "n_cells int, payload string, error string, wall_ms long"
 )
 
 _FIELDS = [
@@ -40,6 +40,7 @@ _FIELDS = [
     ("n_cells", pa.int32()),
     ("payload", pa.string()),
     ("error", pa.string()),
+    ("wall_ms", pa.int64()),
 ]
 
 
@@ -62,6 +63,8 @@ def process_content_rows(
     from ..kernel.classify import classify_table
     from ..media import decode_page
 
+    import time
+
     doc_ids = batch.column("doc_id").to_pylist()
     refs = batch.column("media_ref").to_pylist()
     page_nos = batch.column("page_no").to_pylist()
@@ -69,20 +72,28 @@ def process_content_rows(
     rows: list[tuple] = []
     for i in range(batch.num_rows):
         did, ref, pno = doc_ids[i], refs[i], int(page_nos[i])
+        t0 = time.perf_counter()
         try:
             page = decode_page(payloads[i])
             tables = process_page(page)
         except Exception as exc:  # per-row failure isolation
-            rows.append((did, ref, pno, -1, 0, None, f"{type(exc).__name__}: {exc}"))
+            ms = int((time.perf_counter() - t0) * 1000)
+            rows.append(
+                (did, ref, pno, -1, 0, None, f"{type(exc).__name__}: {exc}", ms)
+            )
             continue
-        rows.append((did, ref, pno, -1, 0, None, None))  # page marker
+        out_tables = []
         tno = 0
         for _bbox, cells, texts in tables:
             if classify and not classify_table(" ".join(texts)):
                 continue
             payload = assemble_table(cells, texts)
-            rows.append((did, ref, pno, tno, len(cells), payload, None))
+            out_tables.append((did, ref, pno, tno, len(cells), payload, None, 0))
             tno += 1
+        ms = int((time.perf_counter() - t0) * 1000)
+        # page marker carries the page's full decode+detect+ocr wall time
+        rows.append((did, ref, pno, -1, 0, None, None, ms))
+        rows.extend(out_tables)
     if not rows:
         return None
     fields = list(_FIELDS)

@@ -30,6 +30,7 @@ def stage_metrics(tables: DataFrame, run_id: str, stage: str = "decode_detect_oc
             F.sum((F.col("table_no") >= 0).cast("long")).alias("tables_detected"),
             F.sum("n_cells").cast("long").alias("cells_ocrd"),
             F.sum(F.col("error").isNotNull().cast("long")).alias("errors"),
+            F.sum("wall_ms").cast("long").alias("wall_ms"),
         )
         .select(
             F.lit(run_id).alias("run_id"),
@@ -40,6 +41,7 @@ def stage_metrics(tables: DataFrame, run_id: str, stage: str = "decode_detect_oc
             "tables_detected",
             "cells_ocrd",
             "errors",
+            "wall_ms",
             F.current_timestamp().alias("committed_at"),
         )
     )

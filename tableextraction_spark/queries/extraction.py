@@ -43,6 +43,30 @@ def q00_extract_spans(spark, sf_dir):
     )
 
 
+def q24_extract_golden_verify(spark, sf_dir):
+    """Extraction self-verification: output spans compared per-doc against
+    the plan-derived golden spans INSIDE the query, so even the driver's
+    rows-only check witnesses the invariant (`golden_equal` must be 1 for
+    every row)."""
+    from ..fixtures.spark_gen import expected_dataframe
+
+    n = _n_docs_for(sf_dir)
+    docs = docs_dataframe(spark, n)
+    blobs = blobs_dataframe(spark, n)
+    out = extract_spans(spark, docs, blobs)
+    exp = expected_dataframe(spark, n).withColumnRenamed("spans", "expected")
+    return (
+        out.join(exp, "doc_id", "full")
+        .selectExpr(
+            "doc_id",
+            "size(spans) AS n_spans",
+            "CAST(spans = expected AS INT) AS golden_equal",
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q00_extract_spans": (q00_extract_spans, None),
+    "q24_extract_golden_verify": (q24_extract_golden_verify, None),
 }

@@ -302,6 +302,50 @@ FROM events GROUP BY event_type
 """
 
 
+# --- q25: grid-consistency dedup (detection.py:455-468 — iteratively drop
+#          nodes whose x or y occurs once — as a relational op).  The kernel
+#          runs the true fixpoint loop; cross-engine parity here uses a
+#          bounded 3-pass unroll (identical semantics in both engines whether
+#          or not the instance converges in 3).  Node set synthesized
+#          deterministically from lineitem keys. ---
+
+def _nodes_df(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "CAST(l_orderkey % 977 AS INT) AS x", "CAST(l_partkey % 997 AS INT) AS y"
+    ).distinct()
+
+
+def q25_grid_consistency_3pass(spark, sf_dir):
+    df = _nodes_df(spark, sf_dir)
+    for _ in range(3):
+        wx = W.partitionBy("x")
+        wy = W.partitionBy("y")
+        df = (
+            df.withColumn("cx", F.count(F.lit(1)).over(wx))
+            .withColumn("cy", F.count(F.lit(1)).over(wy))
+            .where((F.col("cx") > 1) & (F.col("cy") > 1))
+            .select("x", "y")
+        )
+    return df
+
+
+def _q25_sql() -> str:
+    inner = """
+    SELECT DISTINCT CAST(l_orderkey % 977 AS INT) AS x,
+                    CAST(l_partkey % 997 AS INT) AS y FROM lineitem
+    """
+    for _ in range(3):
+        inner = f"""
+        SELECT x, y FROM (
+          SELECT x, y,
+                 COUNT(*) OVER (PARTITION BY x) AS cx,
+                 COUNT(*) OVER (PARTITION BY y) AS cy
+          FROM ({inner})) WHERE cx > 1 AND cy > 1
+        """
+    return inner
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top10_orders": (q02_top10_orders, Q02_SQL),
@@ -314,4 +358,5 @@ QUERIES = {
     "q09_ship_within_week": (q09_ship_within_week, Q09_SQL),
     "q10_extremes": (q10_extremes, Q10_SQL),
     "q11_json_props": (q11_json_props, Q11_SQL),
+    "q25_grid_consistency_3pass": (q25_grid_consistency_3pass, _q25_sql()),
 }

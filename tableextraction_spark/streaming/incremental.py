@@ -1,0 +1,56 @@
+"""Structured-Streaming incremental extraction.
+
+The reference is strictly batch (SURVEY §2.9), but every stage of this
+engine is a deterministic per-page/per-document map, so the same DAG runs
+incrementally: new blob files landing in the ingest directory are picked up
+by a parquet file stream and processed exactly once (checkpointed file
+offsets), with the identical decode/assembly operators via ``foreachBatch``.
+
+Ingest-unit contract: a document's pages must land in the same micro-batch
+(the usual case — the ingest unit is a file of whole documents).  Pages
+split across batches would produce two partial span rows for one doc; for
+such sources, assemble with a watermarked update-mode aggregation instead —
+out of scope for v1 and asserted against in the test.
+
+``trigger(availableNow=True)`` drains everything pending and stops, which is
+both the test mode and the production catch-up mode; drop it for a
+continuously running tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import assemble_spans_sql
+from ..pipeline import BLOBS_SCHEMA, detect_tables
+
+
+def run_incremental(
+    spark: SparkSession,
+    blobs_dir: str,
+    docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    classify: bool = False,
+) -> None:
+    """Drain new blob files → append (doc_id, spans) rows exactly once."""
+    stream = (
+        spark.readStream.schema(BLOBS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(blobs_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        tables = detect_tables(batch_df, classify=classify)
+        batch_docs = docs.join(
+            batch_df.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+        assemble_spans_sql(batch_docs, tables).write.mode("append").parquet(out_path)
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
