@@ -86,16 +86,55 @@ def _plan_table(rng) -> dict:
     return {"n_cols": n_cols, "headers": headers, "group": group, "records": records}
 
 
+def _plan_plot(rng) -> dict:
+    """Scatter-plot page plan: axes + k point clusters with exact geometry
+    (cluster point centers are plan-determined, so the golden payload is
+    computable without running the kernel)."""
+    x0 = int(rng.integers(60, 140))
+    y0 = int(rng.integers(50, 90))
+    w = int(rng.integers(330, 480))
+    h = int(rng.integers(200, 280))
+    k = int(rng.integers(2, 5))
+    cell_w, cell_h = (w - 60) // 3, (h - 60) // 2
+    anchors = [(r, c) for r in range(2) for c in range(3)]
+    chosen = sorted(int(i) for i in rng.permutation(6)[:k])
+    clusters = []
+    for ci in chosen:
+        ar, ac = anchors[ci]
+        ax = x0 + 30 + ac * cell_w + int(rng.integers(0, 12))
+        ay = y0 + 30 + ar * cell_h + int(rng.integers(0, 12))
+        rows_n = int(rng.integers(2, 4))
+        cols_n = int(rng.integers(3, 5))
+        pts = []
+        # spacing 6 ± 1 jitter → marker blobs (3×3) keep ≥1 blank row/col
+        # between them (4-connectivity can't merge) while staying within
+        # the DBSCAN chaining radius (worst corner gap √(8²+2²)=8.25 < eps=10)
+        for i in range(rows_n):
+            for j in range(cols_n):
+                jx, jy = int(rng.integers(-1, 2)), int(rng.integers(-1, 2))
+                pts.append((ax + j * 6 + jx, ay + i * 6 + jy))
+        clusters.append(pts)
+    return {"x0": x0, "y0": y0, "w": w, "h": h, "clusters": clusters}
+
+
 def plan_doc(doc_num: int) -> dict:
     rng = _rng(doc_num)
     n_pages = SKEW_PAGES if doc_num % SKEW_EVERY == 5 else int(rng.integers(1, 4))
     pages = []
     for _ in range(n_pages):
         r = rng.random()
-        n_tables = 0 if r < 0.15 else (1 if r < 0.70 else 2)
+        if r < 0.12:
+            n_tables, n_plots = 0, 0
+        elif r < 0.60:
+            n_tables, n_plots = 1, 0
+        elif r < 0.78:
+            n_tables, n_plots = 2, 0
+        else:
+            n_tables, n_plots = 0, 1
         pages.append(
             {
                 "tables": [_plan_table(rng) for _ in range(n_tables)],
+                "plots": [_plan_plot(rng) for _ in range(n_plots)],
                 "text_spans": [
                     " ".join(_word(rng) for _ in range(int(rng.integers(3, 9))))
                     for _ in range(int(rng.integers(1, 3)))
@@ -181,6 +220,15 @@ def _draw_cells(canvas: np.ndarray, cells: list[dict]) -> None:
             render_text(canvas, x1 + PAD, y1 + PAD, cl["text"])
 
 
+def _draw_plot(canvas: np.ndarray, pp: dict) -> None:
+    x0, y0, w, h = pp["x0"], pp["y0"], pp["w"], pp["h"]
+    canvas[y0 : y0 + h + 2, x0 : x0 + 2] = 0          # y axis
+    canvas[y0 + h : y0 + h + 2, x0 : x0 + w + 2] = 0  # x axis
+    for pts in pp["clusters"]:
+        for cx, cy in pts:
+            canvas[cy - 1 : cy + 2, cx - 1 : cx + 2] = 0  # 3×3 marker
+
+
 def render_page(page_plan: dict, rng) -> tuple[np.ndarray, list[list[dict]]]:
     """Page plan → (uint8 canvas, per-table ground-truth cell lists)."""
     canvas = np.full((PAGE_H, PAGE_W), 255, dtype=np.uint8)
@@ -193,6 +241,8 @@ def render_page(page_plan: dict, rng) -> tuple[np.ndarray, list[list[dict]]]:
         _draw_cells(canvas, cells)
         truth.append(cells)
         y += geo["n_rows"] * ROW_H + 50
+    for pp in page_plan.get("plots", []):
+        _draw_plot(canvas, pp)
     return canvas, truth
 
 
@@ -233,6 +283,24 @@ def expected_table_json(tp: dict) -> str:
     )
 
 
+def expected_plot_json(pp: dict) -> str:
+    """Golden plot payload from the plan (mirror of kernel/plots.py output:
+    clusters sorted by (y, x), centroids = rounded mean of marker centers)."""
+    clusters = []
+    for pts in pp["clusters"]:
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        clusters.append(
+            {
+                "n": len(pts),
+                "x": int(round(float(np.mean(xs)))),
+                "y": int(round(float(np.mean(ys)))),
+            }
+        )
+    clusters.sort(key=lambda c: (c["y"], c["x"]))
+    return json.dumps({"clusters": clusters}, separators=(",", ":"))
+
+
 # ---------------------------------------------------------------- corpus
 
 
@@ -261,6 +329,8 @@ def gen_doc(doc_num: int, with_blobs: bool = True):
         _push(out_spans, "media", "", media_ref)
         for tp in page["tables"]:
             _push(out_spans, "table", expected_table_json(tp), media_ref)
+        for pp in page.get("plots", []):
+            _push(out_spans, "plot", expected_plot_json(pp), media_ref)
         if with_blobs:
             canvas, _ = render_page(page, rng)
             blobs.append(

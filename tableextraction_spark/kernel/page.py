@@ -57,3 +57,44 @@ def process_page(gray: np.ndarray, min_len_frac: float = 0.04, inset: int = OCR_
         ]
         out.append((bbox, cells, texts))
     return out
+
+
+def extract_objects(gray: np.ndarray, classify: bool = False):
+    """uint8 page → list of (kind, n_items, payload) in reading order.
+
+    ``kind='table'`` objects carry the assembled structure JSON (n_items =
+    cell count); on pages with line evidence but no table grid the plot
+    digitizer runs (``kind='plot'``, n_items = point count) — mirroring the
+    reference's table|plot class split (``maskrcnn/class_names.py:2-12``,
+    ``plot_processing/PlotProcessing.ipynb``).
+    """
+    from .assemble import assemble_table
+    from .classify import classify_table
+    from .plots import digitize_plot
+
+    gray = grayzation(gray)
+    ink = binarize(gray)
+    horiz, vert = detect_segments(ink, min_len_frac=0.04)
+    objects = []
+    for bbox, hm, vm in cluster_tables(horiz, vert):
+        tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        eps = max(2, int(0.01 * (tw + th)))
+        nodes = dedup_grid_fixpoint(snap_nodes(intersect_lines(vm, hm, eps), eps))
+        cells = cells_from_nodes(nodes, ink)
+        if len(cells) == 0:
+            continue
+        texts = [
+            decode_text(
+                gray[y1 + OCR_INSET : y2 - OCR_INSET + 1, x1 + OCR_INSET : x2 - OCR_INSET + 1]
+            )
+            for x1, y1, x2, y2 in cells
+        ]
+        if classify and not classify_table(" ".join(texts)):
+            continue
+        objects.append(("table", len(cells), assemble_table(cells, texts)))
+    if not objects:
+        plot = digitize_plot(ink, horiz, vert)
+        if plot is not None:
+            payload, n_points = plot
+            objects.append(("plot", n_points, payload))
+    return objects

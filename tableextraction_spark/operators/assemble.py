@@ -13,7 +13,7 @@ Two equivalent implementations (tests assert they agree):
   deployments that post-process structures in Python slot in here.
 
 Output invariant (BASELINE.json): spans ordered, ``offset`` = position,
-table spans follow their source media span in ``table_no`` order with
+object spans follow their source media span in ``obj_no`` order with
 ``media_ref`` back-pointers.
 """
 
@@ -36,12 +36,12 @@ def _merged_spans_expr() -> F.Column:
     tables_for = lambda s: F.transform(  # noqa: E731
         F.filter(
             F.coalesce(F.col("tspans"), F.expr(_EMPTY_TSPANS).cast(
-                "array<struct<media_ref string, table_no int, payload string>>"
+                "array<struct<media_ref string, obj_no int, okind string, payload string>>"
             )),
             lambda t: (s["kind"] == F.lit("media")) & (t["media_ref"] == s["media_ref"]),
         ),
         lambda t: F.struct(
-            F.lit("table").alias("kind"),
+            t["okind"].alias("kind"),
             t["payload"].alias("text"),
             t["media_ref"].alias("media_ref"),
         ),
@@ -76,15 +76,23 @@ def _merged_spans_expr() -> F.Column:
 def assemble_spans_sql(docs: DataFrame, tables: DataFrame) -> DataFrame:
     """(docs, per-table rows) → (doc_id, spans) via Catalyst only.
 
-    ``tables`` rows with ``table_no < 0`` (page markers) or errors are
-    dropped here; they exist for metrics.
+    Object rows with ``obj_no < 0`` (page markers) or errors are dropped
+    here; they exist for metrics.  Object ``kind`` ('table' | 'plot') flows
+    through to the span kind.
     """
     tdoc = (
-        tables.where((F.col("table_no") >= 0) & F.col("error").isNull())
+        tables.where((F.col("obj_no") >= 0) & F.col("error").isNull())
         .groupBy("doc_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("media_ref", "table_no", "payload"))
+                F.collect_list(
+                    F.struct(
+                        "media_ref",
+                        "obj_no",
+                        F.col("kind").alias("okind"),
+                        "payload",
+                    )
+                )
             ).alias("tspans")
         )
     )
@@ -93,14 +101,14 @@ def assemble_spans_sql(docs: DataFrame, tables: DataFrame) -> DataFrame:
 
 def assemble_spans_pandas(docs: DataFrame, tables: DataFrame) -> DataFrame:
     """Same semantics via cogroup().applyInPandas (SURVEY §2.10 stage 3)."""
-    tclean = tables.where((F.col("table_no") >= 0) & F.col("error").isNull()).select(
-        "doc_id", "media_ref", "table_no", "payload"
+    tclean = tables.where((F.col("obj_no") >= 0) & F.col("error").isNull()).select(
+        "doc_id", "media_ref", "obj_no", F.col("kind").alias("okind"), "payload"
     )
 
     def merge(docs_pdf: pd.DataFrame, tables_pdf: pd.DataFrame) -> pd.DataFrame:
         by_ref: dict[str, list] = {}
-        for _, t in tables_pdf.sort_values(["media_ref", "table_no"]).iterrows():
-            by_ref.setdefault(t["media_ref"], []).append(t["payload"])
+        for _, t in tables_pdf.sort_values(["media_ref", "obj_no"]).iterrows():
+            by_ref.setdefault(t["media_ref"], []).append((t["okind"], t["payload"]))
         out_rows = []
         for _, d in docs_pdf.iterrows():
             spans = sorted(d["spans"], key=lambda s: s["offset"])
@@ -110,9 +118,9 @@ def assemble_spans_pandas(docs: DataFrame, tables: DataFrame) -> DataFrame:
                     {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]}
                 )
                 if s["kind"] == "media":
-                    for payload in by_ref.get(s["media_ref"], []):
+                    for okind, payload in by_ref.get(s["media_ref"], []):
                         merged.append(
-                            {"kind": "table", "text": payload, "media_ref": s["media_ref"]}
+                            {"kind": okind, "text": payload, "media_ref": s["media_ref"]}
                         )
             out_rows.append(
                 {

@@ -1,13 +1,15 @@
-"""Fused decode → detect → OCR → per-table assembly as one Arrow batch stage.
+"""Fused decode → detect → OCR → per-object assembly as one Arrow batch stage.
 
-Covers reference stages A–F at the per-table level
+Covers reference stages A–F at the per-object level
 (``table_extraction/extractor.py:24-68``): page decode
 (``preprocessing.py:10-62``), gray/binarize (``:81-112``), line detection +
 node/cell geometry (``detection.py:221-604``), template OCR
-(``recognition.py:167-238`` role), and per-table structure build
-(``builder.py:11-426`` + ``export.py:21-74``) — all inside one Arrow batch
-UDF so page pixels cross process boundaries at most once and **never
-shuffle**: only small JSON rows leave the stage.
+(``recognition.py:167-238`` role), per-table structure build
+(``builder.py:11-426`` + ``export.py:21-74``), and plot digitization
+(``plot_processing/PlotProcessing.ipynb`` — the reference's table|plot class
+split) — all inside one Arrow batch UDF so page pixels cross process
+boundaries at most once and **never shuffle**: only small JSON rows leave
+the stage.
 
 Payload access is zero-copy: binary cells are sliced as memoryviews of the
 Arrow data buffer (an ``as_py()`` bytes copy per 0.5 MB page measured ~3× the
@@ -16,8 +18,8 @@ whole-stage cost at 14k pages) and NumPy views them directly.
 Per-row failure isolation (reference wraps each stage in try/except returning
 False, ``extractor.py:27-66``): a failing page emits an ``error`` row instead
 of aborting the task.  Each successfully decoded page emits a page-marker row
-(``table_no = -1``) so page/table/cell counters survive into the lineage
-metrics even for table-less pages.
+(``obj_no = -1``) carrying the page's wall time so page/object/cell counters
+survive into the lineage metrics even for empty pages.
 """
 
 from __future__ import annotations
@@ -28,16 +30,17 @@ import numpy as np
 import pyarrow as pa
 
 TABLES_SCHEMA = (
-    "doc_id string, media_ref string, page_no int, table_no int, "
-    "n_cells int, payload string, error string, wall_ms long"
+    "doc_id string, media_ref string, page_no int, obj_no int, kind string, "
+    "n_items int, payload string, error string, wall_ms long"
 )
 
 _FIELDS = [
     ("doc_id", pa.string()),
     ("media_ref", pa.string()),
     ("page_no", pa.int32()),
-    ("table_no", pa.int32()),
-    ("n_cells", pa.int32()),
+    ("obj_no", pa.int32()),
+    ("kind", pa.string()),
+    ("n_items", pa.int32()),
     ("payload", pa.string()),
     ("error", pa.string()),
     ("wall_ms", pa.int64()),
@@ -58,12 +61,11 @@ def _binary_views(col: pa.Array) -> list[memoryview]:
 def process_content_rows(
     batch: pa.RecordBatch, classify: bool = False, partition_id: int | None = None
 ) -> pa.RecordBatch | None:
-    """(doc_id, media_ref, page_no, content) rows → per-page/per-table rows."""
-    from ..kernel import assemble_table, process_page
-    from ..kernel.classify import classify_table
-    from ..media import decode_page
-
+    """(doc_id, media_ref, page_no, content) rows → per-page/per-object rows."""
     import time
+
+    from ..kernel.page import extract_objects
+    from ..media import decode_page
 
     doc_ids = batch.column("doc_id").to_pylist()
     refs = batch.column("media_ref").to_pylist()
@@ -75,25 +77,19 @@ def process_content_rows(
         t0 = time.perf_counter()
         try:
             page = decode_page(payloads[i])
-            tables = process_page(page)
+            objects = extract_objects(page, classify=classify)
         except Exception as exc:  # per-row failure isolation
             ms = int((time.perf_counter() - t0) * 1000)
             rows.append(
-                (did, ref, pno, -1, 0, None, f"{type(exc).__name__}: {exc}", ms)
+                (did, ref, pno, -1, None, 0, None,
+                 f"{type(exc).__name__}: {exc}", ms)
             )
             continue
-        out_tables = []
-        tno = 0
-        for _bbox, cells, texts in tables:
-            if classify and not classify_table(" ".join(texts)):
-                continue
-            payload = assemble_table(cells, texts)
-            out_tables.append((did, ref, pno, tno, len(cells), payload, None, 0))
-            tno += 1
         ms = int((time.perf_counter() - t0) * 1000)
         # page marker carries the page's full decode+detect+ocr wall time
-        rows.append((did, ref, pno, -1, 0, None, None, ms))
-        rows.extend(out_tables)
+        rows.append((did, ref, pno, -1, None, 0, None, None, ms))
+        for obj_no, (kind, n_items, payload) in enumerate(objects):
+            rows.append((did, ref, pno, obj_no, kind, n_items, payload, None, 0))
     if not rows:
         return None
     fields = list(_FIELDS)

@@ -3,7 +3,7 @@
 The reference only has commented-out ``logging`` calls
 (``table_extraction/detection.py:13-17``); the north rule requires real
 per-partition lineage: pages decoded, tables detected, cells OCR'd, errors —
-derived from the decode stage's output rows (page markers carry table_no=-1)
+derived from the decode stage's output rows (page markers carry obj_no=-1)
 grouped by the *decode stage's* partition id, captured via
 ``spark_partition_id()`` **before** any shuffle.
 
@@ -27,8 +27,11 @@ def stage_metrics(tables: DataFrame, run_id: str, stage: str = "decode_detect_oc
         .agg(
             F.countDistinct("doc_id").alias("docs_processed"),
             F.countDistinct("media_ref").alias("pages_decoded"),
-            F.sum((F.col("table_no") >= 0).cast("long")).alias("tables_detected"),
-            F.sum("n_cells").cast("long").alias("cells_ocrd"),
+            F.sum((F.col("kind") == "table").cast("long")).alias("tables_detected"),
+            F.sum((F.col("kind") == "plot").cast("long")).alias("plots_detected"),
+            F.sum(
+                F.when(F.col("kind") == "table", F.col("n_items")).otherwise(0)
+            ).cast("long").alias("cells_ocrd"),
             F.sum(F.col("error").isNotNull().cast("long")).alias("errors"),
             F.sum("wall_ms").cast("long").alias("wall_ms"),
         )
@@ -39,6 +42,7 @@ def stage_metrics(tables: DataFrame, run_id: str, stage: str = "decode_detect_oc
             "docs_processed",
             "pages_decoded",
             "tables_detected",
+            "plots_detected",
             "cells_ocrd",
             "errors",
             "wall_ms",

@@ -44,8 +44,10 @@ def test_gen_doc_span_invariants():
         assert [s["offset"] for s in spans] == list(range(len(spans)))
     kinds_in = {s["kind"] for s in doc["spans"]}
     assert kinds_in <= {"text", "media"}
-    # output = input spans + table spans, order preserved
-    got_no_tables = [s for s in expected["spans"] if s["kind"] != "table"]
+    # output = input spans + table/plot spans, order preserved
+    got_no_tables = [
+        s for s in expected["spans"] if s["kind"] not in ("table", "plot")
+    ]
     assert [(s["kind"], s["text"], s["media_ref"]) for s in got_no_tables] == [
         (s["kind"], s["text"], s["media_ref"]) for s in doc["spans"]
     ]

@@ -15,7 +15,7 @@ def test_skew_doc_pages_spread_across_partitions(spark):
     b = spark.createDataFrame(blobs, BLOBS_SCHEMA).repartition(8, "media_ref")
     parts = (
         detect_tables(b)
-        .where((F.col("doc_id") == "doc-000005") & (F.col("table_no") == -1))
+        .where((F.col("doc_id") == "doc-000005") & (F.col("obj_no") == -1))
         .select("partition_id")
         .distinct()
         .count()
