@@ -343,6 +343,60 @@ def _q23_sql() -> str:
     """
 
 
+# --- q27: winnowing fingerprint (rolling-window min-hash, MOSS-style) ---
+#
+# The scale path for plagiarism-grade near-dup detection: hash every 3-word
+# shingle (md5 prefix — engine-portable, lexicographic min identical in
+# Spark and DuckDB), then slide a window of WINNOW_W consecutive hashes and
+# keep each window's minimum (Schleimer et al., "Winnowing: Local Algorithms
+# for Document Fingerprinting", SIGMOD'03).  The distinct window-mins are the
+# document's fingerprint: any shared substring of >= WINNOW_W+2 words
+# guarantees a shared fingerprint hash, so candidate pairs come from a
+# fingerprint-explode + groupBy instead of an all-pairs join.  Pure Catalyst
+# higher-order functions — scan → project, zero shuffles.
+
+WINNOW_W = 4
+
+
+def q27_winnow_fingerprint(spark, sf_dir):
+    h = _with_shingles(spark, sf_dir).selectExpr(
+        "doc_id", "transform(sh, s -> substring(md5(s), 1, 12)) AS h"
+    )
+    fps = h.selectExpr(
+        "doc_id",
+        "size(h) AS n_grams",
+        f"""CASE WHEN size(h) >= {WINNOW_W}
+              THEN array_sort(array_distinct(
+                     transform(sequence(0, size(h) - {WINNOW_W}),
+                               i -> array_min(slice(h, i + 1, {WINNOW_W})))))
+              ELSE array(array_min(h)) END AS fps""",
+    )
+    return fps.selectExpr(
+        "doc_id",
+        "n_grams",
+        "array_join(fps, ',') AS fp",
+        "size(fps) AS n_fp",
+    )
+
+
+Q27_SQL = f"""
+WITH h AS (
+  SELECT doc_id, list_transform(sh, s -> substr(md5(s), 1, 12)) AS h
+  FROM {_DUCK_SH_SUB} t),
+fps AS (
+  SELECT doc_id, len(h) AS n_grams,
+         CASE WHEN len(h) >= {WINNOW_W}
+              THEN list_sort(list_distinct(
+                     list_transform(range(1, len(h) - {WINNOW_W} + 2),
+                       i -> list_min(list_transform(range(0, {WINNOW_W}),
+                                                    j -> h[i + j])))))
+              ELSE [list_min(h)] END AS fps
+  FROM h)
+SELECT doc_id, n_grams, array_to_string(fps, ',') AS fp, len(fps) AS n_fp
+FROM fps
+"""
+
+
 QUERIES = {
     "q12_exact_dedup_groups": (q12_exact_dedup_groups, Q12_SQL),
     "q13_minhash_signature": (q13_minhash_signature, Q13_SQL),
@@ -353,4 +407,5 @@ QUERIES = {
     "q18_token_stats": (q18_token_stats, Q18_SQL),
     "q19_fingerprint": (q19_fingerprint, Q19_SQL),
     "q23_fuzzy_keyword_classify": (q23_fuzzy_keyword_classify, _q23_sql()),
+    "q27_winnow_fingerprint": (q27_winnow_fingerprint, Q27_SQL),
 }

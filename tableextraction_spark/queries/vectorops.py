@@ -131,8 +131,131 @@ WHERE {_cos_duck('a.ev', 'b.ev')} >= {NEAR_DUP_TAU}
 """
 
 
+# --- q26: IVF (inverted-file) ANN — the centroid-probe scale path ---
+#
+# Deterministic IVF: every CENT_MOD-th vector is a coarse centroid (k-means
+# init step; deterministic so the oracle can mirror it).  Assignment is a
+# ZERO-SHUFFLE projection: the centroid set is reduced to ONE row holding an
+# array<struct> and broadcast-cross-joined, so each vector computes its
+# argmax-score centroid inside a Catalyst `aggregate` lambda — no N×K
+# shuffle, no window.  Queries probe their NPROBE nearest centroids and
+# score only those inverted lists (probe side broadcast), so at 100 TB the
+# scored candidate set is ~NPROBE/K of the corpus instead of all of it.
+# Scores compare dot/centroid_norm (argmax-equivalent to cosine: the query
+# norm is constant per row) to keep the FP comparison identical on both
+# engines; the reported cos_sim is the full cosine, rounded like q20.
+
+CENT_MOD = 32
+NPROBE = 2
+
+
+def _dot2(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (s2, v2) -> s2 + v2)"
+    )
+
+
+def q26_ivf_ann(spark, sf_dir):
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", f"{_TO_D} AS ev")
+        .selectExpr("vec_id", "ev", f"{_NORM.format(v='ev')} AS en")
+    )
+    cents = (
+        e.where(F.col("vec_id") % CENT_MOD == 0)
+        .selectExpr(
+            "named_struct('cid', CAST(vec_id AS INT), 'cv', ev, 'cn', en) AS c"
+        )
+        .groupBy()
+        .agg(F.expr("sort_array(collect_list(c))").alias("cents"))
+    )
+    score_c = f"{_dot2('c.cv', 'ev')} / c.cn"  # argmax-equivalent to cosine
+    assign = e.crossJoin(F.broadcast(cents)).selectExpr(
+        "vec_id",
+        "ev",
+        "en",
+        f"""aggregate(cents,
+              named_struct('s', CAST(-1e308 AS DOUBLE), 'cid', -1),
+              (acc, c) -> IF({score_c} > acc.s,
+                             named_struct('s', {score_c}, 'cid', c.cid),
+                             acc)).cid AS cid""",
+    )
+    probes = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .selectExpr(
+            "vec_id AS q_id",
+            "ev AS qv",
+            "en AS qn",
+            f"""transform(slice(array_sort(transform(cents,
+                   c -> named_struct('negs', -({score_c}), 'cid', c.cid))),
+                 1, {NPROBE}), p -> p.cid) AS cids""",
+        )
+        .selectExpr("q_id", "qv", "qn", "explode(cids) AS cid")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cid")
+        .selectExpr(
+            "q_id",
+            "vec_id",
+            f"ROUND({_dot2('qv', 'ev')} / (qn * en), 4) AS cos_sim",
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+_DOT_DUCK = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+)
+_NORM_DUCK = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+
+Q26_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+     en AS (SELECT vec_id, ev, {_NORM_DUCK.format(v='ev')} AS en FROM e),
+     cents AS (SELECT vec_id AS cid, ev AS cv, en AS cn
+               FROM en WHERE vec_id % {CENT_MOD} = 0),
+     assign AS (
+       SELECT vec_id, ev, en, cid FROM (
+         SELECT n.vec_id, n.ev, n.en, c.cid,
+                ROW_NUMBER() OVER (
+                  PARTITION BY n.vec_id
+                  ORDER BY ({_DOT_DUCK.format(a='c.cv', b='n.ev')} / c.cn) DESC,
+                           c.cid ASC) AS rn
+         FROM en n CROSS JOIN cents c) WHERE rn = 1),
+     probes AS (
+       SELECT q_id, qv, qn, cid FROM (
+         SELECT n.vec_id AS q_id, n.ev AS qv, n.en AS qn, c.cid,
+                ROW_NUMBER() OVER (
+                  PARTITION BY n.vec_id
+                  ORDER BY ({_DOT_DUCK.format(a='c.cv', b='n.ev')} / c.cn) DESC,
+                           c.cid ASC) AS rn
+         FROM en n CROSS JOIN cents c WHERE n.vec_id < {N_QUERIES})
+       WHERE rn <= {NPROBE}),
+     cand AS (
+       SELECT p.q_id, a.vec_id,
+              ROUND({_DOT_DUCK.format(a='p.qv', b='a.ev')} / (p.qn * a.en), 4)
+                AS cos_sim
+       FROM probes p JOIN assign a ON p.cid = a.cid)
+SELECT q_id, vec_id, cos_sim, rank FROM (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM cand) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "q20_ann_cosine_topk": (q20_ann_cosine_topk, Q20_SQL),
     "q21_lsh_buckets": (q21_lsh_buckets, Q21_SQL),
     "q22_embedding_near_dups": (q22_embedding_near_dups, Q22_SQL),
+    "q26_ivf_ann": (q26_ivf_ann, Q26_SQL),
 }
