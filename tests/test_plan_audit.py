@@ -1,0 +1,116 @@
+"""Physical-plan audits: pin the plan *shape* we designed for, not just the
+results.  At 100 TB these properties are the difference between a job that
+finishes and one that doesn't:
+
+- map-side partial aggregation (one shuffle, partial+final HashAggregate)
+- dimension joins broadcast (no sort-merge shuffle of the fact table)
+- resume anti-join broadcast with the snapshot filter pushed to the scan
+- scan column pruning (a 2-column projection must not read 5 columns)
+- scan→project text/fingerprint ops run with ZERO exchanges
+- ANN cross product broadcasts the query side; LSH near-dup join is a
+  key join on `bucket`, never a cartesian product
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tableextraction_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name][0](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scan_columns(plan: str, table: str) -> list[list[str]]:
+    """Column lists of every FileScan over `table` in the plan."""
+    out = []
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\].*?/" + table + r"\.parquet",
+                         plan):
+        cols = [c.split("#")[0] for c in m.group(1).split(",") if c]
+        out.append(cols)
+    return out
+
+
+def test_q01_partial_aggregation_single_shuffle(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    # partial (map-side) + final HashAggregate around exactly one exchange
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_q03_dims_broadcast_not_sort_merge(spark):
+    plan = plan_of(spark, "q03_segment_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # customer scan is pruned to the join key + grouping column
+    assert scan_columns(plan, "customer") == [["c_custkey", "c_mktsegment"]]
+
+
+def test_q04_resume_antijoin_broadcast_with_pushdown(spark):
+    plan = plan_of(spark, "q04_customers_without_orders")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+    assert "SortMergeJoin" not in plan
+    # the orders-side date filter is evaluated at the scan, not post-join
+    assert re.search(r"DataFilters: \[[^\]]*o_orderdate", plan)
+
+
+@pytest.mark.parametrize(
+    "name", ["q13_minhash_signature", "q15_simhash", "q16_quality_score",
+             "q17_langid", "q18_token_stats", "q19_fingerprint",
+             "q21_lsh_buckets", "q27_winnow_fingerprint"]
+)
+def test_scan_project_ops_have_zero_exchanges(spark, name):
+    plan = plan_of(spark, name)
+    assert plan.count("Exchange") == 0, f"{name} shuffles a scan→project op"
+    assert "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,table,needed",
+    [
+        ("q13_minhash_signature", "documents", {"doc_id", "text"}),
+        ("q19_fingerprint", "documents", {"doc_id", "text"}),
+        ("q27_winnow_fingerprint", "documents", {"doc_id", "text"}),
+        ("q21_lsh_buckets", "embeddings", {"vec_id", "label", "embedding"}),
+    ],
+)
+def test_scan_column_pruning(spark, name, table, needed):
+    plan = plan_of(spark, name)
+    scans = scan_columns(plan, table)
+    assert scans, f"no FileScan over {table} found in {name}"
+    for cols in scans:
+        assert set(cols) == needed, f"{name} reads {cols}, needs {needed}"
+
+
+def test_q20_broadcasts_query_side(spark):
+    plan = plan_of(spark, "q20_ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # deliberate bounded cross
+    assert "SortMergeJoin" not in plan
+    # only the window's partitionBy exchange + the broadcast itself
+    assert plan.count("Exchange") <= 2
+    # query-side scan keeps the vec_id < N pushdown
+    assert re.search(r"DataFilters: \[[^\]]*vec_id[^\]]* < 5", plan)
+
+
+def test_q22_lsh_join_is_key_join_not_cartesian(spark):
+    plan = plan_of(spark, "q22_embedding_near_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"Join \[bucket", plan) or "bucket" in plan
+
+
+def test_q26_ivf_no_sort_merge_join(spark):
+    plan = plan_of(spark, "q26_ivf_ann")
+    # centroid attach + probe joins are broadcast; candidate scoring never
+    # shuffles the full embedding table by join key
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 2
