@@ -1,0 +1,87 @@
+"""Multimodal mapInPandas plumbing: codecs round-trip, resize/frame-sample/
+audio-feature stages produce correct schemas and values, real-format decode
+is a clear NotImplementedError stub, and failures are per-row isolated."""
+
+import numpy as np
+import pytest
+
+from tableextraction_spark import multimodal as mm
+
+
+def _img(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+# --- codec units (no Spark) ---
+
+def test_audio_codec_roundtrip():
+    pcm = (np.sin(np.linspace(0, 100, 16000)) * 20000).astype(np.int16)
+    out, rate = mm.decode_audio(mm.encode_audio(pcm, 8000))
+    assert rate == 8000 and np.array_equal(out, pcm)
+
+
+def test_video_codec_roundtrip():
+    frames = [_img(12, 10, s) for s in range(5)]
+    out = mm.decode_video(mm.encode_video(frames))
+    assert len(out) == 5
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize(
+    "fn,payload",
+    [
+        (mm.decode_audio, b"RIFF" + b"\0" * 64),   # real WAV magic
+        (mm.decode_video, b"\x00\x00\x00\x18ftyp"), # real MP4 box
+    ],
+)
+def test_real_formats_are_stubbed(fn, payload):
+    with pytest.raises(NotImplementedError, match="requires"):
+        fn(payload)
+
+
+# --- Spark stages ---
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(rows, "media_ref string, content binary")
+
+
+def test_resize_images(spark):
+    img = _img(40, 60)
+    df = _media_df(spark, [("m1", mm.encode_image(img))])
+    out = mm.resize_images(df, 30, 20).collect()
+    assert [(r.media_ref, r.width, r.height) for r in out] == [("m1", 30, 20)]
+    resized = mm.decode_image(bytes(out[0].content))
+    assert resized.shape == (20, 30)
+    # nearest-neighbor: corner pixels survive exactly
+    assert resized[0, 0] == img[0, 0]
+
+
+def test_sample_frames_explodes_1_to_n(spark):
+    frames = [np.full((4, 4), i, dtype=np.uint8) for i in range(10)]
+    df = _media_df(
+        spark,
+        [("v1", mm.encode_video(frames)), ("v2", mm.encode_video(frames[:3]))],
+    )
+    out = mm.sample_frames(df, every_n=3).collect()
+    got = sorted((r.media_ref, r.frame_no) for r in out)
+    assert got == [("v1", 0), ("v1", 3), ("v1", 6), ("v1", 9), ("v2", 0)]
+    by_key = {(r.media_ref, r.frame_no): r for r in out}
+    f3 = mm.decode_image(bytes(by_key[("v1", 3)].content))
+    assert f3[0, 0] == 3 and by_key[("v1", 3)].n_frames == 10
+
+
+def test_audio_features_and_error_isolation(spark):
+    pcm = np.full(8000, 16384, dtype=np.int16)  # DC: rms 0.5, zcr 0, 1 s
+    df = _media_df(
+        spark,
+        [("a1", mm.encode_audio(pcm, 8000)), ("bad", b"RIFF" + b"\0" * 16)],
+    )
+    rows = {r.media_ref: r for r in mm.audio_features(df).collect()}
+    ok = rows["a1"]
+    assert ok.error is None
+    assert ok.sample_rate == 8000 and ok.duration_s == pytest.approx(1.0)
+    assert ok.rms == pytest.approx(0.5) and ok.zero_crossing_rate == 0.0
+    # the undecodable row is captured, not a task failure
+    assert rows["bad"].error.startswith("NotImplementedError")
