@@ -266,17 +266,27 @@ FROM (SELECT doc_id, lang, {_GUESS} AS guess_lang
 
 # --- token stats + fingerprint ---
 
+# BPE-ish pretokenizer (GPT-2 pattern family, minus lookahead so the same
+# regex runs on Java regex AND DuckDB's RE2): contractions, space-prefixed
+# letter/digit runs, punctuation runs.  n_bpe_tokens is the unit LLM data
+# pipelines budget by; whitespace n_tokens stays for the classic ratio.
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
 def q18_token_stats(spark, sf_dir):
     return _with_words(spark, sf_dir, "text").selectExpr(
         "doc_id",
         "size(words) AS n_tokens",
+        f"size(regexp_extract_all(text, \"{_BPE_RE.replace(chr(92), chr(92) * 2)}\", 0)) AS n_bpe_tokens",
         "length(text) AS n_chars_text",
         "ROUND(length(text) / CAST(size(words) AS DOUBLE), 4) AS chars_per_token",
     )
 
 
 Q18_SQL = f"""
-SELECT doc_id, len(words) AS n_tokens, len(text) AS n_chars_text,
+SELECT doc_id, len(words) AS n_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE.replace(chr(39), chr(39) * 2)}', 0)) AS n_bpe_tokens,
+       len(text) AS n_chars_text,
        ROUND(len(text) / CAST(len(words) AS DOUBLE), 4) AS chars_per_token
 FROM {_DUCK_WORDS_SUB}
 """
