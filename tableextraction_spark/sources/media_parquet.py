@@ -53,7 +53,18 @@ def detect_tables_python_scan(
     # AQE and gets coalesced to ~1 partition — but each row expands to tens
     # of MB of decode work.  A parallelized RDD pins the partitioning where
     # AQE cannot (correctly, per its cost model) wreck it.
-    n_slices = max(1, min(len(splits), 4 * par))
+    #
+    # Slice count: one task per row group while that stays cheap (row groups
+    # are written ~8 MB ≈ uniform work, so 1:1 gives perfectly even tasks —
+    # measured 10% faster at local[16] than 73 splits / 64 slices, where
+    # contiguous slicing hands 9 tasks a double share and they become the
+    # stage tail).  Beyond 16·par splits, per-task overhead dominates the
+    # ≤1-row-group imbalance, so fall back to 4·par contiguous slices
+    # (avg ≥4 row groups/slice → ≤25% skew).
+    if len(splits) <= 16 * par:
+        n_slices = max(1, len(splits))
+    else:
+        n_slices = 4 * par
     rdd = spark.sparkContext.parallelize(splits, n_slices)
     sdf = spark.createDataFrame(rdd, "path string, rg int")
 

@@ -93,14 +93,34 @@ def _run(code: str, args: list[str]) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+_PREGEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from tableextraction_spark.session import get_spark
+from bench import ensure_corpus
+spark = get_spark(app="gen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+ensure_corpus(spark, int(sys.argv[1]))
+print('{{"generated": true}}')
+spark.stop()
+"""
+
+
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
+    # 24k docs ≈ 56k pages: long enough runs (local[4] ≈ 80 s) that the
+    # per-job fixed costs — codegen compile, stage setup, the final
+    # assembly stage's ~1-2 s floor — are noise, not the ratio.  At 6k docs
+    # the local[16] run is ~9 s and those fixed seconds alone cap measured
+    # efficiency at ~0.7 even with a perfectly scaling decode stage.
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
     child = _CHILD.format(repo=REPO)
     pool = _POOL_CHILD.format(repo=REPO)
+    # generate the corpus once at full width, outside any measured child
+    _run(_PREGEN.format(repo=REPO), [str(n_docs)])
     r_lo = _run(child, [str(lo), str(n_docs), str(reps)])
     r_hi = _run(child, [str(hi), str(n_docs), str(reps)])
     p_lo = _run(pool, [str(lo), str(reps)])
