@@ -171,15 +171,19 @@ def q26_ivf_ann(spark, sf_dir):
         .agg(F.expr("sort_array(collect_list(c))").alias("cents"))
     )
     score_c = f"{_dot2('c.cv', 'ev')} / c.cn"  # argmax-equivalent to cosine
-    assign = e.crossJoin(F.broadcast(cents)).selectExpr(
-        "vec_id",
-        "ev",
-        "en",
-        f"""aggregate(cents,
-              named_struct('s', CAST(-1e308 AS DOUBLE), 'cid', -1),
-              (acc, c) -> IF({score_c} > acc.s,
-                             named_struct('s', {score_c}, 'cid', c.cid),
-                             acc)).cid AS cid""",
+    # score each centroid ONCE, then argmax via array_position(max): ties
+    # resolve to the first (lowest-cid) occurrence, matching the oracle's
+    # ORDER BY score DESC, cid ASC
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .selectExpr(
+            "vec_id", "ev", "en", "cents",
+            f"transform(cents, c -> {score_c}) AS scores",
+        )
+        .selectExpr(
+            "vec_id", "ev", "en",
+            "element_at(cents, CAST(array_position(scores, array_max(scores)) AS INT)).cid AS cid",
+        )
     )
     probes = (
         e.where(F.col("vec_id") < N_QUERIES)
