@@ -30,17 +30,21 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     # under spark-submit the session/master/memory come from the submit conf;
-    # builder.getOrCreate() picks them up (local fallback for ad-hoc runs)
+    # builder.getOrCreate() picks them up (local fallback for ad-hoc runs).
+    # apply_engine_conf then layers on the engine's runtime SQL confs — a
+    # bare session's 4096-row vectorized reader batch OOMs a 1g driver on
+    # ~0.5 MB binary cells (seen in the packaging smoke test).
     spark = SparkSession.builder.appName("tablex-extract").getOrCreate()
 
     from .pipeline import run_to_parquet
+    from .session import apply_engine_conf
 
+    apply_engine_conf(spark)
     docs = spark.read.parquet(args.docs)
-    blobs = spark.read.parquet(args.blobs)
     run_to_parquet(
         spark,
         docs,
-        blobs,
+        args.blobs,  # path form → python-native media scan (pixels stay in Python)
         args.out,
         metrics_path=args.metrics,
         resume=not args.no_resume,

@@ -15,6 +15,35 @@ from pyspark.sql import SparkSession
 
 ARROW_BATCH_ROWS = 64  # pages per Arrow batch through mapInArrow
 
+# Runtime-settable SQL confs (everything the engine needs that does NOT
+# require a JVM restart).  Applied by get_spark() at build time and by
+# apply_engine_conf() to sessions the engine did not create — in particular
+# the spark-submit job entry, where master/memory come from the submit conf
+# but a bare getOrCreate() would otherwise run with the 4096-row vectorized
+# reader batch that OOMs on ~0.5 MB binary cells (see inline notes below).
+_SQL_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_BATCH_ROWS),
+    "spark.sql.files.maxPartitionBytes": "8m",
+    "spark.sql.files.openCostInBytes": "1m",
+    "spark.sql.parquet.columnarReaderBatchSize": "256",
+}
+
+
+def apply_engine_conf(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an existing session."""
+    for k, v in _SQL_CONFS.items():
+        spark.conf.set(k, v)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions or spark.sparkContext.defaultParallelism),
+    )
+    return spark
+
 
 def get_spark(
     app: str = "tableextraction_spark",
@@ -31,25 +60,20 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
-        # test-scale parquet is tiny but row-heavy (10 MB ≈ 600k rows) and
-        # compute-per-row dominates; small splits keep all cores busy.  At
-        # production scale (100 TB, 128 MB row groups) retune toward the
-        # 128m default — the knob, not the plan, changes.
-        .config("spark.sql.files.maxPartitionBytes", "8m")
-        .config("spark.sql.files.openCostInBytes", "1m")
-        # media blobs are ~0.5 MB binary cells; the vectorized parquet
-        # reader's default 4096-row batch would reserve ~2.3 GB contiguous
-        # per task (observed OutOfMemoryError at 14k pages).  256 rows
-        # ≈ 140 MB worst-case per scan task — the SURVEY §4.3 page-pixel
-        # budget applied to the scan side.
-        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
     )
+    # _SQL_CONFS rationale:
+    # - maxPartitionBytes 8m / openCost 1m: test-scale parquet is tiny but
+    #   row-heavy (10 MB ≈ 600k rows) and compute-per-row dominates; small
+    #   splits keep all cores busy.  At production scale (100 TB, 128 MB row
+    #   groups) retune toward the 128m default — the knob, not the plan,
+    #   changes.
+    # - columnarReaderBatchSize 256: media blobs are ~0.5 MB binary cells;
+    #   the vectorized reader's default 4096-row batch would reserve ~2.3 GB
+    #   contiguous per task (observed OutOfMemoryError at 14k pages).  256
+    #   rows ≈ 140 MB worst-case per scan task — the SURVEY §4.3 page-pixel
+    #   budget applied to the scan side.
+    for k, v in _SQL_CONFS.items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
