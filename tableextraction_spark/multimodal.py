@@ -29,7 +29,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .media import MAGIC as IMG_MAGIC
 from .media import decode_image, encode_image
 
 AUD_MAGIC = b"AUD1"
@@ -51,6 +50,8 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     magic, rate = _AUD_HEADER.unpack_from(payload, 0)
     if magic != AUD_MAGIC:
         _raise_real_format(payload, "audio", "soundfile/librosa")
+    if rate <= 0:
+        raise ValueError(f"corrupt AUD1 header: sample_rate={rate}")
     pcm = np.frombuffer(payload, dtype=np.int16, offset=_AUD_HEADER.size)
     return pcm, rate
 
@@ -64,17 +65,22 @@ def encode_video(frames: list[np.ndarray]) -> bytes:
     return b"".join(parts)
 
 
-def decode_video(payload: bytes) -> list[np.ndarray]:
+def iter_video_frames(payload: bytes):
+    """Lazily yield (frame_no, n_frames, frame) — one decoded frame live at
+    a time, so a 10k-frame video never materializes in memory."""
     magic, n = _VID_HEADER.unpack_from(payload, 0)
     if magic != VID_MAGIC:
         _raise_real_format(payload, "video", "pyav/ffmpeg")
-    out, off = [], _VID_HEADER.size
-    for _ in range(n):
+    off = _VID_HEADER.size
+    for i in range(n):
         (ln,) = _LEN.unpack_from(payload, off)
         off += _LEN.size
-        out.append(decode_image(payload[off : off + ln]))
+        yield i, n, decode_image(payload[off : off + ln])
         off += ln
-    return out
+
+
+def decode_video(payload: bytes) -> list[np.ndarray]:
+    return [f for _i, _n, f in iter_video_frames(payload)]
 
 
 def _raise_real_format(payload: bytes, kind: str, lib: str):
@@ -127,23 +133,21 @@ def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
     Arrow batch instead of materializing all frames.
     """
 
+    cols = ["media_ref", "frame_no", "n_frames", "width", "height", "content"]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for ref, blob in zip(pdf["media_ref"], pdf["content"]):
-                frames = decode_video(bytes(blob))
-                rows = [
-                    (ref, i, len(frames), f.shape[1], f.shape[0], encode_image(f))
-                    for i, f in enumerate(frames)
-                    if i % every_n == 0
-                ]
+                rows: list[tuple] = []
+                for i, n, f in iter_video_frames(bytes(blob)):
+                    if i % every_n:
+                        continue
+                    rows.append((ref, i, n, f.shape[1], f.shape[0], encode_image(f)))
+                    if len(rows) >= 64:  # bound memory: flush sampled frames
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
                 if rows:
-                    yield pd.DataFrame(
-                        rows,
-                        columns=[
-                            "media_ref", "frame_no", "n_frames",
-                            "width", "height", "content",
-                        ],
-                    )
+                    yield pd.DataFrame(rows, columns=cols)
 
     return df.select("media_ref", "content").mapInPandas(gen, FRAMES_SCHEMA)
 

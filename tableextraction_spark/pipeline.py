@@ -37,6 +37,10 @@ from .operators import (
 )
 from .operators.decode_detect import make_decode_detect_ocr
 
+# resume prune: broadcast the todo doc_id set to the python scan only while
+# it stays an executor-friendly size (~1M ids ≈ 30 MB of strings)
+RESUME_PRUNE_MAX = 1_000_000
+
 DOCS_SCHEMA = (
     "doc_id string, spans array<struct<kind string, text string, "
     "media_ref string, offset int>>"
@@ -93,15 +97,29 @@ def extract_spans(
     When ``committed`` is given, only unprocessed documents are computed
     (resume).  On the DataFrame path, no-longer-needed blobs are pruned with
     a left-semi join against the resumed doc set; on the python-scan path
-    pages of finished docs are decoded and then dropped by the assembly join
-    (row-group metadata pruning would need doc_id min/max clustering —
-    noted as a deploy-time optimization).
+    the todo doc_id set (when ≤ RESUME_PRUNE_MAX) is broadcast and pages of
+    finished docs are dropped before the decode kernel — a completed job's
+    rerun decodes zero pages.  Beyond that size, finished docs are decoded
+    and dropped by the assembly join (row-group metadata pruning via doc_id
+    min/max clustering is the deploy-time upgrade).
     """
     todo = filter_unprocessed(docs, committed)
     if isinstance(blobs, str):
         from .sources import detect_tables_python_scan
 
-        tables = detect_tables_python_scan(spark, blobs, classify=classify)
+        keep = None
+        if committed is not None:
+            # bounded collect: limit(MAX+1) is a single job — if it returns
+            # ≤ MAX rows that IS the whole todo set (broadcast it and the
+            # scan skips decode for every committed page; a completed job's
+            # rerun decodes nothing).  More rows → pruning would broadcast
+            # too much; fall back to decode-all + assembly-drop.
+            ids = todo.select("doc_id").limit(RESUME_PRUNE_MAX + 1).collect()
+            if len(ids) <= RESUME_PRUNE_MAX:
+                keep = {r.doc_id for r in ids}
+        tables = detect_tables_python_scan(
+            spark, blobs, classify=classify, keep_doc_ids=keep
+        )
     else:
         src = blobs
         if committed is not None:
@@ -118,13 +136,18 @@ def extract_spans(
 def run_to_parquet(
     spark: SparkSession,
     docs: DataFrame,
-    blobs: DataFrame,
+    blobs: DataFrame | str,
     out_path: str,
     metrics_path: str | None = None,
     resume: bool = True,
     **kw,
 ) -> None:
-    """Job entry for spark-submit: resume-aware write of the spans table."""
+    """Job entry for spark-submit: resume-aware write of the spans table.
+
+    ``blobs`` follows :func:`extract_spans`: a path string selects the
+    python-native media scan (job.py passes the path), a DataFrame the JVM
+    scan.
+    """
     committed = None
     if resume:
         try:

@@ -270,7 +270,10 @@ FROM (SELECT doc_id, lang, {_GUESS} AS guess_lang
 # regex runs on Java regex AND DuckDB's RE2): contractions, space-prefixed
 # letter/digit runs, punctuation runs.  n_bpe_tokens is the unit LLM data
 # pipelines budget by; whitespace n_tokens stays for the classic ratio.
-_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# NB: whitespace is spelled as an explicit char set, not \s — Java's \s
+# includes \x0B (vertical tab) while RE2's does not, so \s would silently
+# diverge between the engine and the oracle on VT-bearing documents.
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\x0B\f\rA-Za-z0-9]+"
 
 
 def q18_token_stats(spark, sf_dir):

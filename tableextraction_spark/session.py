@@ -35,13 +35,26 @@ _SQL_CONFS = {
 
 
 def apply_engine_conf(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
-    """Apply the engine's runtime-settable confs to an existing session."""
+    """Apply the engine's runtime-settable confs to an existing session.
+
+    Submit-time tuning stays authoritative: any key the user passed via
+    ``--conf`` (visible in the SparkContext's SparkConf) is left alone —
+    a production job that sets ``spark.sql.files.maxPartitionBytes=128m``
+    or its own shuffle partitioning must not be clobbered by the engine's
+    local-scale defaults.
+    """
+    submitted = spark.sparkContext.getConf()
     for k, v in _SQL_CONFS.items():
-        spark.conf.set(k, v)
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(shuffle_partitions or spark.sparkContext.defaultParallelism),
-    )
+        if not submitted.contains(k):
+            spark.conf.set(k, v)
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    elif not submitted.contains("spark.sql.shuffle.partitions"):
+        # 200-partition default is wrong at both ends; cores is the sane floor
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     return spark
 
 

@@ -39,12 +39,23 @@ def list_row_groups(path: str) -> list[tuple[str, int]]:
 
 
 def detect_tables_python_scan(
-    spark: SparkSession, blobs_path: str, classify: bool = False
+    spark: SparkSession,
+    blobs_path: str,
+    classify: bool = False,
+    keep_doc_ids: frozenset[str] | set[str] | None = None,
 ) -> DataFrame:
     """(file, row_group) splits → fused python-side read+decode+detect+OCR.
 
     Output schema/content identical to ``pipeline.detect_tables`` on a JVM
     scan of the same table (asserted in tests).
+
+    ``keep_doc_ids`` is the resume prune: when given (the broadcast *todo*
+    set), rows of other documents are dropped after the cheap column read
+    but BEFORE the decode kernel — a rerun of a completed job reads metadata
+    and doc_id strings only, decoding nothing.  At extreme todo cardinality
+    the caller skips the broadcast (see pipeline.RESUME_PRUNE_MAX); the
+    deploy-time upgrade is doc_id-clustered media row groups pruned via
+    parquet min/max stats at :func:`list_row_groups` time.
     """
     splits = list_row_groups(blobs_path)
     par = spark.sparkContext.defaultParallelism
@@ -67,6 +78,11 @@ def detect_tables_python_scan(
         n_slices = 4 * par
     rdd = spark.sparkContext.parallelize(splits, n_slices)
     sdf = spark.createDataFrame(rdd, "path string, rg int")
+    bc_keep = (
+        spark.sparkContext.broadcast(frozenset(keep_doc_ids))
+        if keep_doc_ids is not None
+        else None
+    )
 
     def read_and_process(batches):
         from pyspark import TaskContext
@@ -84,6 +100,17 @@ def detect_tables_python_scan(
                     row_groups=[rg],
                     columns=["doc_id", "media_ref", "page_no", "content"],
                 ):
+                    if bc_keep is not None:
+                        keep = bc_keep.value
+                        idx = [
+                            i for i, d in enumerate(
+                                rb.column("doc_id").to_pylist())
+                            if d in keep
+                        ]
+                        if not idx:
+                            continue  # whole batch already committed
+                        if len(idx) < rb.num_rows:
+                            rb = rb.take(pa.array(idx, type=pa.int32()))
                     out = process_content_rows(rb, classify=classify, partition_id=pid)
                     if out is not None:
                         yield out

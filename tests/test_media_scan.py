@@ -1,0 +1,80 @@
+"""Python-native media scan (sources/media_parquet.py): parity with the JVM
+scan path, and the broadcast todo-set resume prune — a completed job's rerun
+must decode zero pages (the verify-skill 'rerun = resume no-op' claim)."""
+
+import pytest
+
+from tableextraction_spark.fixtures import gen_corpus
+from tableextraction_spark.pipeline import BLOBS_SCHEMA, DOCS_SCHEMA, extract_spans
+from tableextraction_spark.sources import detect_tables_python_scan
+
+N_DOCS = 8
+
+
+@pytest.fixture(scope="module")
+def corpus_on_disk(spark, tmp_path_factory):
+    docs, blobs, expected = gen_corpus(N_DOCS)
+    path = str(tmp_path_factory.mktemp("scan") / "blobs.parquet")
+    blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA).repartition(4)
+    blobs_df.write.parquet(path)
+    return spark.createDataFrame(docs, DOCS_SCHEMA), blobs_df, path, expected
+
+
+def _tuples(rows):
+    return {
+        r.doc_id: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                   for s in sorted(map(lambda x: x.asDict(), r.spans),
+                                   key=lambda s: s["offset"])]
+        for r in rows
+    }
+
+
+def test_python_scan_parity_with_jvm_scan(spark, corpus_on_disk):
+    docs_df, blobs_df, path, expected = corpus_on_disk
+    via_path = _tuples(extract_spans(spark, docs_df, path).collect())
+    via_df = _tuples(extract_spans(spark, docs_df, blobs_df).collect())
+    assert via_path == via_df
+    assert via_path == {
+        e["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in e["spans"]]
+        for e in expected
+    }
+
+
+def test_keep_doc_ids_prunes_before_decode(spark, corpus_on_disk):
+    _docs, _blobs, path, _expected = corpus_on_disk
+    # empty todo set → nothing is decoded at all
+    assert detect_tables_python_scan(spark, path, keep_doc_ids=set()).count() == 0
+    # singleton todo set → only that doc's pages decode
+    one = detect_tables_python_scan(
+        spark, path, keep_doc_ids={"doc-000001"}
+    )
+    assert {r.doc_id for r in one.select("doc_id").distinct().collect()} == {
+        "doc-000001"
+    }
+
+
+def test_path_form_resume_skips_committed(spark, corpus_on_disk):
+    docs_df, _blobs, path, expected = corpus_on_disk
+    from pyspark.sql import functions as F
+
+    committed = extract_spans(
+        spark, docs_df.where(F.col("doc_id") < "doc-000003"), path
+    )
+    remaining = extract_spans(spark, docs_df, path, committed=committed)
+    done = {r.doc_id for r in committed.select("doc_id").collect()}
+    rem = {r.doc_id for r in remaining.select("doc_id").collect()}
+    assert rem == {e["doc_id"] for e in expected} - done
+    assert _tuples(committed.collect() + remaining.collect()) == {
+        e["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in e["spans"]]
+        for e in expected
+    }
+    # fully-committed rerun is a decode no-op AND an output no-op
+    again = extract_spans(
+        spark, docs_df, path,
+        committed=spark.createDataFrame(
+            [(d,) for d in {e["doc_id"] for e in expected}], "doc_id string"
+        ),
+    )
+    assert again.count() == 0

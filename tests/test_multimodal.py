@@ -85,3 +85,21 @@ def test_audio_features_and_error_isolation(spark):
     assert ok.rms == pytest.approx(0.5) and ok.zero_crossing_rate == 0.0
     # the undecodable row is captured, not a task failure
     assert rows["bad"].error.startswith("NotImplementedError")
+
+
+def test_audio_zero_sample_rate_is_row_error(spark):
+    # corrupt header (rate=0) must become a per-row error, not a crash
+    payload = mm._AUD_HEADER.pack(mm.AUD_MAGIC, 0) + b"\x00\x00" * 8
+    df = _media_df(spark, [("z", payload)])
+    row = mm.audio_features(df).collect()[0]
+    assert row.error.startswith("ValueError")
+
+
+def test_sample_frames_flushes_in_bounded_chunks(spark):
+    # 150 sampled frames crosses the 64-row flush boundary twice
+    frames = [np.full((2, 2), i % 251, dtype=np.uint8) for i in range(150)]
+    df = _media_df(spark, [("big", mm.encode_video(frames))])
+    out = mm.sample_frames(df, every_n=1).collect()
+    assert len(out) == 150
+    assert sorted(r.frame_no for r in out) == list(range(150))
+    assert all(r.n_frames == 150 for r in out)
