@@ -18,6 +18,8 @@ unchanged, and the splits DataFrame round-robins across the cluster.
 
 from __future__ import annotations
 
+from bisect import bisect_left
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -25,16 +27,35 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.decode_detect import TABLES_SCHEMA, process_content_rows
 
 
-def list_row_groups(path: str) -> list[tuple[str, int]]:
+def list_row_groups(
+    path: str, keep_doc_ids: frozenset[str] | set[str] | None = None
+) -> list[tuple[str, int]]:
     """Enumerate (file, row_group) splits of a parquet dataset (driver-side,
-    metadata only)."""
+    metadata only).
+
+    With ``keep_doc_ids``, row groups whose ``doc_id`` min/max statistics
+    exclude every kept id are pruned here — the resume path then skips the
+    READ of committed row groups, not just their decode.  This is the same
+    stats-pruning a JVM parquet scan does for pushed filters, applied to the
+    python-native scan; it is most effective when the media table is written
+    doc_id-clustered (ours is: pages are generated in doc order).
+    """
+    keep_sorted = sorted(keep_doc_ids) if keep_doc_ids is not None else None
     ds = pq.ParquetDataset(path)
     splits: list[tuple[str, int]] = []
     for frag in ds.fragments:
-        n = frag.metadata.num_row_groups if frag.metadata else pq.ParquetFile(
-            frag.path
-        ).metadata.num_row_groups
-        splits.extend((frag.path, rg) for rg in range(n))
+        meta = frag.metadata or pq.ParquetFile(frag.path).metadata
+        doc_idx = meta.schema.to_arrow_schema().get_field_index("doc_id")
+        for rg in range(meta.num_row_groups):
+            if keep_sorted is not None:
+                stats = meta.row_group(rg).column(doc_idx).statistics
+                if stats is not None and stats.has_min_max:
+                    lo, hi = stats.min, stats.max
+                    i = bisect_left(keep_sorted, lo)
+                    # no kept id in [lo, hi] → every row is committed
+                    if i == len(keep_sorted) or keep_sorted[i] > hi:
+                        continue
+            splits.append((frag.path, rg))
     return splits
 
 
@@ -57,7 +78,7 @@ def detect_tables_python_scan(
     deploy-time upgrade is doc_id-clustered media row groups pruned via
     parquet min/max stats at :func:`list_row_groups` time.
     """
-    splits = list_row_groups(blobs_path)
+    splits = list_row_groups(blobs_path, keep_doc_ids=keep_doc_ids)
     par = spark.sparkContext.defaultParallelism
     # IMPORTANT: parallelize with fixed slices, NOT repartition().  The
     # splits rows are ~50 bytes, so an exchange here looks like a few KB to

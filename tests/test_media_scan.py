@@ -54,6 +54,31 @@ def test_keep_doc_ids_prunes_before_decode(spark, corpus_on_disk):
     }
 
 
+def test_row_group_stats_pruning_skips_reads(spark, corpus_on_disk, tmp_path):
+    # doc_id-clustered table with small row groups → a singleton todo set
+    # must prune most row groups at the metadata level (skip the READ)
+    import pyarrow.parquet as pq
+    from tableextraction_spark.sources.media_parquet import list_row_groups
+
+    _docs, blobs_df, _path, _expected = corpus_on_disk
+    clustered = str(tmp_path / "clustered.parquet")
+    pdf = blobs_df.toPandas().sort_values(["doc_id", "page_no"])
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   clustered, row_group_size=4)
+    all_splits = list_row_groups(clustered)
+    assert len(all_splits) > 2
+    pruned = list_row_groups(clustered, keep_doc_ids={"doc-000001"})
+    assert 0 < len(pruned) < len(all_splits)
+    # and the pruned scan still returns exactly that doc's pages
+    out = detect_tables_python_scan(spark, clustered,
+                                    keep_doc_ids={"doc-000001"})
+    assert {r.doc_id for r in out.select("doc_id").distinct().collect()} == {
+        "doc-000001"
+    }
+
+
 def test_path_form_resume_skips_committed(spark, corpus_on_disk):
     docs_df, _blobs, path, expected = corpus_on_disk
     from pyspark.sql import functions as F
