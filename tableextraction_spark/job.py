@@ -38,13 +38,17 @@ def main(argv: list[str] | None = None) -> None:
 
     from .pipeline import run_to_parquet
     from .session import apply_engine_conf
+    from .sources import is_path, read_table
 
     apply_engine_conf(spark)
-    docs = spark.read.parquet(args.docs)
+    docs = read_table(spark, args.docs)
+    # path form → python-native media scan (pixels stay in Python);
+    # catalog-table form (Iceberg) → JVM scan DataFrame
+    blobs = args.blobs if is_path(args.blobs) else read_table(spark, args.blobs)
     run_to_parquet(
         spark,
         docs,
-        args.blobs,  # path form → python-native media scan (pixels stay in Python)
+        blobs,
         args.out,
         metrics_path=args.metrics,
         resume=not args.no_resume,

@@ -126,9 +126,11 @@ def extract_spans(
             src = blobs.join(todo.select("doc_id"), "doc_id", "left_semi")
         tables = detect_tables(src, repartition=repartition, classify=classify)
     if metrics_path is not None:
+        from .sources import write_table
+
         tables = tables.persist()
         run_id = run_id or uuid.uuid4().hex[:12]
-        stage_metrics(tables, run_id).write.mode("append").parquet(metrics_path)
+        write_table(stage_metrics(tables, run_id), metrics_path)
     assemble = assemble_spans_pandas if use_pandas_assembly else assemble_spans_sql
     return assemble(todo, tables)
 
@@ -146,15 +148,20 @@ def run_to_parquet(
 
     ``blobs`` follows :func:`extract_spans`: a path string selects the
     python-native media scan (job.py passes the path), a DataFrame the JVM
-    scan.
+    scan.  ``out_path``/``metrics_path`` accept a parquet path or an
+    Iceberg/catalog table name (sources/catalog.py routing) — under an
+    Iceberg catalog the append is a transactional snapshot commit and the
+    resume read sees exactly the last committed snapshot.
     """
+    from .sources import read_table, write_table
+
     committed = None
     if resume:
         try:
-            committed = spark.read.parquet(out_path)
+            committed = read_table(spark, out_path)
         except Exception:
             committed = None  # first run — nothing committed yet
     out = extract_spans(
         spark, docs, blobs, committed=committed, metrics_path=metrics_path, **kw
     )
-    out.write.mode("append").parquet(out_path)
+    write_table(out, out_path)
