@@ -58,22 +58,31 @@ def _merge_adjacent(runs: np.ndarray, gap: int = 2) -> np.ndarray:
         return _EMPTY3
     order = np.lexsort((runs[:, 1], runs[:, 0]))
     runs = runs[order]
-    out: list[list[int]] = []  # [sum_row, n, a, b, last_row]
-    for row, a, b in runs:
-        merged = False
-        for c in out:
-            if row - c[4] <= gap and a <= c[3] + gap and b >= c[2] - gap:
-                c[0] += row
-                c[1] += 1
-                c[2] = min(c[2], a)
-                c[3] = max(c[3], b)
-                c[4] = row
-                merged = True
-                break
-        if not merged:
-            out.append([int(row), 1, int(a), int(b), int(row)])
+    # A run can only join a cluster whose last row is within `gap`, and rows
+    # arrive sorted — so a row step > gap is a hard cluster boundary.
+    # Partitioning there first is semantics-preserving (the greedy loop
+    # below runs unchanged within each part) and cuts the O(runs·clusters)
+    # scan to the 1-3 runs that share a physical line (~0.4 ms/page).
+    results: list[list[int]] = []
+    bounds = np.nonzero(np.diff(runs[:, 0]) > gap)[0] + 1
+    for part in np.split(runs, bounds):
+        out: list[list[int]] = []  # [sum_row, n, a, b, last_row]
+        for row, a, b in part:
+            merged = False
+            for c in out:
+                if row - c[4] <= gap and a <= c[3] + gap and b >= c[2] - gap:
+                    c[0] += row
+                    c[1] += 1
+                    c[2] = min(c[2], a)
+                    c[3] = max(c[3], b)
+                    c[4] = row
+                    merged = True
+                    break
+            if not merged:
+                out.append([int(row), 1, int(a), int(b), int(row)])
+        results.extend(out)
     return np.array(
-        [[round(s / n), a, b] for s, n, a, b, _ in out], dtype=np.int32
+        [[round(s / n), a, b] for s, n, a, b, _ in results], dtype=np.int32
     )
 
 
