@@ -346,6 +346,81 @@ def _q25_sql() -> str:
     return inner
 
 
+# --- q28: ROLLUP hierarchy aggregate (grouping sets; one shuffle, partial
+#     aggregation per grouping set — Catalyst expands the sets map-side) ---
+
+def q28_revenue_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey", "l_extendedprice * (1 - l_discount) AS rev"
+    )
+    o = load(spark, sf_dir, "orders").selectExpr("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").selectExpr("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf_dir, "region").selectExpr("r_regionkey", "r_name")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .selectExpr(
+            "coalesce(r_name, 'ALL') AS region",
+            "coalesce(n_name, 'ALL') AS nation",
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+Q28_SQL = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --- q29: dataset-level set ops (SURVEY §2.7 — the engine-side capability
+#     the reference's np.unique distincts only hint at) ---
+
+HIGH_VALUE = 300  # sparse subset at every sf (1/4/53 rows at .001/.01/.1)
+
+
+def q29_clickers_never_purchased(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clickers = ev.where(
+        f"event_type = 'click' AND value > {HIGH_VALUE}").select("user_id")
+    buyers = ev.where(
+        f"event_type = 'purchase' AND value > {HIGH_VALUE}").select("user_id")
+    signups = ev.where("event_type = 'signup'").select("user_id")
+    # (clickers EXCEPT buyers) INTERSECT signups — set semantics end-to-end
+    return clickers.subtract(buyers).intersect(signups)
+
+
+Q29_SQL = """
+SELECT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click' AND value > 300
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300)
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'signup'
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top10_orders": (q02_top10_orders, Q02_SQL),
@@ -359,4 +434,6 @@ QUERIES = {
     "q10_extremes": (q10_extremes, Q10_SQL),
     "q11_json_props": (q11_json_props, Q11_SQL),
     "q25_grid_consistency_3pass": (q25_grid_consistency_3pass, _q25_sql()),
+    "q28_revenue_rollup": (q28_revenue_rollup, Q28_SQL),
+    "q29_clickers_never_purchased": (q29_clickers_never_purchased, Q29_SQL),
 }

@@ -106,6 +106,15 @@ def test_q22_lsh_join_is_key_join_not_cartesian(spark):
     assert re.search(r"Join \[bucket", plan) or "bucket" in plan
 
 
+def test_q28_rollup_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q28_revenue_rollup")
+    # customer/nation/region attach by broadcast; rollup = Expand + one
+    # aggregate exchange, never a sort-merge of the fact table
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "Expand" in plan  # grouping-sets expansion is map-side
+
+
 def test_q26_ivf_no_sort_merge_join(spark):
     plan = plan_of(spark, "q26_ivf_ann")
     # centroid attach + probe joins are broadcast; candidate scoring never
