@@ -94,34 +94,43 @@ def _raise_real_format(payload: bytes, kind: str, lib: str):
 
 # --- mapInPandas stages (Arrow-batched; never per-row Python at the DF level) ---
 
-RESIZED_SCHEMA = "media_ref string, width int, height int, content binary"
+RESIZED_SCHEMA = (
+    "media_ref string, width int, height int, content binary, error string"
+)
 
 
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """(media_ref, content) image rows → nearest-neighbor resized IMG1 rows.
 
     1→1 map; the decode/resize/encode loop is NumPy over each Arrow batch.
+    Undecodable payloads yield an ``error`` row (null content) instead of
+    failing the task — the pipeline's per-row failure-isolation rule.
     """
+
+    cols = ["media_ref", "width", "height", "content", "error"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for ref, blob in zip(pdf["media_ref"], pdf["content"]):
-                img = decode_image(bytes(blob))
-                h, w = img.shape
-                yi = (np.arange(out_h) * h // out_h).astype(np.intp)
-                xi = (np.arange(out_w) * w // out_w).astype(np.intp)
-                out.append((ref, out_w, out_h, encode_image(img[yi][:, xi])))
-            yield pd.DataFrame(
-                out, columns=["media_ref", "width", "height", "content"]
-            )
+                try:
+                    img = decode_image(bytes(blob))
+                    h, w = img.shape
+                    yi = (np.arange(out_h) * h // out_h).astype(np.intp)
+                    xi = (np.arange(out_w) * w // out_w).astype(np.intp)
+                    out.append(
+                        (ref, out_w, out_h, encode_image(img[yi][:, xi]), None)
+                    )
+                except (NotImplementedError, ValueError, struct.error) as exc:
+                    out.append((ref, 0, 0, None, f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(out, columns=cols)
 
     return df.select("media_ref", "content").mapInPandas(gen, RESIZED_SCHEMA)
 
 
 FRAMES_SCHEMA = (
     "media_ref string, frame_no int, n_frames int, width int, height int, "
-    "content binary"
+    "content binary, error string"
 )
 
 
@@ -130,22 +139,31 @@ def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
 
     1→N explode inside ``mapInPandas`` (UDTF-shaped, like doc→table-regions
     in the extraction path): a 10k-frame video emits rows incrementally per
-    Arrow batch instead of materializing all frames.
+    Arrow batch instead of materializing all frames.  A corrupt container or
+    frame yields ONE ``error`` row for the video (frames already emitted
+    stand) instead of failing the task.
     """
 
-    cols = ["media_ref", "frame_no", "n_frames", "width", "height", "content"]
+    cols = ["media_ref", "frame_no", "n_frames", "width", "height", "content", "error"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for ref, blob in zip(pdf["media_ref"], pdf["content"]):
                 rows: list[tuple] = []
-                for i, n, f in iter_video_frames(bytes(blob)):
-                    if i % every_n:
-                        continue
-                    rows.append((ref, i, n, f.shape[1], f.shape[0], encode_image(f)))
-                    if len(rows) >= 64:  # bound memory: flush sampled frames
-                        yield pd.DataFrame(rows, columns=cols)
-                        rows = []
+                try:
+                    for i, n, f in iter_video_frames(bytes(blob)):
+                        if i % every_n:
+                            continue
+                        rows.append(
+                            (ref, i, n, f.shape[1], f.shape[0], encode_image(f), None)
+                        )
+                        if len(rows) >= 64:  # bound memory: flush sampled frames
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                except (NotImplementedError, ValueError, struct.error) as exc:
+                    rows.append(
+                        (ref, -1, 0, 0, 0, None, f"{type(exc).__name__}: {exc}")
+                    )
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 

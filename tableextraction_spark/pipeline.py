@@ -48,6 +48,44 @@ DOCS_SCHEMA = (
 BLOBS_SCHEMA = "media_ref string, doc_id string, page_no int, content binary"
 
 
+def _estimate_scan_splits(df: DataFrame) -> int | None:
+    """Estimated file-scan partition count from leaf-file metadata only.
+
+    Replaces ``df.rdd.getNumPartitions()`` (which forces DataFrame→RDD
+    conversion and can re-materialize the plan) with the same arithmetic the
+    JVM file scan uses: ~``ceil(file_size / maxPartitionBytes)`` splits per
+    file.  Returns None when no file metadata is available (non-file
+    sources); remote-filesystem scans return ``len(files)`` as a floor —
+    production split sizing there is governed by
+    ``spark.sql.files.maxPartitionBytes`` and such scans are already healthy.
+    """
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in str(raw) if ch.isdigit())
+    max_pb = int(digits) if digits else 134217728
+    if str(raw).lower().rstrip("b").endswith(("k", "m", "g")):
+        max_pb *= {"k": 2**10, "m": 2**20, "g": 2**30}[str(raw).lower().rstrip("b")[-1]]
+    splits = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return len(files)  # remote fs: at least one split per file
+        try:
+            size = os.path.getsize(u.path or f)
+        except OSError:
+            return len(files)
+        splits += max(1, -(-size // max_pb))
+    return splits
+
+
 def detect_tables(
     blobs: DataFrame, repartition: int | None = None, classify: bool = False
 ) -> DataFrame:
@@ -67,7 +105,12 @@ def detect_tables(
         src = src.repartition(repartition, "media_ref")
     else:
         want = src.sparkSession.sparkContext.defaultParallelism
-        if src.rdd.getNumPartitions() < want:
+        est = _estimate_scan_splits(src)
+        if est is None:
+            # non-file source (fixture mapInPandas frames): no scan metadata;
+            # RDD partition count is the only handle and the frame is tiny
+            est = src.rdd.getNumPartitions()
+        if est < want:
             src = src.repartition(2 * want)
     return src.mapInArrow(make_decode_detect_ocr(classify), TABLES_SCHEMA).withColumn(
         "partition_id", F.spark_partition_id()

@@ -411,11 +411,11 @@ def q29_clickers_never_purchased(spark, sf_dir):
     return clickers.subtract(buyers).intersect(signups)
 
 
-Q29_SQL = """
+Q29_SQL = f"""
 SELECT user_id FROM (
-  SELECT user_id FROM events WHERE event_type = 'click' AND value > 300
+  SELECT user_id FROM events WHERE event_type = 'click' AND value > {HIGH_VALUE}
   EXCEPT
-  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300)
+  SELECT user_id FROM events WHERE event_type = 'purchase' AND value > {HIGH_VALUE})
 INTERSECT
 SELECT user_id FROM events WHERE event_type = 'signup'
 """

@@ -22,11 +22,17 @@ startup, not mid-job (mirrors media.decode_page's explicit PDF stub).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# catalog refs are dotted identifiers (db.table / catalog.db.table); anything
+# else — including bare relative dirs like "results" — is a filesystem path.
+_CATALOG_REF = re.compile(r"^\w+(\.\w+){1,2}$")
 
 
 def is_path(ref: str) -> bool:
-    return "/" in ref or ref.endswith(".parquet") or ":" in ref
+    return not _CATALOG_REF.match(ref) or ref.endswith(".parquet")
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -49,8 +55,19 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
 
 def write_table(df: DataFrame, ref: str) -> None:
     """Append rows to a catalog table (transactional under Iceberg) or a
-    parquet path (the fixture fallback)."""
+    parquet path (the fixture fallback).
+
+    Parquet paths auto-create; catalog tables don't — so a missing catalog
+    table falls back to ``createOrReplace`` semantics via ``create()``, making
+    the FIRST run of a job against a fresh table name succeed instead of
+    dying at the final write after hours of extraction compute.
+    """
     if is_path(ref):
         df.write.mode("append").parquet(ref)
-    else:
+        return
+    try:
         df.writeTo(ref).append()
+    except Exception as exc:  # AnalysisException: TABLE_OR_VIEW_NOT_FOUND
+        if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc) and "not found" not in str(exc).lower():
+            raise
+        df.writeTo(ref).create()

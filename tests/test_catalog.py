@@ -12,6 +12,10 @@ def test_is_path_routing():
     assert is_path("/data/blobs.parquet")
     assert is_path("s3://bucket/corpus")
     assert is_path("rel/dir")
+    # bare names (e.g. `--out results`) are relative dirs, NOT catalog refs —
+    # only dotted identifiers route to the catalog API (ADVICE round 1)
+    assert is_path("results")
+    assert is_path("docs.parquet")
     assert not is_path("warehouse.docs")
     assert not is_path("iceberg_cat.db.documents")
 
@@ -24,8 +28,10 @@ def test_iceberg_probe_is_honest(spark):
 
 
 def test_read_table_catalog_name_uses_spark_table(spark):
-    spark.range(5).createOrReplaceTempView("cat_probe")
-    assert read_table(spark, "cat_probe").count() == 5
+    # dotted identifier → catalog API (global temp views live in the
+    # `global_temp` database, giving a real two-part catalog name)
+    spark.range(5).createOrReplaceGlobalTempView("cat_probe")
+    assert read_table(spark, "global_temp.cat_probe").count() == 5
 
 
 def test_read_write_table_parquet_path(spark, tmp_path):

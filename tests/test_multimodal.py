@@ -95,6 +95,31 @@ def test_audio_zero_sample_rate_is_row_error(spark):
     assert row.error.startswith("ValueError")
 
 
+def test_resize_images_error_isolation(spark):
+    # one good image + one real-JPEG payload: the bad row is captured,
+    # the good row still resizes (no task failure)
+    df = _media_df(
+        spark,
+        [("ok", mm.encode_image(_img(8, 8))), ("jpg", b"\xff\xd8\xff\xe0" + b"\0" * 32)],
+    )
+    rows = {r.media_ref: r for r in mm.resize_images(df, 4, 4).collect()}
+    assert rows["ok"].error is None and rows["ok"].content is not None
+    assert rows["jpg"].error is not None and rows["jpg"].content is None
+
+
+def test_sample_frames_error_isolation(spark):
+    frames = [np.full((2, 2), 7, dtype=np.uint8)]
+    df = _media_df(
+        spark,
+        [("v", mm.encode_video(frames)), ("mp4", b"\x00\x00\x00\x18ftyp" + b"\0" * 16)],
+    )
+    rows = mm.sample_frames(df, every_n=1).collect()
+    by_ref = {r.media_ref: r for r in rows}
+    assert by_ref["v"].error is None and by_ref["v"].frame_no == 0
+    assert by_ref["mp4"].error.startswith("NotImplementedError")
+    assert by_ref["mp4"].frame_no == -1 and by_ref["mp4"].content is None
+
+
 def test_sample_frames_flushes_in_bounded_chunks(spark):
     # 150 sampled frames crosses the 64-row flush boundary twice
     frames = [np.full((2, 2), i % 251, dtype=np.uint8) for i in range(150)]
