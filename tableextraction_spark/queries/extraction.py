@@ -3,11 +3,14 @@
 The driver's TPC-H-ish tables have no interleaved-span documents, so per the
 round rules the input table of BASELINE.json's `input_hint` shape is
 synthesized deterministically (fixtures/), sized by the scale factor in
-``sf_dir``.  Geometry/OCR is not ANSI-SQL-expressible → no oracle entry; the
-driver records the rows-only check.  Correctness of this path is instead
-gated by the span-equality pytest suite (tests/test_pipeline_spark.py) and
-the in-query golden assertion below (output joined against expected spans;
-``matches_golden`` is 1 for every row if extraction is exact).
+``sf_dir``.  Geometry/OCR is not ANSI-SQL-expressible, so the verification
+queries are stated **empty-on-success**: q24 emits only documents whose
+output spans differ from the plan-derived golden spans, q30 only (doc, kind)
+rows whose span counts differ — with the oracle being the same (empty)
+relation.  Extraction being exact ⇒ rows/schema/hash all match in the
+driver's hard gate; any regression emits rows ⇒ red.  q00 itself (the
+exploded span feed) stays a rows-only check, doubly pinned by the
+span-equality pytest suite (tests/test_pipeline_spark.py).
 """
 
 from __future__ import annotations
@@ -44,10 +47,14 @@ def q00_extract_spans(spark, sf_dir):
 
 
 def q24_extract_golden_verify(spark, sf_dir):
-    """Extraction self-verification: output spans compared per-doc against
-    the plan-derived golden spans INSIDE the query, so even the driver's
-    rows-only check witnesses the invariant (`golden_equal` must be 1 for
-    every row)."""
+    """Extraction golden verify, stated **empty-on-success** so the driver's
+    full rows+schema+hash gate applies to the flagship path: the query emits
+    one row per document whose extracted spans differ from the plan-derived
+    golden spans (span-sequence equality on (kind, text, media_ref, order) —
+    the north rule's invariant), and the oracle is the same empty relation.
+    A silent extraction regression now flips this row red in
+    CORRECTNESS_r{N}.json instead of still showing N rows (VERDICT r1 §wrong 1).
+    """
     from ..fixtures.spark_gen import expected_dataframe
 
     n = _n_docs_for(sf_dir)
@@ -57,16 +64,62 @@ def q24_extract_golden_verify(spark, sf_dir):
     exp = expected_dataframe(spark, n).withColumnRenamed("spans", "expected")
     return (
         out.join(exp, "doc_id", "full")
+        # null-safe inequality: a doc missing from either side is a mismatch
+        .where(~F.col("spans").eqNullSafe(F.col("expected")))
         .selectExpr(
             "doc_id",
             "size(spans) AS n_spans",
-            "CAST(spans = expected AS INT) AS golden_equal",
+            "size(expected) AS n_expected",
         )
-        .orderBy("doc_id")
     )
+
+
+Q24_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS doc_id,
+       CAST(NULL AS INT) AS n_spans,
+       CAST(NULL AS INT) AS n_expected
+WHERE 1 = 0
+"""
+
+
+def q30_extract_count_invariant(spark, sf_dir):
+    """q00's count invariant as an oracle-checkable empty-on-success query:
+    per-(doc, span-kind) counts of the extraction output must equal the
+    fixture plan's counts.  Weaker than q24's full golden equality but
+    exercises the exploded q00 shape the driver smoke-checks."""
+    from ..fixtures.spark_gen import expected_dataframe
+
+    n = _n_docs_for(sf_dir)
+    docs = docs_dataframe(spark, n)
+    blobs = blobs_dataframe(spark, n)
+    got = (
+        extract_spans(spark, docs, blobs)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .groupBy("doc_id", F.col("s.kind").alias("kind"))
+        .agg(F.count("*").alias("n_out"))
+    )
+    exp = (
+        expected_dataframe(spark, n)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .groupBy("doc_id", F.col("s.kind").alias("kind"))
+        .agg(F.count("*").alias("n_expected"))
+    )
+    return (
+        got.join(exp, ["doc_id", "kind"], "full")
+        .where(~F.col("n_out").eqNullSafe(F.col("n_expected")))
+        .select("doc_id", "kind", "n_out", "n_expected")
+    )
+
+
+Q30_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS doc_id, CAST(NULL AS VARCHAR) AS kind,
+       CAST(NULL AS BIGINT) AS n_out, CAST(NULL AS BIGINT) AS n_expected
+WHERE 1 = 0
+"""
 
 
 QUERIES = {
     "q00_extract_spans": (q00_extract_spans, None),
-    "q24_extract_golden_verify": (q24_extract_golden_verify, None),
+    "q24_extract_golden_verify": (q24_extract_golden_verify, Q24_SQL),
+    "q30_extract_count_invariant": (q30_extract_count_invariant, Q30_SQL),
 }
