@@ -304,12 +304,22 @@ def expected_plot_json(pp: dict) -> str:
 # ---------------------------------------------------------------- corpus
 
 
-def gen_doc(doc_num: int, with_blobs: bool = True):
+def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
     """doc_num → (doc_row, blob_rows, expected_row).
 
     doc_row/expected_row: {doc_id, spans:[{kind,text,media_ref,offset}]}
     blob_rows: [{media_ref, doc_id, page_no, content}]
+
+    ``codec`` picks the blob payload format: the deterministic ``img1``
+    container (default) or real ``png`` (stdlib encoder, ``png.py``) — same
+    pixels, same expected spans, so end-to-end tests can pin format routing.
     """
+    if codec == "img1":
+        encode = encode_image
+    elif codec == "png":
+        from ..png import encode_png as encode
+    else:
+        raise ValueError(f"unknown blob codec {codec!r}")
     plan = plan_doc(doc_num)
     rng = _rng(doc_num * 2 + 1)  # render jitter stream, separate from plan
     doc_id = plan["doc_id"]
@@ -338,7 +348,7 @@ def gen_doc(doc_num: int, with_blobs: bool = True):
                     "media_ref": media_ref,
                     "doc_id": doc_id,
                     "page_no": page_no,
-                    "content": encode_image(canvas),
+                    "content": encode(canvas),
                 }
             )
         else:
@@ -353,11 +363,11 @@ def gen_doc(doc_num: int, with_blobs: bool = True):
     )
 
 
-def gen_corpus(n_docs: int, start: int = 0):
+def gen_corpus(n_docs: int, start: int = 0, codec: str = "img1"):
     """[start, start+n_docs) → (doc_rows, blob_rows, expected_rows)."""
     docs, blobs, expected = [], [], []
     for i in range(start, start + n_docs):
-        d, b, e = gen_doc(i)
+        d, b, e = gen_doc(i, codec=codec)
         docs.append(d)
         blobs.extend(b)
         expected.append(e)

@@ -4,10 +4,17 @@ The reference rasterizes PDFs with Poppler into RGB numpy arrays
 (`table_extraction/preprocessing.py:10-62`).  This container has no Poppler /
 cv2 / PIL, so the engine defines its own trivially-decodable deterministic
 format: ``IMG1`` = magic + little-endian uint32 width/height + H*W uint8
-grayscale pixels (255 = white background, 0 = black ink).  The decode step for
-real PDF bytes is a pluggable strategy; see :func:`decode_page` which routes on
-the magic and raises ``NotImplementedError`` for real PDF payloads (pdfium /
-pdf2image would be slotted in per-executor at deployment; clearly stubbed).
+grayscale pixels (255 = white background, 0 = black ink).
+
+:func:`decode_page` routes on the payload magic:
+
+- ``IMG1``  → the deterministic codec below
+- ``\\x89PNG`` → the stdlib-zlib PNG decoder (``png.py``) — real PNG pages
+  are first-class, mirroring ``preprocessing.image_file_to_array``
+- ``%PDF``  → the import-guarded rasterizer adapter
+  (``sources/pdf_adapter.py``: pypdfium2 or pdf2image when installed);
+  without either library it raises ``NotImplementedError``, which the decode
+  stage captures as a per-row error — never a task failure
 """
 
 from __future__ import annotations
@@ -48,11 +55,20 @@ def decode_page(payload: bytes) -> np.ndarray:
     head = bytes(payload[:4])
     if head == MAGIC:
         return decode_image(payload)
+    if head == b"\x89PNG":
+        from .png import decode_png
+
+        return decode_png(payload)  # real PNG pages: stdlib zlib decoder
     if head == b"%PDF":
+        from .sources.pdf_adapter import rasterize_pdf, pdf_renderer_available
+
+        if pdf_renderer_available():
+            return rasterize_pdf(payload)
         raise NotImplementedError(
-            "PDF rasterization requires poppler/pdfium, not present in this "
-            "container; deploy-time adapter renders at high DPI once and "
-            "downscales for detection (SURVEY.md §2.1 dual-DPI scan)"
+            "PDF rasterization requires pypdfium2/pdf2image (not present in "
+            "this container); install either and sources/pdf_adapter.py "
+            "renders at high DPI once and downscales for detection "
+            "(SURVEY.md §2.1 dual-DPI scan)"
         )
     raise ValueError(f"unknown media payload magic {head!r}")
 
