@@ -27,7 +27,17 @@ _NORM = "sqrt(aggregate(transform({v}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) 
 
 N_QUERIES = 5
 TOP_K = 10
-N_LSH_BITS = 8
+# Bit-sampling width scales with corpus size: bits = clamp(ceil(log2 N),
+# MIN_BITS, MAX_BITS), so bucket count tracks N and expected bucket size
+# stays O(1) — the fix for round 1's flagged scale-killer (8 fixed bits →
+# N²/256 intra-bucket pairs).  MAX_BITS×N_BANDS must fit the 64-dim vectors.
+MIN_BITS, MAX_BITS = 8, 16
+N_BANDS = 3
+# Hot-bucket guard: buckets larger than BUCKET_CAP are skipped outright —
+# deterministic, SQL-expressible, and bounds any task's pair work at
+# C(CAP,2).  A hot bucket is a low-information signature (correlated dims);
+# its members are recovered by the other bands' disjoint dimension blocks.
+BUCKET_CAP = 32
 # production near-dup threshold is ~0.95; the synthetic embeddings have no
 # true near-dups (max intra-bucket cosine ≈ 0.43 at sf0.01), so the test-scale
 # τ is set where the operator provably returns rows
@@ -86,33 +96,71 @@ SELECT q_id, vec_id, cos_sim, rank FROM (
 
 
 # --- q21: bit-sampling LSH bucket assignment (the ANN scale path) ---
+#
+# `bits` is computed from the corpus itself (one tiny count aggregate,
+# broadcast to every row — no collect, no driver round-trip), so the SAME
+# query stays healthy from sf0.001 to 100 TB: bucket count ≈ N, expected
+# bucket size O(1).  Band b samples the disjoint dimension block
+# [b·bits, (b+1)·bits) — sign bits of independent dimensions, the
+# bit-sampling analogue of q14's MinHash band blocks.
 
-_BUCKET_SPARK = f"""
-CAST(aggregate(sequence(0, {N_LSH_BITS - 1}), 0,
-  (acc, k) -> acc + IF(element_at(embedding, k + 1) >= 0, shiftleft(1, k), 0)) AS INT)
-"""
-_BUCKET_DUCK = f"""
-CAST(list_sum(list_transform(range(0, {N_LSH_BITS}),
-  k -> CASE WHEN embedding[k + 1] >= 0 THEN (1 << k) ELSE 0 END)) AS INT)
-"""
+_BITS_EXPR = (
+    f"CAST(LEAST({MAX_BITS}, GREATEST({MIN_BITS}, CEIL(LOG2(COUNT(*))))) AS INT)"
+)
+
+
+def _bits_frame(e):
+    """1-row frame holding the corpus-size-derived bit width."""
+    return e.groupBy().agg(F.expr(_BITS_EXPR).alias("bits"))
+
+
+def _bucket_spark(band: int) -> str:
+    return f"""CAST(aggregate(sequence(0, bits - 1), 0,
+  (acc, k) -> acc + IF(element_at(embedding, {band} * bits + k + 1) >= 0,
+                       shiftleft(1, k), 0)) AS INT)"""
+
+
+def _bucket_duck(band: int) -> str:
+    return f"""CAST(list_sum(list_transform(range(0, bits),
+  k -> CASE WHEN embedding[{band} * bits + k + 1] >= 0 THEN (1 << k) ELSE 0 END)) AS INT)"""
+
+
+_DUCK_BITS_CTE = f"bb AS (SELECT {_BITS_EXPR} AS bits FROM embeddings)"
 
 
 def q21_lsh_buckets(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    return e.selectExpr("vec_id", "label", f"{_BUCKET_SPARK} AS bucket")
+    return (
+        e.crossJoin(F.broadcast(_bits_frame(e)))
+        .selectExpr("vec_id", "label", f"{_bucket_spark(0)} AS bucket")
+    )
 
 
-Q21_SQL = f"SELECT vec_id, label, {_BUCKET_DUCK} AS bucket FROM embeddings"
+Q21_SQL = f"""
+WITH {_DUCK_BITS_CTE}
+SELECT vec_id, label, {_bucket_duck(0)} AS bucket FROM embeddings, bb
+"""
 
 
 # --- q22: LSH-bucketed near-duplicate pairs (embedding-cosine dedup) ---
+#
+# Single-band variant with the hot-bucket guard: one shuffle by bucket
+# (window count reuses the join's partitioning), buckets above BUCKET_CAP
+# skipped, pairs verified with exact cosine.  Never a cartesian product
+# (plan-audited).
 
 def q22_embedding_near_dups(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id", f"{_TO_D} AS ev", f"{_BUCKET_SPARK} AS bucket"
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    eb = (
+        e.crossJoin(F.broadcast(_bits_frame(e)))
+        .selectExpr("vec_id", f"{_TO_D} AS ev", f"{_bucket_spark(0)} AS bucket")
+        .withColumn("bsize", F.count("*").over(W.partitionBy("bucket")))
+        .where(F.col("bsize") <= BUCKET_CAP)
     )
-    a = e.selectExpr("vec_id AS a_id", "ev AS qv", "bucket")
-    b = e.selectExpr("vec_id AS b_id", "ev AS ev", "bucket")
+    a = eb.selectExpr("vec_id AS a_id", "ev AS qv", "bucket")
+    b = eb.selectExpr("vec_id AS b_id", "ev AS ev", "bucket")
     return (
         a.join(b, "bucket")
         .where(F.col("a_id") < F.col("b_id"))
@@ -122,12 +170,90 @@ def q22_embedding_near_dups(spark, sf_dir):
 
 
 Q22_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {_BUCKET_DUCK} AS bucket
-           FROM embeddings)
+WITH {_DUCK_BITS_CTE},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev, {_bucket_duck(0)} AS bucket
+      FROM embeddings, bb),
+kept AS (SELECT * FROM (
+  SELECT vec_id, ev, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bsize
+  FROM e) WHERE bsize <= {BUCKET_CAP})
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        {_cos_duck('a.ev', 'b.ev')} AS cos_sim
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cos_duck('a.ev', 'b.ev')} >= {NEAR_DUP_TAU}
+"""
+
+
+# --- q31: multi-band OR near-duplicate pairs (the production dedup path) ---
+#
+# Mirrors q14's MinHash banding for embeddings: N_BANDS disjoint
+# dimension-block signatures, each hashed (md5 of the signature block — the
+# band KEY is a hash of the block, never a value prefix), per-band hot-bucket
+# cap, pairs OR-ed across bands, deduped, then exact-cosine verified.  Recall
+# lost to one band's cap or unlucky split is recovered by the others;
+# worst-case per-task pair work stays ≤ C(BUCKET_CAP, 2) per bucket.
+
+def q31_embedding_multiband_near_dups(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    # ONE scan computes all band keys, exploded to (vec_id, bkey) rows — the
+    # '{band}:' prefix inside the md5 makes keys band-disjoint, so a single
+    # self-join on bkey IS the per-band join OR-ed (vs N_BANDS scans of a
+    # 100 TB table in the naive per-band loop)
+    band_keys = ", ".join(
+        f"md5(concat('{band}', ':', CAST({_bucket_spark(band)} AS STRING)))"
+        for band in range(N_BANDS)
+    )
+    kb = (
+        e.crossJoin(F.broadcast(_bits_frame(e)))
+        .selectExpr("vec_id", f"explode(array({band_keys})) AS bkey")
+        .withColumn("bsize", F.count("*").over(W.partitionBy("bkey")))
+        .where(F.col("bsize") <= BUCKET_CAP)
+        # cache: both self-join branches reuse the keyed frame — without it
+        # each branch re-scans the embedding table and re-runs the window
+        # (same trade as q14's signature cache; rows are ~50 B of id+hash,
+        # MEMORY_AND_DISK, vastly cheaper than a second 100 TB scan)
+        .cache()
+    )
+    pairs = (
+        kb.selectExpr("vec_id AS a_id", "bkey")
+        .join(kb.selectExpr("vec_id AS b_id", "bkey"), "bkey")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ev = e.selectExpr("vec_id", f"{_TO_D} AS v")
+    return (
+        pairs.join(ev.selectExpr("vec_id AS a_id", "v AS qv"), "a_id")
+        .join(ev.selectExpr("vec_id AS b_id", "v AS ev"), "b_id")
+        .selectExpr("a_id", "b_id", f"{_cos_spark()} AS cos_sim")
+        .where(F.col("cos_sim") >= NEAR_DUP_TAU)
+    )
+
+
+def _q31_band_cte(band: int) -> str:
+    return f"""
+k{band} AS (SELECT * FROM (
+  SELECT vec_id,
+         md5('{band}' || ':' || CAST({_bucket_duck(band)} AS VARCHAR)) AS bkey,
+         COUNT(*) OVER (
+           PARTITION BY md5('{band}' || ':' || CAST({_bucket_duck(band)} AS VARCHAR))
+         ) AS bsize
+  FROM embeddings, bb) WHERE bsize <= {BUCKET_CAP}),
+p{band} AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM k{band} a JOIN k{band} b
+            ON a.bkey = b.bkey AND a.vec_id < b.vec_id)"""
+
+
+Q31_SQL = f"""
+WITH {_DUCK_BITS_CTE},
+{",".join(_q31_band_cte(b) for b in range(N_BANDS))},
+pairs AS (SELECT DISTINCT a_id, b_id FROM (
+  {" UNION ALL ".join(f"SELECT * FROM p{b}" for b in range(N_BANDS))})),
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT p.a_id, p.b_id, {_cos_duck('a.v', 'b.v')} AS cos_sim
+FROM pairs p JOIN ev a ON p.a_id = a.vec_id JOIN ev b ON p.b_id = b.vec_id
+WHERE {_cos_duck('a.v', 'b.v')} >= {NEAR_DUP_TAU}
 """
 
 
@@ -262,4 +388,8 @@ QUERIES = {
     "q21_lsh_buckets": (q21_lsh_buckets, Q21_SQL),
     "q22_embedding_near_dups": (q22_embedding_near_dups, Q22_SQL),
     "q26_ivf_ann": (q26_ivf_ann, Q26_SQL),
+    "q31_embedding_multiband_near_dups": (
+        q31_embedding_multiband_near_dups,
+        Q31_SQL,
+    ),
 }

@@ -64,12 +64,24 @@ def test_q04_resume_antijoin_broadcast_with_pushdown(spark):
 @pytest.mark.parametrize(
     "name", ["q13_minhash_signature", "q15_simhash", "q16_quality_score",
              "q17_langid", "q18_token_stats", "q19_fingerprint",
-             "q21_lsh_buckets", "q27_winnow_fingerprint"]
+             "q27_winnow_fingerprint"]
 )
 def test_scan_project_ops_have_zero_exchanges(spark, name):
     plan = plan_of(spark, name)
     assert plan.count("Exchange") == 0, f"{name} shuffles a scan→project op"
     assert "Join" not in plan
+
+
+def test_q21_dynamic_bits_is_tiny_broadcast_only(spark):
+    # the corpus-size-derived bit width costs one 1-row count aggregate
+    # broadcast to the scan→project — no shuffle of the embeddings table,
+    # no sort-merge join
+    plan = plan_of(spark, "q21_lsh_buckets")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bits frame attach
+    # exchanges: the global count's single-partition exchange + broadcast
+    assert plan.count("Exchange") <= 3
 
 
 @pytest.mark.parametrize(
@@ -85,8 +97,13 @@ def test_scan_column_pruning(spark, name, table, needed):
     plan = plan_of(spark, name)
     scans = scan_columns(plan, table)
     assert scans, f"no FileScan over {table} found in {name}"
+    # every scan is pruned to (at most) the needed set — auxiliary scans
+    # (e.g. q21's corpus-size count) may prune even further, to zero columns
     for cols in scans:
-        assert set(cols) == needed, f"{name} reads {cols}, needs {needed}"
+        assert set(cols) <= needed, f"{name} reads {cols}, needs ⊆ {needed}"
+    assert any(set(cols) == needed for cols in scans), (
+        f"{name}: no scan carries the full projection {needed}"
+    )
 
 
 def test_q20_broadcasts_query_side(spark):
@@ -102,8 +119,20 @@ def test_q20_broadcasts_query_side(spark):
 def test_q22_lsh_join_is_key_join_not_cartesian(spark):
     plan = plan_of(spark, "q22_embedding_near_dups")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the only BroadcastNestedLoopJoin allowed is the 1-row bits attach;
+    # the pair join itself must be a key join on bucket
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or re.search(
+        r"BroadcastHashJoin \[bucket", plan
+    )
     assert re.search(r"Join \[bucket", plan) or "bucket" in plan
+
+
+def test_q31_multiband_never_cartesian(spark):
+    plan = plan_of(spark, "q31_embedding_multiband_near_dups")
+    assert "CartesianProduct" not in plan
+    # pair generation joins on the band-key hash; final cosine verify joins
+    # on vec_id — all key joins
+    assert "bkey" in plan
 
 
 def test_q28_rollup_broadcasts_all_dims(spark):

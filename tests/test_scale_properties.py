@@ -71,3 +71,45 @@ def test_streaming_windowed_events_with_watermark(spark, tmp_path):
         ).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_lsh_bucket_sizes_bounded_at_sf01(spark):
+    """The hot-bucket guard bounds per-task pair work: after the cap, every
+    band's kept buckets are ≤ BUCKET_CAP members at sf0.1, and the total
+    candidate-pair count is orders of magnitude below all-pairs N²/2."""
+    from pyspark.sql.window import Window as W
+
+    from tableextraction_spark.queries import vectorops as v
+
+    sf = "/root/testdata/sf0.1"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = e.count()
+    base = e.crossJoin(F.broadcast(v._bits_frame(e)))
+    total_pairs = 0
+    for band in range(v.N_BANDS):
+        sizes = (
+            base.selectExpr(f"{v._bucket_spark(band)} AS bucket")
+            .groupBy("bucket")
+            .count()
+        )
+        kept = sizes.where(F.col("count") <= v.BUCKET_CAP)
+        agg = kept.agg(
+            F.max("count").alias("mx"),
+            F.sum(F.expr("count * (count - 1) / 2")).alias("pairs"),
+        ).collect()[0]
+        assert agg.mx <= v.BUCKET_CAP
+        total_pairs += int(agg.pairs or 0)
+    # bounded far below all-pairs (the round-1 scale-killer was ~N²/256)
+    assert total_pairs < n * (n - 1) / 2 / 50
+
+
+def test_lsh_bits_scale_with_corpus(spark):
+    from tableextraction_spark.queries import vectorops as v
+
+    e500 = spark.range(500).selectExpr("CAST(id AS INT) AS vec_id")
+    bits = v._bits_frame(e500).collect()[0].bits
+    assert bits == 9  # ceil(log2(500))
+    e100k = spark.range(100_000)
+    assert v._bits_frame(e100k).collect()[0].bits == 16  # capped at MAX_BITS
+    e10 = spark.range(10)
+    assert v._bits_frame(e10).collect()[0].bits == 8  # floored at MIN_BITS
