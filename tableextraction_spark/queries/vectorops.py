@@ -273,12 +273,30 @@ WHERE {_cos_duck('a.v', 'b.v')} >= {NEAR_DUP_TAU}
 
 CENT_MOD = 32
 NPROBE = 2
+# Deterministic Lloyd refinement: KMEANS_ITERS fixed iterations of
+# assign-to-nearest + per-dimension mean.  Means are computed by
+# posexplode→avg (the scale-correct shape: one shuffle keyed (cid, pos),
+# map-side partials, no per-centroid collect_list of whole vectors) and
+# ROUNDed to 6 decimals so the cross-engine FP summation-order difference
+# cannot leak into centroid positions.  Centroids keep their seed cid; a
+# centroid losing every member drops out on both engines identically.
+KMEANS_ITERS = 2
+DIM = 64  # embeddings table vector width (TESTDATA.md)
 
 
 def _dot2(a: str, b: str) -> str:
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         "CAST(0 AS DOUBLE), (s2, v2) -> s2 + v2)"
+    )
+
+
+def _cents_row(newc):
+    """(cid, cv, cn) frame → 1-row broadcastable sorted centroid array."""
+    return (
+        newc.selectExpr("named_struct('cid', cid, 'cv', cv, 'cn', cn) AS c")
+        .groupBy()
+        .agg(F.expr("sort_array(collect_list(c))").alias("cents"))
     )
 
 
@@ -297,6 +315,31 @@ def q26_ivf_ann(spark, sf_dir):
         .agg(F.expr("sort_array(collect_list(c))").alias("cents"))
     )
     score_c = f"{_dot2('c.cv', 'ev')} / c.cn"  # argmax-equivalent to cosine
+    for _ in range(KMEANS_ITERS):
+        assign_it = (
+            e.crossJoin(F.broadcast(cents))
+            .selectExpr(
+                "vec_id", "ev", "cents",
+                f"transform(cents, c -> {score_c}) AS scores",
+            )
+            .selectExpr(
+                "ev",
+                "element_at(cents, CAST(array_position(scores, array_max(scores)) AS INT)).cid AS cid",
+            )
+        )
+        newc = (
+            assign_it.selectExpr("cid", "posexplode(ev) AS (pos, val)")
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, val))), s -> s.val)"
+                ).alias("cv")
+            )
+            .selectExpr("cid", "cv", f"{_NORM.format(v='cv')} AS cn")
+        )
+        cents = _cents_row(newc)
     # score each centroid ONCE, then argmax via array_position(max): ties
     # resolve to the first (lowest-cid) occurrence, matching the oracle's
     # ORDER BY score DESC, cid ASC
@@ -348,11 +391,37 @@ _DOT_DUCK = (
 )
 _NORM_DUCK = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
 
+
+def _q26_kmeans_ctes() -> str:
+    """Lloyd-iteration CTE chain cents0 → cents{KMEANS_ITERS} (DuckDB mirror
+    of the Spark loop: assign by ROW_NUMBER argmax, per-dimension AVG rounded
+    to 6 decimals, rebuilt as an ordered list)."""
+    parts = []
+    for i in range(KMEANS_ITERS):
+        parts.append(f"""
+a{i} AS (
+  SELECT vec_id, ev, cid FROM (
+    SELECT n.vec_id, n.ev, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY ({_DOT_DUCK.format(a='c.cv', b='n.ev')} / c.cn) DESC,
+                      c.cid ASC) AS rn
+    FROM en n CROSS JOIN cents{i} c) WHERE rn = 1),
+m{i} AS (
+  SELECT cid, p.pos AS pos, ROUND(AVG(ev[CAST(p.pos AS INT)]), 6) AS val
+  FROM a{i}, range(1, {DIM + 1}) p(pos) GROUP BY cid, p.pos),
+cents{i + 1} AS (
+  SELECT cid, cv, {_NORM_DUCK.format(v='cv')} AS cn
+  FROM (SELECT cid, list(val ORDER BY pos) AS cv FROM m{i} GROUP BY cid))""")
+    return ",".join(parts)
+
+
 Q26_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
      en AS (SELECT vec_id, ev, {_NORM_DUCK.format(v='ev')} AS en FROM e),
-     cents AS (SELECT vec_id AS cid, ev AS cv, en AS cn
-               FROM en WHERE vec_id % {CENT_MOD} = 0),
+     cents0 AS (SELECT vec_id AS cid, ev AS cv, en AS cn
+                FROM en WHERE vec_id % {CENT_MOD} = 0),
+     {_q26_kmeans_ctes()},
+     cents AS (SELECT * FROM cents{KMEANS_ITERS}),
      assign AS (
        SELECT vec_id, ev, en, cid FROM (
          SELECT n.vec_id, n.ev, n.en, c.cid,
@@ -383,6 +452,39 @@ SELECT q_id, vec_id, cos_sim, rank FROM (
 """
 
 
+# --- q32: IVF ANN quality — recall@k of q26 vs the q20 exact baseline ---
+#
+# The ANN quality claim is measured, not asserted: per query, the fraction
+# of the exact top-10 the IVF probe recovered.  Runs both pipelines and
+# joins on (q_id, vec_id); the oracle nests both queries' SQL verbatim, so
+# any engine/oracle drift in EITHER query also fails here.
+
+def q32_ivf_recall_at10(spark, sf_dir):
+    exact = q20_ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    approx = q26_ivf_ann(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        exact.join(approx, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    base = exact.groupBy("q_id").agg(F.count("*").alias("k"))
+    return base.join(hits, "q_id", "left").selectExpr(
+        "q_id", "ROUND(COALESCE(hits, 0) / CAST(k AS DOUBLE), 4) AS recall_at_k"
+    )
+
+
+Q32_SQL = f"""
+WITH exact AS (SELECT q_id, vec_id FROM ({Q20_SQL})),
+     approx AS (SELECT q_id, vec_id FROM ({Q26_SQL})),
+     hits AS (SELECT e.q_id, COUNT(*) AS hits FROM exact e
+              JOIN approx a ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+              GROUP BY e.q_id),
+     base AS (SELECT q_id, COUNT(*) AS k FROM exact GROUP BY q_id)
+SELECT b.q_id, ROUND(COALESCE(h.hits, 0) / CAST(b.k AS DOUBLE), 4) AS recall_at_k
+FROM base b LEFT JOIN hits h ON b.q_id = h.q_id
+"""
+
+
 QUERIES = {
     "q20_ann_cosine_topk": (q20_ann_cosine_topk, Q20_SQL),
     "q21_lsh_buckets": (q21_lsh_buckets, Q21_SQL),
@@ -392,4 +494,5 @@ QUERIES = {
         q31_embedding_multiband_near_dups,
         Q31_SQL,
     ),
+    "q32_ivf_recall_at10": (q32_ivf_recall_at10, Q32_SQL),
 }
