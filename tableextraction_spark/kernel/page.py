@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..font import decode_text
+from ..ocr import resolve_ocr
 from .binarize import binarize, grayzation
 from .cells import cells_from_nodes
 from .lines import detect_segments
@@ -43,6 +43,7 @@ def process_page(gray: np.ndarray, min_len_frac: float = 0.04, inset: int = OCR_
     gray = grayzation(gray)
     ink = binarize(gray)
     horiz, vert = detect_segments(ink, min_len_frac)
+    ocr = resolve_ocr()  # pluggable strategy (template | easyocr | custom)
     out = []
     for bbox, hm, vm in cluster_tables(horiz, vert):
         tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
@@ -51,10 +52,12 @@ def process_page(gray: np.ndarray, min_len_frac: float = 0.04, inset: int = OCR_
         cells = cells_from_nodes(nodes, ink)
         if len(cells) == 0:
             continue
-        texts = [
-            decode_text(gray[y1 + inset : y2 - inset + 1, x1 + inset : x2 - inset + 1])
-            for x1, y1, x2, y2 in cells
-        ]
+        texts = ocr(
+            [
+                gray[y1 + inset : y2 - inset + 1, x1 + inset : x2 - inset + 1]
+                for x1, y1, x2, y2 in cells
+            ]
+        )
         out.append((bbox, cells, texts))
     return out
 
@@ -75,6 +78,7 @@ def extract_objects(gray: np.ndarray, classify: bool = False):
     gray = grayzation(gray)
     ink = binarize(gray)
     horiz, vert = detect_segments(ink, min_len_frac=0.04)
+    ocr = resolve_ocr()  # pluggable strategy (template | easyocr | custom)
     objects = []
     for bbox, hm, vm in cluster_tables(horiz, vert):
         tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
@@ -83,12 +87,12 @@ def extract_objects(gray: np.ndarray, classify: bool = False):
         cells = cells_from_nodes(nodes, ink)
         if len(cells) == 0:
             continue
-        texts = [
-            decode_text(
+        texts = ocr(
+            [
                 gray[y1 + OCR_INSET : y2 - OCR_INSET + 1, x1 + OCR_INSET : x2 - OCR_INSET + 1]
-            )
-            for x1, y1, x2, y2 in cells
-        ]
+                for x1, y1, x2, y2 in cells
+            ]
+        )
         if classify and not classify_table(" ".join(texts)):
             continue
         objects.append(("table", len(cells), assemble_table(cells, texts)))

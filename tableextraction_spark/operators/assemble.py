@@ -99,6 +99,27 @@ def assemble_spans_sql(docs: DataFrame, tables: DataFrame) -> DataFrame:
     return docs.join(tdoc, "doc_id", "left").select("doc_id", _merged_spans_expr())
 
 
+def merge_doc_spans(spans: list[dict], table_rows) -> list[dict]:
+    """One document's merge: original spans + (media_ref, obj_no, okind,
+    payload) object rows → final renumbered span list.  The python-side
+    mirror of :func:`_merged_spans_expr`, shared by the pandas assembly and
+    the stateful streaming assembly."""
+    by_ref: dict[str, list] = {}
+    for media_ref, _obj_no, okind, payload in sorted(table_rows):
+        by_ref.setdefault(media_ref, []).append((okind, payload))
+    merged = []
+    for s in sorted(spans, key=lambda s: s["offset"]):
+        merged.append(
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]}
+        )
+        if s["kind"] == "media":
+            for okind, payload in by_ref.get(s["media_ref"], []):
+                merged.append(
+                    {"kind": okind, "text": payload, "media_ref": s["media_ref"]}
+                )
+    return [{**m, "offset": i} for i, m in enumerate(merged)]
+
+
 def assemble_spans_pandas(docs: DataFrame, tables: DataFrame) -> DataFrame:
     """Same semantics via cogroup().applyInPandas (SURVEY §2.10 stage 3)."""
     tclean = tables.where((F.col("obj_no") >= 0) & F.col("error").isNull()).select(
@@ -106,30 +127,14 @@ def assemble_spans_pandas(docs: DataFrame, tables: DataFrame) -> DataFrame:
     )
 
     def merge(docs_pdf: pd.DataFrame, tables_pdf: pd.DataFrame) -> pd.DataFrame:
-        by_ref: dict[str, list] = {}
-        for _, t in tables_pdf.sort_values(["media_ref", "obj_no"]).iterrows():
-            by_ref.setdefault(t["media_ref"], []).append((t["okind"], t["payload"]))
-        out_rows = []
-        for _, d in docs_pdf.iterrows():
-            spans = sorted(d["spans"], key=lambda s: s["offset"])
-            merged = []
-            for s in spans:
-                merged.append(
-                    {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]}
-                )
-                if s["kind"] == "media":
-                    for okind, payload in by_ref.get(s["media_ref"], []):
-                        merged.append(
-                            {"kind": okind, "text": payload, "media_ref": s["media_ref"]}
-                        )
-            out_rows.append(
-                {
-                    "doc_id": d["doc_id"],
-                    "spans": [
-                        {**m, "offset": i} for i, m in enumerate(merged)
-                    ],
-                }
-            )
+        trows = [
+            (t["media_ref"], int(t["obj_no"]), t["okind"], t["payload"])
+            for _, t in tables_pdf.iterrows()
+        ]
+        out_rows = [
+            {"doc_id": d["doc_id"], "spans": merge_doc_spans(list(d["spans"]), trows)}
+            for _, d in docs_pdf.iterrows()
+        ]
         return pd.DataFrame(out_rows, columns=["doc_id", "spans"])
 
     return (

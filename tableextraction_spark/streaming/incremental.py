@@ -9,8 +9,9 @@ offsets), with the identical decode/assembly operators via ``foreachBatch``.
 Ingest-unit contract: a document's pages must land in the same micro-batch
 (the usual case — the ingest unit is a file of whole documents).  Pages
 split across batches would produce two partial span rows for one doc; for
-such sources, assemble with a watermarked update-mode aggregation instead —
-out of scope for v1 and asserted against in the test.
+such sources use :mod:`.stateful_assembly` (``run_stateful``), which holds
+partial documents in ``applyInPandasWithState`` state until their declared
+page count is complete and emits exactly one row per document.
 
 ``trigger(availableNow=True)`` drains everything pending and stops, which is
 both the test mode and the production catch-up mode; drop it for a

@@ -1,0 +1,114 @@
+"""Stateful streaming assembly: documents whose pages straddle micro-batches.
+
+Closes the v1 limitation documented in ``incremental.py`` (a doc's pages had
+to land in one micro-batch or two partial span rows appeared).  Here the
+page stream feeds ``applyInPandasWithState`` keyed by ``doc_id``: state
+accumulates each page's detected objects plus the set of pages seen, and the
+document's span row is emitted exactly once — when the seen-page count
+reaches the page count the document's own media spans declare (the
+completeness check; the expected count rides in on a stream-static join with
+the docs table).  No watermark clock is needed because completeness is
+structural, not temporal: a doc with pages in flight simply stays in state.
+
+Plumbing per SURVEY §2.10: the decode stage is the same fused ``mapInArrow``
+as batch; only the assembly differs (per-doc state instead of a groupBy).
+Error pages count toward completeness but contribute no object spans —
+identical to the batch path, which drops error rows at assembly.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators import TABLES_SCHEMA
+from ..operators.assemble import SPANS_SCHEMA, merge_doc_spans
+from ..operators.decode_detect import make_decode_detect_ocr
+from ..pipeline import BLOBS_SCHEMA
+
+STATE_SCHEMA = (
+    "seen array<int>, objs array<string>, n_pages int, spans_json string"
+)
+
+
+def _update_doc(key, pdfs, state: GroupState):
+    (doc_id,) = key
+    if state.exists:
+        seen_l, objs, n_pages, spans_json = state.get
+        seen = set(seen_l)
+        objs = list(objs)
+    else:
+        seen, objs, n_pages, spans_json = set(), [], None, None
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            n_pages = int(row.n_pages)
+            spans_json = row.spans_json
+            seen.add(int(row.page_no))  # markers/errors/objects all mark the page
+            # null error arrives as None or NaN depending on the pandas dtype
+            has_error = isinstance(row.error, str) and bool(row.error)
+            if row.obj_no >= 0 and not has_error:
+                objs.append(
+                    json.dumps(
+                        [row.media_ref, int(row.obj_no), row.kind, row.payload]
+                    )
+                )
+    if n_pages is not None and len(seen) >= n_pages:
+        spans = json.loads(spans_json)
+        merged = merge_doc_spans(spans, [tuple(json.loads(o)) for o in objs])
+        state.remove()
+        yield pd.DataFrame([{"doc_id": doc_id, "spans": merged}])
+    else:
+        state.update((sorted(seen), objs, n_pages, spans_json))
+
+
+def run_stateful(
+    spark: SparkSession,
+    blobs_dir: str,
+    docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    classify: bool = False,
+    max_files_per_trigger: int = 16,
+) -> None:
+    """Drain blob files → exactly one (doc_id, spans) row per COMPLETE doc.
+
+    Incomplete documents stay in the state store and complete on a later
+    run against the same checkpoint (file offsets + state both checkpointed:
+    exactly-once across restarts).
+    """
+    stream = (
+        spark.readStream.schema(BLOBS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(blobs_dir)
+    )
+    tables = stream.select(
+        "doc_id", "media_ref", "page_no", "content"
+    ).mapInArrow(make_decode_detect_ocr(classify), TABLES_SCHEMA)
+    docinfo = docs.select(
+        "doc_id",
+        F.to_json("spans").alias("spans_json"),
+        F.expr("size(filter(spans, s -> s.kind = 'media'))").alias("n_pages"),
+    )
+    merged = (
+        tables.join(docinfo, "doc_id")  # stream-static join
+        .groupBy("doc_id")
+        .applyInPandasWithState(
+            _update_doc,
+            SPANS_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    (
+        merged.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,82 @@
+"""Stateful streaming assembly: a document whose pages straddle micro-batches
+(and separate runs) still yields exactly ONE correct span row — the
+completeness check holds it in state until every page arrived."""
+
+from tableextraction_spark.fixtures import gen_corpus
+from tableextraction_spark.pipeline import BLOBS_SCHEMA, DOCS_SCHEMA
+from tableextraction_spark.streaming.stateful_assembly import run_stateful
+
+
+def _tuples(rows):
+    return {
+        r.doc_id: [
+            (s.kind, s.text, s.media_ref, s.offset)
+            for s in sorted(r.spans, key=lambda s: s.offset)
+        ]
+        for r in rows
+    }
+
+
+def _exp_tuples(expected):
+    return {
+        e["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in e["spans"]
+        ]
+        for e in expected
+    }
+
+
+def test_split_doc_across_microbatches_one_row(spark, tmp_path):
+    # doc 5 is the 10-page skew doc — split its pages across two FILES and
+    # force one file per micro-batch, so assembly sees it in two batches
+    docs, blobs, expected = gen_corpus(8)
+    docs_df = spark.createDataFrame(docs, DOCS_SCHEMA)
+    blobs_dir = str(tmp_path / "blobs_in")
+    out = str(tmp_path / "spans_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    split = [b for b in blobs if b["doc_id"] == "doc-000005"]
+    rest = [b for b in blobs if b["doc_id"] != "doc-000005"]
+    assert len(split) >= 4, "need a multi-page doc to split"
+    half = len(split) // 2
+    for wave in (rest + split[:half], split[half:]):
+        spark.createDataFrame(wave, BLOBS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(blobs_dir)
+    run_stateful(spark, blobs_dir, docs_df, out, ckpt, max_files_per_trigger=1)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 8  # one row per doc — no partial duplicates
+    assert _tuples(rows) == _exp_tuples(expected)
+
+
+def test_incomplete_doc_held_until_later_run(spark, tmp_path):
+    # pages split across two RUNS against the same checkpoint: run 1 must
+    # emit nothing for the incomplete doc; run 2 completes it exactly once
+    docs, blobs, expected = gen_corpus(3)
+    docs_df = spark.createDataFrame(docs, DOCS_SCHEMA)
+    blobs_dir = str(tmp_path / "blobs_in")
+    out = str(tmp_path / "spans_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    victim = "doc-000001"
+    vic = [b for b in blobs if b["doc_id"] == victim]
+    rest = [b for b in blobs if b["doc_id"] != victim]
+    hold_back = vic[-1:]
+    wave1 = rest + vic[:-1]
+
+    spark.createDataFrame(wave1, BLOBS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(blobs_dir)
+    run_stateful(spark, blobs_dir, docs_df, out, ckpt)
+    first = spark.read.parquet(out).collect()
+    assert victim not in {r.doc_id for r in first}
+    assert len(first) == 2
+
+    spark.createDataFrame(hold_back, BLOBS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(blobs_dir)
+    run_stateful(spark, blobs_dir, docs_df, out, ckpt)
+    final = spark.read.parquet(out).collect()
+    assert len(final) == 3
+    assert _tuples(final) == _exp_tuples(expected)
