@@ -35,9 +35,31 @@ HEADLINE = [
     "q22_embedding_near_dups",
     "q26_ivf_ann",
     "q27_winnow_fingerprint",
+    "q31_embedding_multiband_near_dups",
 ]
 
 BENCH_ROOT = os.environ.get("TABLEX_BENCH_DIR", "/tmp/tablex_bench")
+
+
+def _prev_round_queries() -> tuple[int | None, dict[str, float]]:
+    """Newest BENCH_r{N}.json next to this file → (round, per-query secs)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = None, {}
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best_n is None or n > best_n:
+            try:
+                obj = json.load(open(os.path.join(here, f)))
+            except (OSError, json.JSONDecodeError):
+                continue
+            parsed = obj.get("parsed", obj)
+            qs = parsed.get("queries") if isinstance(parsed, dict) else None
+            if qs:
+                best_n, best = n, qs
+    return best_n, best
 
 
 def _consume(df) -> None:
@@ -70,7 +92,7 @@ def ensure_corpus(spark, n_docs: int) -> tuple[str, str]:
     return docs_path, blobs_path
 
 
-def bench_extraction(spark, n_docs: int) -> dict:
+def bench_extraction(spark, n_docs: int, passes: int = 2) -> dict:
     from tableextraction_spark.pipeline import extract_spans
 
     docs_path, blobs_path = ensure_corpus(spark, n_docs)
@@ -80,10 +102,11 @@ def bench_extraction(spark, n_docs: int) -> dict:
     # spins up + imports numpy in all 32 Python workers, and JITs the JVM
     # paths.  Measured: cold 16.5 s vs steady-state 4-5 s on the same corpus
     # — a production job runs for hours, so steady-state is the honest
-    # throughput; best-of-2 timed passes filters host noise.
+    # throughput; best-of-N timed passes filters host noise (the big
+    # sf1-equivalent corpus amortizes fixed costs itself, so one pass does).
     _consume(extract_spans(spark, docs, blobs_path))
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(passes):
         t0 = time.time()
         _consume(extract_spans(spark, docs, blobs_path))
         dt = min(dt, time.time() - t0)
@@ -123,12 +146,34 @@ def main():
 
     # the extraction corpus must be big enough that steady-state decode
     # dominates scheduling latency (~7k pages ≈ 6-12 s at local[32]);
-    # generated once and cached under TABLEX_BENCH_DIR
+    # generated once and cached under TABLEX_BENCH_DIR.  n_docs matches
+    # round 1 exactly so the per-query delta below is apples-to-apples.
     n_docs = int(os.environ.get("TABLEX_BENCH_DOCS", "0")) or max(
         64, int(round(sf * 30000))
     )
     ext = bench_extraction(spark, n_docs)
     timings["q00_extract_spans"] = ext["sec"]
+
+    # sf1-equivalent corpus width (10× docs at sf0.1): fixed costs — task
+    # launch, Python worker reuse, scan planning — drop below 10% of wall,
+    # so docs/sec here is the honest steady-state throughput headline
+    sf1_docs = int(os.environ.get("TABLEX_BENCH_SF1_DOCS", "0")) or max(
+        640, int(round(sf * 300000))
+    )
+    ext_sf1 = bench_extraction(spark, sf1_docs, passes=1)
+
+    # ANN quality headline: mean recall@10 of the IVF probe vs exact top-k
+    recall_rows = REGISTRY["q32_ivf_recall_at10"][0](spark, sf_dir).collect()
+    recall = round(
+        sum(r.recall_at_k for r in recall_rows) / max(1, len(recall_rows)), 4
+    )
+
+    prev_n, prev_q = _prev_round_queries()
+    deltas = {
+        name: round(timings[name] / prev_q[name], 3)
+        for name in timings
+        if name in prev_q and prev_q[name]
+    }
 
     result = {
         "metric": "headline query suite wall time (extraction + relational/text/vector ops)",
@@ -141,6 +186,13 @@ def main():
         "extract_pages_per_sec": ext["pages_per_sec"],
         "extract_n_docs": ext["n_docs"],
         "extract_n_pages": ext["n_pages"],
+        "extract_sf1_docs_per_sec": ext_sf1["docs_per_sec"],
+        "extract_sf1_pages_per_sec": ext_sf1["pages_per_sec"],
+        "extract_sf1_n_docs": ext_sf1["n_docs"],
+        "extract_sf1_n_pages": ext_sf1["n_pages"],
+        "ivf_recall_at10": recall,
+        "prev_round": prev_n,
+        "deltas_vs_prev": deltas,
     }
     print(json.dumps(result))
     spark.stop()

@@ -158,6 +158,9 @@ def q22_embedding_near_dups(spark, sf_dir):
         .selectExpr("vec_id", f"{_TO_D} AS ev", f"{_bucket_spark(0)} AS bucket")
         .withColumn("bsize", F.count("*").over(W.partitionBy("bucket")))
         .where(F.col("bsize") <= BUCKET_CAP)
+        # both self-join branches reuse the bucketed frame (same trade as
+        # q31's key cache — without it the scan + window run twice)
+        .cache()
     )
     a = eb.selectExpr("vec_id AS a_id", "ev AS qv", "bucket")
     b = eb.selectExpr("vec_id AS b_id", "ev AS ev", "bucket")
@@ -259,28 +262,41 @@ WHERE {_cos_duck('a.v', 'b.v')} >= {NEAR_DUP_TAU}
 
 # --- q26: IVF (inverted-file) ANN — the centroid-probe scale path ---
 #
-# Deterministic IVF: every CENT_MOD-th vector is a coarse centroid (k-means
-# init step; deterministic so the oracle can mirror it).  Assignment is a
-# ZERO-SHUFFLE projection: the centroid set is reduced to ONE row holding an
-# array<struct> and broadcast-cross-joined, so each vector computes its
-# argmax-score centroid inside a Catalyst `aggregate` lambda — no N×K
-# shuffle, no window.  Queries probe their NPROBE nearest centroids and
-# score only those inverted lists (probe side broadcast), so at 100 TB the
-# scored candidate set is ~NPROBE/K of the corpus instead of all of it.
+# Deterministic IVF with the standard scaling shape: **K ≈ √N centroids**
+# (seed = every ceil(√N)-th vector; the modulus is a 1-row count aggregate
+# broadcast in-plan, no collect).  K ∝ N (round 1's every-32nd rule) makes
+# Lloyd cost O(N²) and leaves per-centroid training evidence constant; K≈√N
+# keeps build cost O(N^1.5) on the sample and inverted lists sized ~√N.
+# Assignment is a ZERO-SHUFFLE projection: the centroid set is reduced to
+# ONE row holding an array<struct> and broadcast-cross-joined, so each
+# vector computes its argmax-score centroid inside a Catalyst `aggregate`
+# lambda — no N×K shuffle, no window.  Queries probe their nprobe nearest
+# centroids and score only those inverted lists (probe side broadcast), so
+# the scored candidate set is a fixed fraction (~1/NPROBE_DIV) of the
+# corpus instead of all of it.
 # Scores compare dot/centroid_norm (argmax-equivalent to cosine: the query
 # norm is constant per row) to keep the FP comparison identical on both
 # engines; the reported cos_sim is the full cosine, rounded like q20.
 
-CENT_MOD = 32
-NPROBE = 2
+# Probe width scales with the centroid count: nprobe = max(2, ceil(K /
+# NPROBE_DIV)), i.e. ~1/8 of the inverted lists — a fixed probe COUNT
+# shrinks to a vanishing probe FRACTION as the corpus (and K) grows,
+# collapsing recall; a fixed fraction keeps the recall/cost point stable at
+# any scale.  Derived in-plan from size(cents) — no collect.
+NPROBE_DIV = 8
 # Deterministic Lloyd refinement: KMEANS_ITERS fixed iterations of
-# assign-to-nearest + per-dimension mean.  Means are computed by
-# posexplode→avg (the scale-correct shape: one shuffle keyed (cid, pos),
+# assign-to-nearest + per-dimension mean, trained on the deterministic
+# 1/KMEANS_SAMPLE_MOD corpus half-sample (vec_id % MOD == 1) — at 100 TB
+# you never Lloyd over the full corpus; sample-train + full-assign is the
+# standard IVF build.  With K≈√N the per-centroid sample evidence is
+# √N/KMEANS_SAMPLE_MOD rows and GROWS with the corpus.  Means are computed
+# by posexplode→avg (the scale-correct shape: one shuffle keyed (cid, pos),
 # map-side partials, no per-centroid collect_list of whole vectors) and
 # ROUNDed to 6 decimals so the cross-engine FP summation-order difference
 # cannot leak into centroid positions.  Centroids keep their seed cid; a
-# centroid losing every member drops out on both engines identically.
+# centroid losing every sample member drops out on both engines identically.
 KMEANS_ITERS = 2
+KMEANS_SAMPLE_MOD = 2
 DIM = 64  # embeddings table vector width (TESTDATA.md)
 
 
@@ -306,8 +322,13 @@ def q26_ivf_ann(spark, sf_dir):
         .selectExpr("vec_id", f"{_TO_D} AS ev")
         .selectExpr("vec_id", "ev", f"{_NORM.format(v='ev')} AS en")
     )
+    # K ≈ √N: seed modulus from a 1-row count aggregate, broadcast in-plan
+    cmf = e.groupBy().agg(
+        F.expr("CAST(CEIL(SQRT(COUNT(*))) AS INT)").alias("cm")
+    )
     cents = (
-        e.where(F.col("vec_id") % CENT_MOD == 0)
+        e.crossJoin(F.broadcast(cmf))
+        .where(F.expr("vec_id % cm = 0"))
         .selectExpr(
             "named_struct('cid', CAST(vec_id AS INT), 'cv', ev, 'cn', en) AS c"
         )
@@ -315,9 +336,10 @@ def q26_ivf_ann(spark, sf_dir):
         .agg(F.expr("sort_array(collect_list(c))").alias("cents"))
     )
     score_c = f"{_dot2('c.cv', 'ev')} / c.cn"  # argmax-equivalent to cosine
+    sample = e.where(F.col("vec_id") % KMEANS_SAMPLE_MOD == 1)
     for _ in range(KMEANS_ITERS):
         assign_it = (
-            e.crossJoin(F.broadcast(cents))
+            sample.crossJoin(F.broadcast(cents))
             .selectExpr(
                 "vec_id", "ev", "cents",
                 f"transform(cents, c -> {score_c}) AS scores",
@@ -340,6 +362,10 @@ def q26_ivf_ann(spark, sf_dir):
             .selectExpr("cid", "cv", f"{_NORM.format(v='cv')} AS cn")
         )
         cents = _cents_row(newc)
+    # 1-row frame, but its lineage is the whole refinement chain and BOTH
+    # the full-corpus assignment and the probe branch consume it — cache so
+    # the chain runs once (measured 3× q26 wall without it)
+    cents = cents.cache()
     # score each centroid ONCE, then argmax via array_position(max): ties
     # resolve to the first (lowest-cid) occurrence, matching the oracle's
     # ORDER BY score DESC, cid ASC
@@ -363,7 +389,8 @@ def q26_ivf_ann(spark, sf_dir):
             "en AS qn",
             f"""transform(slice(array_sort(transform(cents,
                    c -> named_struct('negs', -({score_c}), 'cid', c.cid))),
-                 1, {NPROBE}), p -> p.cid) AS cids""",
+                 1, GREATEST(2, CAST(CEIL(size(cents) / {NPROBE_DIV}.0) AS INT))),
+               p -> p.cid) AS cids""",
         )
         .selectExpr("q_id", "qv", "qn", "explode(cids) AS cid")
     )
@@ -405,7 +432,8 @@ a{i} AS (
            ROW_NUMBER() OVER (PARTITION BY n.vec_id
              ORDER BY ({_DOT_DUCK.format(a='c.cv', b='n.ev')} / c.cn) DESC,
                       c.cid ASC) AS rn
-    FROM en n CROSS JOIN cents{i} c) WHERE rn = 1),
+    FROM en n CROSS JOIN cents{i} c
+    WHERE n.vec_id % {KMEANS_SAMPLE_MOD} = 1) WHERE rn = 1),
 m{i} AS (
   SELECT cid, p.pos AS pos, ROUND(AVG(ev[CAST(p.pos AS INT)]), 6) AS val
   FROM a{i}, range(1, {DIM + 1}) p(pos) GROUP BY cid, p.pos),
@@ -418,8 +446,9 @@ cents{i + 1} AS (
 Q26_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
      en AS (SELECT vec_id, ev, {_NORM_DUCK.format(v='ev')} AS en FROM e),
+     cm AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS INT) AS cm FROM embeddings),
      cents0 AS (SELECT vec_id AS cid, ev AS cv, en AS cn
-                FROM en WHERE vec_id % {CENT_MOD} = 0),
+                FROM en, cm WHERE vec_id % cm.cm = 0),
      {_q26_kmeans_ctes()},
      cents AS (SELECT * FROM cents{KMEANS_ITERS}),
      assign AS (
@@ -438,7 +467,8 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
                   ORDER BY ({_DOT_DUCK.format(a='c.cv', b='n.ev')} / c.cn) DESC,
                            c.cid ASC) AS rn
          FROM en n CROSS JOIN cents c WHERE n.vec_id < {N_QUERIES})
-       WHERE rn <= {NPROBE}),
+       WHERE rn <= (SELECT GREATEST(2, CAST(CEIL(COUNT(*) / {NPROBE_DIV}.0) AS INT))
+                    FROM cents)),
      cand AS (
        SELECT p.q_id, a.vec_id,
               ROUND({_DOT_DUCK.format(a='p.qv', b='a.ev')} / (p.qn * a.en), 4)

@@ -63,6 +63,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str = "16g",
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
@@ -76,6 +77,8 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
     )
+    if warehouse_dir:  # static conf — must be set before session creation
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     # _SQL_CONFS rationale:
     # - maxPartitionBytes 8m / openCost 1m: test-scale parquet is tiny but
     #   row-heavy (10 MB ≈ 600k rows) and compute-per-row dominates; small

@@ -67,7 +67,16 @@ def write_table(df: DataFrame, ref: str) -> None:
         return
     try:
         df.writeTo(ref).append()
-    except Exception as exc:  # AnalysisException: TABLE_OR_VIEW_NOT_FOUND
-        if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc) and "not found" not in str(exc).lower():
+    except Exception as exc:
+        msg = str(exc)
+        if "TABLE_OR_VIEW_NOT_FOUND" in msg or "not found" in msg.lower():
+            df.writeTo(ref).create()
+        elif "v1 table" in msg:
+            # the session catalog (no Iceberg runtime) exposes v1 tables,
+            # which DataFrameWriterV2 refuses to append to — fall back to
+            # the v1 writer with identical append semantics.  Under an
+            # Iceberg catalog the writeTo path above is the one taken and
+            # the append is a transactional snapshot commit.
+            df.write.mode("append").saveAsTable(ref)
+        else:
             raise
-        df.writeTo(ref).create()
