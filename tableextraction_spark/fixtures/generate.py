@@ -311,13 +311,19 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
     blob_rows: [{media_ref, doc_id, page_no, content}]
 
     ``codec`` picks the blob payload format: the deterministic ``img1``
-    container (default) or real ``png`` (stdlib encoder, ``png.py``) — same
-    pixels, same expected spans, so end-to-end tests can pin format routing.
+    container (default), real ``png`` (stdlib encoder, ``png.py``), or real
+    near-lossless ``jpeg`` (from-scratch baseline codec, ``jpeg.py``) — same
+    expected spans, so end-to-end tests pin format routing.
     """
     if codec == "img1":
         encode = encode_image
     elif codec == "png":
         from ..png import encode_png as encode
+    elif codec == "jpeg":
+        from ..jpeg import encode_jpeg_gray
+
+        # near-lossless quant (scanner-grade): 1-px glyph ink must survive
+        encode = lambda img: encode_jpeg_gray(img, quality_div=8)  # noqa: E731
     else:
         raise ValueError(f"unknown blob codec {codec!r}")
     plan = plan_doc(doc_num)

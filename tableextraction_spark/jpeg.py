@@ -1,0 +1,425 @@
+"""Minimal from-scratch baseline JPEG codec — no external image library.
+
+The reference reads JPEG pages via PIL (``table_extraction/
+preprocessing.py:49-62``).  No stdlib JPEG codec exists, so this module
+implements baseline DCT JPEG (ITU-T T.81) directly in NumPy + stdlib:
+
+- decode: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI marker parse, Huffman
+  entropy decode (16-bit canonical code table), dequantize, de-zigzag,
+  8×8 IDCT as two matrix multiplies, level shift; grayscale and YCbCr with
+  4:4:4 or 4:2:0 chroma subsampling (nearest-neighbor upsample) → gray or
+  RGB uint8 (BT.601 full-range, the JFIF convention).
+- encode: grayscale baseline with the spec's example luminance quantization
+  and Huffman tables (Annex K) — used by fixtures/tests so the real-format
+  path is exercised end-to-end without any library.
+
+Supported = what scanned/rendered document pages are: baseline sequential,
+8-bit.  Progressive/arithmetic/12-bit raise ``ValueError`` naming the
+feature (captured per-row by the decode stage).
+
+Performance note: entropy decode is a per-symbol Python loop over a
+pre-unpacked bit array (~0.1-0.3 s for a page) — correct and usable, but
+the IMG1/PNG paths remain the fast lane; a production deployment would slot
+libjpeg-turbo behind the same ``media.decode_page`` seam.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"\xff\xd8"  # SOI
+
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.intp)
+
+# ITU-T T.81 Annex K.1 example luminance quantization table (quality ~50)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+# Annex K.3: example DC/AC luminance Huffman tables (BITS, HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# 8×8 DCT-II basis matrix: IDCT = C.T @ coeffs @ C
+_k = np.arange(8)
+_C = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) * np.where(
+    _k[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8)
+)
+
+
+def _build_huffman(bits: list[int], vals: list[int]):
+    """(BITS, HUFFVAL) → {(length, code): symbol} canonical table."""
+    table = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[idx]
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _encode_huffman_codes(bits: list[int], vals: list[int]):
+    """(BITS, HUFFVAL) → {symbol: (code, length)} for the encoder."""
+    return {v: (c, l) for (l, c), v in _build_huffman(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes):
+        # unstuff: 0xFF 0x00 → 0xFF; markers (0xFF Dx) handled by caller
+        clean = bytearray()
+        i = 0
+        n = len(data)
+        while i < n:
+            b = data[i]
+            clean.append(b)
+            if b == 0xFF:
+                i += 1  # skip the stuffed 0x00 (caller split at markers)
+            i += 1
+        self.bits = np.unpackbits(np.frombuffer(bytes(clean), dtype=np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("JPEG entropy data truncated")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > len(self.bits):
+            raise ValueError("JPEG entropy data truncated")
+        chunk = self.bits[self.pos : end]
+        self.pos = end
+        out = 0
+        for b in chunk:
+            out = (out << 1) | int(b)
+        return out
+
+    def decode_symbol(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND (F.2.2.1): t-bit magnitude v → signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _idct_block(coeffs: np.ndarray) -> np.ndarray:
+    return _C.T @ coeffs @ _C
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 H×W (gray) or H×W×3 (RGB)."""
+    buf = bytes(payload)
+    if buf[:2] != MAGIC:
+        raise ValueError(f"not a JPEG: magic {buf[:2]!r}")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seg_len,) = struct.unpack_from(">H", buf, pos)
+        seg = buf[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                qt[tq] = np.frombuffer(seg, dtype=np.uint8, count=64, offset=p).astype(np.int32)
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nvals])
+                (huff_ac if tc else huff_dc)[th] = _build_huffman(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "only baseline sequential JPEG (SOF0) supported, got "
+                f"SOF marker 0x{marker:02X} (progressive/extended)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cs] = {"dc": tables >> 4, "ac": tables & 0xF}
+            data_start = pos + seg_len
+            return _decode_scan(
+                buf, data_start, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += seg_len
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    if frame is None:
+        raise ValueError("JPEG SOS before SOF0")
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    # split entropy stream at RST/EOI markers (0xFF followed by non-zero)
+    planes = [
+        np.zeros((mcus_y * c["vs"] * 8, mcus_x * c["hs"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    # find scan end (next marker that is not RSTn and not stuffed 0x00)
+    end = pos
+    while end < len(buf) - 1:
+        if buf[end] == 0xFF and buf[end + 1] not in (0x00,) and not (
+            0xD0 <= buf[end + 1] <= 0xD7
+        ):
+            break
+        end += 1
+    segments = _split_restarts(buf[pos:end])
+    pred = [0] * len(comps)
+    mcu_index = 0
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader = _BitReader(next(seg_iter))
+                pred = [0] * len(comps)
+            for ci, comp in enumerate(comps):
+                dct = huff_dc[scan[comp["id"]]["dc"]]
+                act = huff_ac[scan[comp["id"]]["ac"]]
+                q = qt[comp["tq"]]
+                for by in range(comp["vs"]):
+                    for bx in range(comp["hs"]):
+                        block = np.zeros(64, dtype=np.int32)
+                        t = reader.decode_symbol(dct)
+                        diff = _extend(reader.read_bits(t), t)
+                        pred[ci] += diff
+                        block[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            block[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        dq = np.zeros(64, dtype=np.float64)
+                        dq[ZIGZAG] = block * q
+                        px = _idct_block(dq.reshape(8, 8)) + 128.0
+                        y0 = (my * comp["vs"] + by) * 8
+                        x0 = (mx * comp["hs"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_index += 1
+    out_planes = []
+    for ci, comp in enumerate(comps):
+        p = np.clip(planes[ci], 0, 255)
+        # upsample subsampled chroma to full resolution (nearest)
+        ry, rx = vmax // comp["vs"], hmax // comp["hs"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return np.rint(out_planes[0]).astype(np.uint8)
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.rint(np.clip(rgb, 0, 255)).astype(np.uint8)
+
+
+def _split_restarts(data: bytes) -> list[bytes]:
+    """Entropy data → segments between RSTn markers (stuffed FF00 kept)."""
+    segs = []
+    start = 0
+    i = 0
+    while i < len(data) - 1:
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            segs.append(data[start:i])
+            start = i + 2
+            i += 2
+        else:
+            i += 1
+    segs.append(data[start:])
+    return segs
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def encode_jpeg_gray(img: np.ndarray, quality_div: int = 1) -> bytes:
+    """uint8 H×W grayscale → baseline JPEG (Annex K tables, 4:4:4).
+
+    ``quality_div`` divides the quantization table (clamped ≥1):
+    1 ≈ quality 50; 8 ≈ near-lossless — what a document scanner uses, and
+    what fixture pages need so 1-px glyph features survive the round trip.
+    """
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError(f"expected uint8 H×W gray, got {img.dtype} {img.shape}")
+    h, w = img.shape
+    # zigzag order: matches coeff order and DQT body
+    q = np.maximum(1, QUANT_LUMA[ZIGZAG] // quality_div)
+    dc_codes = _encode_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _encode_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    bw = _BitWriter()
+    pred = 0
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[-1:, :]          # edge-replicate pad
+    padded[:, w:] = padded[:, w - 1 : w]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coeffs = _C @ block @ _C.T
+            zz = np.rint(coeffs.reshape(-1)[ZIGZAG] / q).astype(np.int32)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = int(diff).bit_length() if diff != 0 else 0
+            if diff < 0:
+                t = int(-diff).bit_length()
+            code, ln = dc_codes[t]
+            bw.write(code, ln)
+            if t:
+                mag = diff if diff > 0 else diff + (1 << t) - 1
+                bw.write(mag, t)
+            run = 0
+            last_nz = max(np.nonzero(zz)[0]) if zz.any() else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    if k > last_nz:
+                        code, ln = ac_codes[0x00]  # EOB
+                        bw.write(code, ln)
+                        break
+                    run += 1
+                    if run == 16:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run = 0
+                    continue
+                s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                mag = v if v > 0 else v + (1 << s) - 1
+                bw.write(mag, s)
+                run = 0
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))  # zigzag order
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    dht += seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return MAGIC + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"

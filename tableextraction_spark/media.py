@@ -59,6 +59,10 @@ def decode_page(payload: bytes) -> np.ndarray:
         from .png import decode_png
 
         return decode_png(payload)  # real PNG pages: stdlib zlib decoder
+    if head[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)  # real JPEG pages: from-scratch baseline codec
     if head == b"%PDF":
         from .sources.pdf_adapter import rasterize_pdf, pdf_renderer_available
 
