@@ -12,9 +12,10 @@ from .relational import QUERIES as _REL
 from .textops import QUERIES as _TEXT
 from .vectorops import QUERIES as _VEC
 from .extraction import QUERIES as _EXTRACT
+from .pipelineops import QUERIES as _PIPE
 
 REGISTRY: dict = {}
-for part in (_REL, _TEXT, _VEC, _EXTRACT):
+for part in (_REL, _TEXT, _VEC, _EXTRACT, _PIPE):
     overlap = REGISTRY.keys() & part.keys()
     if overlap:  # pragma: no cover
         raise AssertionError(f"duplicate query names: {overlap}")

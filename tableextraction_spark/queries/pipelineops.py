@@ -1,0 +1,160 @@
+"""Corpus-curation operators: the steps a training-data pipeline runs AFTER
+detection — collapsing near-duplicate pairs into clusters (the actual
+"drop duplicates" decision), deterministic stratified sampling, and corpus
+shape statistics.  Pure Catalyst + exact DuckDB oracles, like textops.
+
+Scale notes inline; the shared rule: everything derives from hashes or
+bounded-iteration relational passes — no driver loops, no RNG (sampling is
+hash-deterministic, so reruns and resumes agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import load
+from .textops import Q14_SQL, q14_minhash_band_pairs
+
+# --- q33: near-duplicate clusters (bounded min-label propagation) ---
+#
+# q14 emits candidate PAIRS; dedup needs CLUSTERS with a canonical survivor.
+# Min-label propagation over the pair graph: every doc starts labeled with
+# itself; each pass takes the min label over {self} ∪ neighbors.  LP_ITERS
+# fixed passes make it oracle-expressible (diameter ≤ LP_ITERS covered —
+# near-dup clusters are cliques-ish, diameter 1-2 in practice).  At 100 TB
+# production scale the same step iterates to fixpoint (driver loop over
+# label-change counts, or Kiveris large-star/small-star); each pass here is
+# one shuffle keyed on doc_id with map-side partial mins.
+
+J_MIN = 0.8     # exact-Jaccard near-dup threshold on verified pairs
+LP_ITERS = 3
+
+
+def q33_neardup_clusters(spark, sf_dir):
+    pairs = (
+        q14_minhash_band_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= J_MIN)
+        .select("a_id", "b_id")
+    )
+    edges = pairs.unionByName(
+        pairs.selectExpr("b_id AS a_id", "a_id AS b_id")
+    )
+    lab = edges.selectExpr("a_id AS v").distinct().selectExpr("v", "v AS lab")
+    for _ in range(LP_ITERS):
+        neighbor_labs = (
+            edges.selectExpr("a_id AS v", "b_id AS u")
+            .join(lab.selectExpr("v AS u", "lab"), "u")
+            .select("v", "lab")
+        )
+        lab = (
+            lab.unionByName(neighbor_labs)
+            .groupBy("v")
+            .agg(F.min("lab").alias("lab"))
+        )
+    return lab.selectExpr("v AS doc_id", "lab AS canon_id")
+
+
+def _lp_iter_cte(i: int) -> str:
+    return f"""
+l{i + 1} AS (
+  SELECT v, MIN(lab) AS lab FROM (
+    SELECT v, lab FROM l{i}
+    UNION ALL
+    SELECT e.v, u.lab FROM edges e JOIN l{i} u ON u.v = e.u)
+  GROUP BY v)"""
+
+
+Q33_SQL = f"""
+WITH q14 AS ({Q14_SQL}),
+pairs AS (SELECT a_id, b_id FROM q14 WHERE jaccard >= {J_MIN}),
+edges AS (SELECT a_id AS v, b_id AS u FROM pairs
+          UNION ALL
+          SELECT b_id AS v, a_id AS u FROM pairs),
+l0 AS (SELECT DISTINCT v, v AS lab FROM edges),
+{",".join(_lp_iter_cte(i) for i in range(LP_ITERS))}
+SELECT v AS doc_id, lab AS canon_id FROM l{LP_ITERS}
+"""
+
+
+# --- q34: deterministic stratified sample ---
+#
+# RNG-free sampling: bucket = first 4 hex chars of md5(doc_id) as an int
+# mod 100, keep rows whose bucket < the stratum's rate.  Identical on both
+# engines (the hex→int is spelled out with strpos/instr so no engine-
+# specific conv() is needed), idempotent across reruns/resumes, and joins
+# with nothing — a zero-shuffle scan→filter at any scale.
+
+SAMPLE_RATES = {"en": 20}   # percent per stratum
+SAMPLE_DEFAULT = 50
+
+
+def _hex4_pct(md5_expr: str, posfn: str) -> str:
+    digits = " + ".join(
+        f"({posfn}('0123456789abcdef', substring({md5_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({digits}) % 100)"
+
+
+def _rate_case(lang_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {lang_col} = '{k}' THEN {v}" for k, v in SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE {SAMPLE_DEFAULT} END"
+
+
+def q34_stratified_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    pct = _hex4_pct("md5(CAST(doc_id AS STRING))", "instr")
+    return (
+        d.selectExpr("doc_id", "lang", f"{pct} AS bucket")
+        .where(F.expr(f"bucket < {_rate_case('lang')}"))
+    )
+
+
+Q34_SQL = f"""
+SELECT doc_id, lang, bucket FROM (
+  SELECT doc_id, lang,
+         {_hex4_pct("md5(CAST(doc_id AS VARCHAR))", "strpos")} AS bucket
+  FROM documents)
+WHERE bucket < {_rate_case('lang')}
+"""
+
+
+# --- q35: document-length histogram (corpus shape stats) ---
+#
+# Fixed-width buckets over n_chars, counted per (lang, bucket) — one
+# map-side-combined aggregation; the shape report every curation run emits.
+
+BUCKET_CHARS = 500
+
+
+def q35_length_histogram(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.selectExpr(
+            "lang",
+            f"CAST(FLOOR(n_chars / {BUCKET_CHARS}.0) AS INT) AS bucket",
+            "n_chars",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("ROUND(AVG(n_chars), 2)").alias("avg_chars"),
+        )
+    )
+
+
+Q35_SQL = f"""
+SELECT lang, CAST(FLOOR(n_chars / {BUCKET_CHARS}.0) AS INT) AS bucket,
+       COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars
+FROM documents GROUP BY lang, bucket
+"""
+
+
+QUERIES = {
+    "q33_neardup_clusters": (q33_neardup_clusters, Q33_SQL),
+    "q34_stratified_sample": (q34_stratified_sample, Q34_SQL),
+    "q35_length_histogram": (q35_length_histogram, Q35_SQL),
+}
