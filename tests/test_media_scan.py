@@ -103,3 +103,28 @@ def test_path_form_resume_skips_committed(spark, corpus_on_disk):
         ),
     )
     assert again.count() == 0
+
+
+def test_arbitrary_garbage_payloads_are_row_errors(spark):
+    """Fuzz: any byte soup in the blobs table must surface as per-row error
+    rows — never a task/job failure (the pipeline's failure-isolation rule)."""
+    import numpy as np
+
+    from tableextraction_spark.pipeline import BLOBS_SCHEMA, detect_tables
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # random payloads + adversarial prefixes: truncated IMG1/PNG/JPEG/PDF
+    payloads = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8)) for n in (0, 1, 3, 17, 400)]
+    payloads += [
+        b"IMG1" + b"\x00" * 3,                      # truncated header
+        b"IMG1" + (255).to_bytes(4, "little") * 2,  # header claims huge size
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8,         # PNG, no chunks
+        b"\xff\xd8\xff\xe0" + b"\x00" * 10,         # JPEG, no SOF/SOS
+        b"%PDF-1.4\n%%EOF",                          # PDF (stub or renderer)
+    ]
+    for i, p in enumerate(payloads):
+        rows.append({"media_ref": f"fz{i}", "doc_id": f"fz{i}", "page_no": 0, "content": p})
+    out = detect_tables(spark.createDataFrame(rows, BLOBS_SCHEMA)).collect()
+    assert len(out) == len(payloads)
+    assert all(r.error is not None for r in out)

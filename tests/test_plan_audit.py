@@ -152,3 +152,28 @@ def test_q26_ivf_no_sort_merge_join(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin") >= 2
+
+
+def test_q34_sample_is_zero_shuffle_scan_filter(spark):
+    # deterministic sampling must stay a pushdown-friendly scan→filter:
+    # no exchange, no join, and only the 2 needed columns + doc_id read
+    plan = plan_of(spark, "q34_stratified_sample")
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan
+    scans = scan_columns(plan, "documents")
+    assert scans and set(scans[0]) == {"doc_id", "lang"}
+
+
+def test_q35_histogram_single_partial_agg(spark):
+    plan = plan_of(spark, "q35_length_histogram")
+    # partial (map-side) + final HashAggregate around exactly one exchange
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    scans = scan_columns(plan, "documents")
+    assert scans and set(scans[0]) == {"lang", "n_chars"}
+
+
+def test_q33_label_propagation_no_cartesian(spark):
+    plan = plan_of(spark, "q33_neardup_clusters")
+    assert "CartesianProduct" not in plan
