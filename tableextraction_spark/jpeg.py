@@ -355,6 +355,65 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
 
 
+def _encode_block(bw, block, q, dc_codes, ac_codes, pred: int) -> int:
+    """DCT→quantize→entropy-encode one 8×8 level-shifted block; returns the
+    new DC predictor."""
+    coeffs = _C @ block @ _C.T
+    zz = np.rint(coeffs.reshape(-1)[ZIGZAG] / q).astype(np.int32)
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    t = abs(diff).bit_length()
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        mag = diff if diff > 0 else diff + (1 << t) - 1
+        bw.write(mag, t)
+    run = 0
+    last_nz = max(np.nonzero(zz)[0]) if zz.any() else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+                break
+            run += 1
+            if run == 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.write(code, ln)
+                run = 0
+            continue
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        mag = v if v > 0 else v + (1 << s) - 1
+        bw.write(mag, s)
+        run = 0
+    return pred
+
+
+def _pad_to(img: np.ndarray, mult: int) -> np.ndarray:
+    """Edge-replicate pad a 2-D float array to multiples of ``mult``."""
+    h, w = img.shape
+    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _tables_segments(q: np.ndarray) -> bytes:
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))  # zigzag order
+    dht = _seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    dht += _seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    return dqt + dht
+
+
 def encode_jpeg_gray(img: np.ndarray, quality_div: int = 1) -> bytes:
     """uint8 H×W grayscale → baseline JPEG (Annex K tables, 4:4:4).
 
@@ -371,55 +430,56 @@ def encode_jpeg_gray(img: np.ndarray, quality_div: int = 1) -> bytes:
     ac_codes = _encode_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     bw = _BitWriter()
     pred = 0
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.empty((ph, pw), dtype=np.float64)
-    padded[:h, :w] = img
-    padded[h:, :w] = img[-1:, :]          # edge-replicate pad
-    padded[:, w:] = padded[:, w - 1 : w]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    padded = _pad_to(img.astype(np.float64), 8)
+    for by in range(0, padded.shape[0], 8):
+        for bx in range(0, padded.shape[1], 8):
             block = padded[by : by + 8, bx : bx + 8] - 128.0
-            coeffs = _C @ block @ _C.T
-            zz = np.rint(coeffs.reshape(-1)[ZIGZAG] / q).astype(np.int32)
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            t = int(diff).bit_length() if diff != 0 else 0
-            if diff < 0:
-                t = int(-diff).bit_length()
-            code, ln = dc_codes[t]
-            bw.write(code, ln)
-            if t:
-                mag = diff if diff > 0 else diff + (1 << t) - 1
-                bw.write(mag, t)
-            run = 0
-            last_nz = max(np.nonzero(zz)[0]) if zz.any() else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    if k > last_nz:
-                        code, ln = ac_codes[0x00]  # EOB
-                        bw.write(code, ln)
-                        break
-                    run += 1
-                    if run == 16:
-                        code, ln = ac_codes[0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run = 0
-                    continue
-                s = int(v).bit_length() if v > 0 else int(-v).bit_length()
-                code, ln = ac_codes[(run << 4) | s]
-                bw.write(code, ln)
-                mag = v if v > 0 else v + (1 << s) - 1
-                bw.write(mag, s)
-                run = 0
+            pred = _encode_block(bw, block, q, dc_codes, ac_codes, pred)
     bw.flush()
+    sof = _seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return MAGIC + _tables_segments(q) + sof + sos + bytes(bw.out) + b"\xff\xd9"
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))  # zigzag order
-    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
-    dht = seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
-    dht += seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return MAGIC + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+def encode_jpeg_rgb(img: np.ndarray, quality_div: int = 1) -> bytes:
+    """uint8 H×W×3 RGB → baseline JPEG, YCbCr **4:2:0** (the common scan
+    subsampling) — exercises the decoder's interleaved-MCU + chroma-upsample
+    path.  One shared Annex-K table for all components (legal; table id 0).
+    """
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected uint8 H×W×3 RGB, got {img.dtype} {img.shape}")
+    h, w = img.shape[:2]
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    # pad Y to 16 (MCU = 2×2 luma blocks), then 2×2-average the chroma
+    yp = _pad_to(y, 16)
+    cbp = _pad_to(cb, 16)
+    crp = _pad_to(cr, 16)
+    cb2 = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+    cr2 = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+    q = np.maximum(1, QUANT_LUMA[ZIGZAG] // quality_div)
+    dc_codes = _encode_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _encode_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(0, yp.shape[0], 16):
+        for mx in range(0, yp.shape[1], 16):
+            for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8)):  # 4 Y blocks
+                block = yp[my + by : my + by + 8, mx + bx : mx + bx + 8] - 128.0
+                preds[0] = _encode_block(bw, block, q, dc_codes, ac_codes, preds[0])
+            cy, cx = my // 2, mx // 2
+            for ci, plane in ((1, cb2), (2, cr2)):
+                block = plane[cy : cy + 8, cx : cx + 8] - 128.0
+                preds[ci] = _encode_block(bw, block, q, dc_codes, ac_codes, preds[ci])
+    bw.flush()
+    sof = _seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return MAGIC + _tables_segments(q) + sof + sos + bytes(bw.out) + b"\xff\xd9"

@@ -89,3 +89,28 @@ def test_extract_spans_equality_over_jpeg_corpus(spark):
         ]
         exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in e["spans"]]
         assert got == exp, f"span mismatch in {e['doc_id']}"
+
+
+def test_rgb_420_roundtrip():
+    """Color 4:2:0 exercises the interleaved-MCU decode + chroma upsample."""
+    from tableextraction_spark.jpeg import encode_jpeg_rgb
+
+    img = np.zeros((20, 28, 3), dtype=np.uint8)
+    img[:, :, 0] = 200  # reddish flat field with a dark band
+    img[:, :, 1] = 80
+    img[:, :, 2] = 60
+    img[8:12, :, :] = 30
+    out = decode_jpeg(encode_jpeg_rgb(img, quality_div=8))
+    assert out.shape == (20, 28, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    # luma near-exact; chroma limited by 2x2 subsampling at band edges
+    assert err.mean() < 8 and np.median(err) <= 3
+
+
+def test_rgb_420_noise_bounded():
+    from tableextraction_spark.jpeg import encode_jpeg_rgb
+
+    img = _img(17, 19, seed=9)[..., None].repeat(3, axis=2)  # gray-as-RGB
+    out = decode_jpeg(encode_jpeg_rgb(img, quality_div=4))
+    assert out.shape == (17, 19, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 20
