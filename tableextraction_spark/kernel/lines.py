@@ -31,7 +31,8 @@ def _row_runs(mask: np.ndarray, min_len: int) -> np.ndarray:
     """
     if mask.size == 0:
         return _EMPTY3
-    cand = np.nonzero(mask.sum(axis=1) >= min_len)[0]
+    # count_nonzero beats bool-sum (no int64 widening) on the full-page pass
+    cand = np.nonzero(np.count_nonzero(mask, axis=1) >= min_len)[0]
     if cand.size == 0:
         return _EMPTY3
     sub = mask[cand]

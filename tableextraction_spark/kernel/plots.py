@@ -36,33 +36,61 @@ LINE_MASK_BAND = 3  # px masked around detected axis/grid lines
 
 def blob_centers(ink: np.ndarray) -> np.ndarray:
     """Connected components (4-adjacency) of an ink mask → int32[N,2] (x, y)
-    rounded centroids.  Pure-NumPy BFS per component; marker blobs are tiny."""
-    visited = np.zeros_like(ink, dtype=bool)
+    rounded centroids.
+
+    Run-based labeling: horizontal ink runs are extracted with one
+    vectorized diff pass (the same trick as lines._row_runs), then
+    union-find joins runs on adjacent rows whose column extents overlap —
+    exactly 4-adjacency, but the Python work is O(#runs), not O(#pixels)
+    (the per-pixel BFS this replaces profiled at 12% of the whole page
+    kernel).  Centroids come from exact per-run pixel sums, so outputs are
+    bit-identical to the BFS (same banker's rounding, same (x, y) sort)."""
     h, w = ink.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = ink
+    d = np.diff(padded, axis=1)
+    rs, cs = np.nonzero(d == 1)
+    _re, ce = np.nonzero(d == -1)
+    n = len(rs)
+    if n == 0:
+        return np.empty((0, 2), dtype=np.int32)
+    a, b = cs, ce - 1  # inclusive column extents, row-major order
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    # rows are sorted (row-major nonzero); two-pointer over adjacent rows
+    row_bounds = np.searchsorted(rs, np.arange(h + 1))
+    for r in range(h - 1):
+        i, iend = row_bounds[r], row_bounds[r + 1]
+        j, jend = row_bounds[r + 1], row_bounds[r + 2]
+        while i < iend and j < jend:
+            if a[i] <= b[j] and a[j] <= b[i]:  # column overlap → connected
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+            if b[i] <= b[j]:
+                i += 1
+            else:
+                j += 1
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    cnt_r = (b - a + 1).astype(np.float64)
+    sx_r = (a + b) * cnt_r / 2.0  # sum of x coords within the run
+    sy_r = rs * cnt_r
+    order = np.argsort(roots, kind="stable")
+    uniq, starts = np.unique(roots[order], return_index=True)
     centers = []
-    ys, xs = np.nonzero(ink)
-    for y0, x0 in zip(ys, xs):
-        if visited[y0, x0]:
-            continue
-        stack = [(y0, x0)]
-        visited[y0, x0] = True
-        comp_y, comp_x = [], []
-        while stack:
-            y, x = stack.pop()
-            comp_y.append(y)
-            comp_x.append(x)
-            for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
-                if 0 <= ny < h and 0 <= nx < w and ink[ny, nx] and not visited[ny, nx]:
-                    visited[ny, nx] = True
-                    stack.append((ny, nx))
+    for k in range(len(uniq)):
+        sl = order[starts[k] : starts[k + 1] if k + 1 < len(uniq) else n]
+        cnt = cnt_r[sl].sum()
         centers.append(
-            (int(round(float(np.mean(comp_x)))), int(round(float(np.mean(comp_y)))))
+            (int(round(sx_r[sl].sum() / cnt)), int(round(sy_r[sl].sum() / cnt)))
         )
-    return (
-        np.array(sorted(centers), dtype=np.int32)
-        if centers
-        else np.empty((0, 2), dtype=np.int32)
-    )
+    return np.array(sorted(centers), dtype=np.int32)
 
 
 def dbscan(points: np.ndarray, eps: float = DBSCAN_EPS,

@@ -93,3 +93,43 @@ def test_extract_objects_table_beats_plot():
                 assert kinds == {"plot"}
             else:
                 assert kinds == set()
+
+
+def test_blob_centers_matches_pixel_bfs():
+    """Run-based union-find labeling must be bit-identical to a per-pixel
+    4-adjacency BFS (the implementation it replaced) on random masks."""
+    import numpy as np
+
+    from tableextraction_spark.kernel.plots import blob_centers
+
+    def bfs_reference(ink):
+        visited = np.zeros_like(ink, dtype=bool)
+        h, w = ink.shape
+        centers = []
+        ys, xs = np.nonzero(ink)
+        for y0, x0 in zip(ys, xs):
+            if visited[y0, x0]:
+                continue
+            stack = [(y0, x0)]
+            visited[y0, x0] = True
+            cy, cx = [], []
+            while stack:
+                y, x = stack.pop()
+                cy.append(y)
+                cx.append(x)
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if 0 <= ny < h and 0 <= nx < w and ink[ny, nx] and not visited[ny, nx]:
+                        visited[ny, nx] = True
+                        stack.append((ny, nx))
+            centers.append((int(round(float(np.mean(cx)))), int(round(float(np.mean(cy))))))
+        return np.array(sorted(centers), dtype=np.int32) if centers else np.empty((0, 2), dtype=np.int32)
+
+    rng = np.random.default_rng(11)
+    for trial in range(60):
+        density = rng.uniform(0.02, 0.5)
+        ink = rng.random((rng.integers(1, 40), rng.integers(1, 40))) < density
+        got, exp = blob_centers(ink), bfs_reference(ink)
+        assert np.array_equal(got, exp), f"trial {trial}: {got} != {exp}"
+    # empty and full masks
+    assert blob_centers(np.zeros((5, 5), dtype=bool)).shape == (0, 2)
+    assert np.array_equal(blob_centers(np.ones((3, 7), dtype=bool)), [[3, 1]])
