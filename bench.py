@@ -70,8 +70,14 @@ def _consume(df) -> None:
     expressions under a count, so ``extract_spans(...).count()`` never runs
     the decode stage at all.  The ``noop`` sink consumes every row end-to-end
     like a real write, minus the I/O.
+
+    Caches released afterwards: several queries .cache() an intermediate
+    reused by two plan branches (q14/q22/q26/q31); without the clear, every
+    bench invocation would pin fresh cached partitions for the rest of the
+    session (storage-memory leak across the suite).
     """
     df.write.format("noop").mode("overwrite").save()
+    df.sparkSession.catalog.clearCache()
 
 
 def ensure_corpus(spark, n_docs: int) -> tuple[str, str]:
@@ -98,12 +104,14 @@ def bench_extraction(spark, n_docs: int, passes: int = 2) -> dict:
     docs_path, blobs_path = ensure_corpus(spark, n_docs)
     docs = spark.read.parquet(docs_path)
     n_pages = spark.read.parquet(blobs_path).count()  # metadata-only, untimed
-    # One full untimed pass: warms the OS page cache on the blob parquet,
-    # spins up + imports numpy in all 32 Python workers, and JITs the JVM
-    # paths.  Measured: cold 16.5 s vs steady-state 4-5 s on the same corpus
-    # — a production job runs for hours, so steady-state is the honest
-    # throughput; best-of-N timed passes filters host noise (the big
-    # sf1-equivalent corpus amortizes fixed costs itself, so one pass does).
+    # One full untimed pass: warms the OS page cache on the blob parquet
+    # (the bench dir is disk-backed), spins up + imports numpy in all 32
+    # Python workers, and JITs the JVM paths.  Measured: cold 16.5 s vs
+    # steady-state 4-5 s on the same corpus — a production job runs for
+    # hours, so steady-state is the honest throughput.  best-of-N TIMED
+    # passes then filters host noise; the wide sf1-equivalent corpus
+    # amortizes noise by length, so passes=1 suffices there (the warm pass
+    # is still required — it is what makes the single timed pass warm).
     _consume(extract_spans(spark, docs, blobs_path))
     dt = float("inf")
     for _ in range(passes):

@@ -53,11 +53,14 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
 
     Replaces ``df.rdd.getNumPartitions()`` (which forces DataFrame→RDD
     conversion and can re-materialize the plan) with the same arithmetic the
-    JVM file scan uses: ~``ceil(file_size / maxPartitionBytes)`` splits per
-    file.  Returns None when no file metadata is available (non-file
-    sources); remote-filesystem scans return ``len(files)`` as a floor —
-    production split sizing there is governed by
-    ``spark.sql.files.maxPartitionBytes`` and such scans are already healthy.
+    JVM file scan uses: large files split at ``maxPartitionBytes`` and small
+    files BIN-PACK with ``openCostInBytes`` padding — so the estimate is
+    ``ceil(Σ(size_i + openCost) / maxPartitionBytes)``, not a per-file
+    ceiling (which over-counts small files and would skip the repartition
+    that keeps all cores busy through the decode stage).  Returns None when
+    no file metadata is available (non-file sources); remote-filesystem
+    scans return ``len(files)`` as a floor — production split sizing there
+    is governed by the same confs and such scans are already healthy.
     """
     import os
     from urllib.parse import urlparse
@@ -68,12 +71,19 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
-    raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    digits = "".join(ch for ch in str(raw) if ch.isdigit())
-    max_pb = int(digits) if digits else 134217728
-    if str(raw).lower().rstrip("b").endswith(("k", "m", "g")):
-        max_pb *= {"k": 2**10, "m": 2**20, "g": 2**30}[str(raw).lower().rstrip("b")[-1]]
-    splits = 0
+
+    def _bytes_conf(key: str, default: int) -> int:
+        raw = str(df.sparkSession.conf.get(key, str(default)))
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        val = int(digits) if digits else default
+        unit = raw.lower().rstrip("b")
+        if unit and unit[-1] in ("k", "m", "g"):
+            val *= {"k": 2**10, "m": 2**20, "g": 2**30}[unit[-1]]
+        return val
+
+    max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", 134217728)
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 * 2**20)
+    total_cost = 0
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("", "file"):
@@ -82,8 +92,8 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
             size = os.path.getsize(u.path or f)
         except OSError:
             return len(files)
-        splits += max(1, -(-size // max_pb))
-    return splits
+        total_cost += size + open_cost
+    return max(1, -(-total_cost // max_pb))
 
 
 def detect_tables(

@@ -39,6 +39,9 @@ def check_query(spark, con, fn, sql, sf_dir: str):
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    # some queries cache a branch-shared frame; release it so a full-suite
+    # run doesn't accumulate pinned partitions query after query
+    spark.catalog.clearCache()
     if sql is None:
         return True, f"rows-only, {len(srows)} rows"
     rel = con.sql(sql)

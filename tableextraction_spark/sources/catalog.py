@@ -26,9 +26,11 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-# catalog refs are dotted identifiers (db.table / catalog.db.table); anything
-# else — including bare relative dirs like "results" — is a filesystem path.
-_CATALOG_REF = re.compile(r"^\w+(\.\w+){1,2}$")
+# catalog refs are dotted identifiers — db.table, catalog.db.table, and
+# nested namespaces up to catalog.ns1.ns2.table, with hyphens allowed in
+# each part (common in catalog names).  Anything else — including bare
+# relative dirs like "results" — is a filesystem path.
+_CATALOG_REF = re.compile(r"^[\w-]+(\.[\w-]+){1,3}$")
 
 
 def is_path(ref: str) -> bool:

@@ -45,13 +45,22 @@ def list_row_groups(
     splits: list[tuple[str, int]] = []
     for frag in ds.fragments:
         meta = frag.metadata or pq.ParquetFile(frag.path).metadata
+        if meta.num_row_groups == 0:
+            continue  # empty part file (zero-row commit) — nothing to scan
         # resolve against the parquet LEAF-column order, not the Arrow field
         # index — they diverge as soon as a nested column precedes doc_id,
         # and a wrong index would silently prune on another column's stats
         doc_idx = next(
-            i for i in range(meta.row_group(0).num_columns)
-            if meta.row_group(0).column(i).path_in_schema == "doc_id"
+            (
+                i for i in range(meta.row_group(0).num_columns)
+                if meta.row_group(0).column(i).path_in_schema == "doc_id"
+            ),
+            None,
         )
+        if doc_idx is None:
+            raise ValueError(
+                f"media table {frag.path} has no 'doc_id' leaf column"
+            )
         for rg in range(meta.num_row_groups):
             if keep_sorted is not None:
                 stats = meta.row_group(rg).column(doc_idx).statistics

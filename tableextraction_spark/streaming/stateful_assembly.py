@@ -57,7 +57,18 @@ def _update_doc(key, pdfs, state: GroupState):
                     )
                 )
     if n_pages is not None and len(seen) >= n_pages:
-        spans = json.loads(spans_json)
+        # to_json DROPS null fields — normalize every span so a production
+        # doc with a null text/media_ref can't KeyError the state function
+        # (which would crash-loop on the same checkpointed state forever)
+        spans = [
+            {
+                "kind": s.get("kind", ""),
+                "text": s.get("text", ""),
+                "media_ref": s.get("media_ref", ""),
+                "offset": s.get("offset", i),
+            }
+            for i, s in enumerate(json.loads(spans_json))
+        ]
         merged = merge_doc_spans(spans, [tuple(json.loads(o)) for o in objs])
         state.remove()
         yield pd.DataFrame([{"doc_id": doc_id, "spans": merged}])
@@ -76,10 +87,35 @@ def run_stateful(
 ) -> None:
     """Drain blob files → exactly one (doc_id, spans) row per COMPLETE doc.
 
-    Incomplete documents stay in the state store and complete on a later
-    run against the same checkpoint (file offsets + state both checkpointed:
-    exactly-once across restarts).
+    Text-only documents (no media pages, hence no blob rows) are emitted by
+    a one-time batch write (marker-guarded); paged documents emit from
+    state when their declared page count completes.  Incomplete documents
+    stay in the state store and complete on a later run against the same
+    checkpoint (file offsets + state both checkpointed: exactly-once across
+    restarts).
     """
+    import os
+
+    # Text-only documents (zero media spans) never appear in the blobs
+    # stream, so state-based completeness would silently drop them; emit
+    # their span rows once, batch-side, guarded by a marker in the
+    # checkpoint dir we own (restarts skip it).  A crash between the write
+    # and the marker can duplicate these rows — a transactional sink
+    # (Iceberg) closes that window at deployment.
+    os.makedirs(checkpoint, exist_ok=True)
+    marker = os.path.join(checkpoint, "_text_only_docs_written")
+    if not os.path.exists(marker):
+        from ..operators import assemble_spans_sql
+
+        text_only = docs.where(
+            F.expr("size(filter(spans, s -> s.kind = 'media')) = 0")
+        )
+        empty_tables = spark.createDataFrame([], TABLES_SCHEMA)
+        assemble_spans_sql(text_only, empty_tables).write.mode("append").parquet(
+            out_path
+        )
+        open(marker, "w").close()
+
     stream = (
         spark.readStream.schema(BLOBS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -104,9 +140,13 @@ def run_stateful(
             GroupStateTimeout.NoTimeout,
         )
     )
+    # foreachBatch append, NOT the parquet streaming sink: that sink's
+    # _spark_metadata log makes the directory readable only through the log,
+    # hiding the batch-written text-only rows above from every reader
     (
-        merged.writeStream.format("parquet")
-        .option("path", out_path)
+        merged.writeStream.foreachBatch(
+            lambda batch_df, _epoch: batch_df.write.mode("append").parquet(out_path)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -81,3 +81,11 @@ def test_run_to_parquet_catalog_table_commit_and_resume(spark):
         assert read_table(spark, ref).count() == 4
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ref}")
+
+
+def test_is_path_nested_and_hyphenated_catalog_refs():
+    # 4-part Iceberg nested namespaces and hyphenated catalog names are
+    # catalog refs, not local dirs (code-review round 2 finding)
+    assert not is_path("lake.ns1.ns2.spans")
+    assert not is_path("my-catalog.db.tbl")
+    assert is_path("lake.ns1.ns2.ns3.spans")  # >4 parts: not a valid ref

@@ -128,3 +128,37 @@ def test_arbitrary_garbage_payloads_are_row_errors(spark):
     out = detect_tables(spark.createDataFrame(rows, BLOBS_SCHEMA)).collect()
     assert len(out) == len(payloads)
     assert all(r.error is not None for r in out)
+
+
+def test_empty_part_file_is_skipped(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.pipeline import BLOBS_SCHEMA
+    from tableextraction_spark.sources.media_parquet import list_row_groups
+
+    _, blobs, _ = gen_corpus(2)
+    path = str(tmp_path / "blobs")
+    spark.createDataFrame(blobs, BLOBS_SCHEMA).coalesce(1).write.parquet(path)
+    # drop an EMPTY part file (zero row groups) into the dataset
+    schema = pa.schema(
+        [("media_ref", pa.string()), ("doc_id", pa.string()),
+         ("page_no", pa.int32()), ("content", pa.binary())]
+    )
+    pq.ParquetWriter(f"{path}/part-empty.parquet", schema).close()
+    splits = list_row_groups(path)
+    assert splits and all("part-empty" not in p for p, _rg in splits)
+
+
+def test_estimate_scan_splits_bin_packs_small_files(spark, tmp_path):
+    from tableextraction_spark.pipeline import _estimate_scan_splits
+
+    # 16 small files must NOT estimate as 16 partitions — Spark bin-packs
+    # them; the estimate must stay within 2x of the real scan partitioning
+    p = str(tmp_path / "many")
+    spark.range(100_000).repartition(16).write.parquet(p)
+    df = spark.read.parquet(p)
+    est = _estimate_scan_splits(df)
+    real = df.rdd.getNumPartitions()
+    assert est is not None and est <= max(2 * real, real + 2), (est, real)

@@ -80,3 +80,52 @@ def test_incomplete_doc_held_until_later_run(spark, tmp_path):
     final = spark.read.parquet(out).collect()
     assert len(final) == 3
     assert _tuples(final) == _exp_tuples(expected)
+
+
+def test_text_only_doc_emitted_once_across_runs(spark, tmp_path):
+    # a doc with ZERO media pages never appears in the blobs stream; the
+    # marker-guarded batch write must emit it exactly once across two runs
+    docs, blobs, expected = gen_corpus(2)
+    docs.append(
+        {
+            "doc_id": "textonly",
+            "spans": [
+                {"kind": "text", "text": "hello", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "world", "media_ref": "", "offset": 1},
+            ],
+        }
+    )
+    docs_df = spark.createDataFrame(docs, DOCS_SCHEMA)
+    blobs_dir = str(tmp_path / "blobs_in")
+    out = str(tmp_path / "spans_out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(blobs, BLOBS_SCHEMA).coalesce(1).write.parquet(blobs_dir)
+    run_stateful(spark, blobs_dir, docs_df, out, ckpt)
+    run_stateful(spark, blobs_dir, docs_df, out, ckpt)  # restart: no dup
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    got = _tuples(rows)
+    assert got["textonly"] == [("text", "hello", "", 0), ("text", "world", "", 1)]
+
+
+def test_null_span_fields_survive_state_roundtrip(spark, tmp_path):
+    # to_json drops null fields; the state function must normalize instead
+    # of KeyError-crash-looping on checkpointed state
+    docs, blobs, _ = gen_corpus(1)
+    assert docs[0]["doc_id"] == "doc-000000"
+    docs[0]["spans"][0] = {
+        "kind": "text",
+        "text": None,
+        "media_ref": None,
+        "offset": 0,
+    }
+    docs_df = spark.createDataFrame(docs, DOCS_SCHEMA)
+    blobs_dir = str(tmp_path / "blobs_in")
+    out = str(tmp_path / "spans_out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(blobs, BLOBS_SCHEMA).coalesce(1).write.parquet(blobs_dir)
+    run_stateful(spark, blobs_dir, docs_df, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    first = sorted(rows[0].spans, key=lambda s: s.offset)[0]
+    assert (first.kind, first.text, first.media_ref) == ("text", "", "")
