@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .common import load
-from .textops import Q14_SQL, q14_minhash_band_pairs
+from .textops import (
+    _DUCK_SH_SUB,
+    Q14_SQL,
+    _with_shingles,
+    q14_minhash_band_pairs,
+)
 
 # --- q33: near-duplicate clusters (bounded min-label propagation) ---
 #
@@ -153,8 +158,51 @@ FROM documents GROUP BY lang, bucket
 """
 
 
+# --- q36: benchmark decontamination (shared-shingle overlap vs eval set) ---
+#
+# Before training, every corpus is screened for documents that leak the
+# evaluation benchmarks.  Stand-in eval set: doc_id % EVAL_MOD == EVAL_REM
+# (deterministic, oracle-mirrorable).  A corpus doc is contaminated when it
+# shares ≥ CONTAM_T distinct word-3-gram shingles with an eval doc —
+# measured separation on this corpus: genuine near-dups share 37 shingles,
+# background noise ≤ 2.  Scale shape: the eval side of the shingle join is
+# a benchmark suite (tiny), so it broadcasts; the corpus side is one
+# scan→explode with no pre-shuffle, and the (doc, eval) count is a single
+# map-side-combined aggregation.
+
+EVAL_MOD, EVAL_REM = 100, 7
+CONTAM_T = 5
+
+
+def q36_benchmark_contamination(spark, sf_dir):
+    grams = _with_shingles(spark, sf_dir).selectExpr(
+        "doc_id", "explode(array_distinct(sh)) AS g"
+    )
+    ev = grams.where(F.col("doc_id") % EVAL_MOD == EVAL_REM).selectExpr(
+        "doc_id AS eval_id", "g"
+    )
+    corpus = grams.where(F.col("doc_id") % EVAL_MOD != EVAL_REM)
+    return (
+        corpus.join(F.broadcast(ev), "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))  # grams pre-distinct per doc
+        .where(F.col("n_shared") >= CONTAM_T)
+    )
+
+
+Q36_SQL = f"""
+WITH g AS (SELECT doc_id, UNNEST(list_distinct(sh)) AS g FROM {_DUCK_SH_SUB}),
+ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+co AS (SELECT doc_id, g FROM g WHERE doc_id % {EVAL_MOD} != {EVAL_REM})
+SELECT doc_id, eval_id, COUNT(*) AS n_shared
+FROM co JOIN ev USING (g) GROUP BY doc_id, eval_id
+HAVING COUNT(*) >= {CONTAM_T}
+"""
+
+
 QUERIES = {
     "q33_neardup_clusters": (q33_neardup_clusters, Q33_SQL),
     "q34_stratified_sample": (q34_stratified_sample, Q34_SQL),
     "q35_length_histogram": (q35_length_histogram, Q35_SQL),
+    "q36_benchmark_contamination": (q36_benchmark_contamination, Q36_SQL),
 }
