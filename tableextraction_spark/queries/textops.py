@@ -103,23 +103,33 @@ FROM {_DUCK_SH_SUB}
 # LSH banding per theory: the band key is a hash OF the signature block
 # (sig0||sig1), never a prefix of a min-hash value — the minimum of N hashes
 # is Beta-distributed near 0, so value prefixes pile ~all docs into a few hot
-# buckets (measured: 1.13M candidate pairs instead of ~48k at sf0.1).  At
-# test scale the block hash is truncated to 2 hex chars (256 uniform buckets)
-# so random collisions still exercise the join + exact-Jaccard verify; at
-# production scale use the full hash (collisions ⇒ signature match only).
+# buckets (measured: 1.13M candidate pairs instead of ~48k at sf0.1).  The
+# band-hash WIDTH scales with the corpus: hex chars = clamp(ceil(log16 N)+1,
+# 2, 32), i.e. bucket count ≳ 16·N, keeping expected random collisions per
+# doc O(1) at any N while identical signatures still collide at every width
+# (same hash ⇒ same prefix).  Width comes from a 1-row count broadcast — no
+# collect, same device as q21's dynamic bits.
+
+_BAND_HEX_EXPR = (
+    "CAST(LEAST(32, GREATEST(2, CEIL(LOG2(COUNT(*)) / 4) + 1)) AS INT)"
+)
+
 
 def q14_minhash_band_pairs(spark, sf_dir):
+    sh = _with_shingles(spark, sf_dir)
+    whex = sh.groupBy().agg(F.expr(_BAND_HEX_EXPR).alias("whex"))
     sigs = (
-        _with_shingles(spark, sf_dir)
-        .selectExpr("doc_id", "array_distinct(sh) AS shd")
+        sh.crossJoin(F.broadcast(whex))
+        .selectExpr("doc_id", "array_distinct(sh) AS shd", "whex")
         .selectExpr(
             "doc_id",
             "shd",
+            "whex",
             "array_min(transform(shd, s -> md5(concat('0', s)))) AS m0",
             "array_min(transform(shd, s -> md5(concat('1', s)))) AS m1",
         )
         .selectExpr(
-            "doc_id", "shd", "substring(md5(concat(m0, m1)), 1, 2) AS band"
+            "doc_id", "shd", "substring(md5(concat(m0, m1)), 1, whex) AS band"
         )
         # cache: both self-join branches reuse the signatures; without it each
         # branch re-evaluates the shingle+md5 pipeline (measured 28.6 s → 7 s
@@ -151,12 +161,13 @@ def q14_minhash_band_pairs(spark, sf_dir):
 
 
 Q14_SQL = f"""
-WITH sigs AS (
+WITH wh AS (SELECT {_BAND_HEX_EXPR} AS whex FROM documents),
+sigs AS (
   SELECT doc_id, shd,
          substring(md5(list_aggregate(list_transform(shd, s -> md5('0' || s)), 'min')
                        || list_aggregate(list_transform(shd, s -> md5('1' || s)), 'min')),
-                   1, 2) AS band
-  FROM (SELECT doc_id, list_distinct(sh) AS shd FROM {_DUCK_SH_SUB})),
+                   1, whex) AS band
+  FROM (SELECT doc_id, list_distinct(sh) AS shd FROM {_DUCK_SH_SUB}), wh),
 pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          len(list_filter(a.shd, x -> list_contains(b.shd, x))) AS inter,
