@@ -3,8 +3,14 @@
 The reference is strictly batch (SURVEY §2.9), but every stage of this
 engine is a deterministic per-page/per-document map, so the same DAG runs
 incrementally: new blob files landing in the ingest directory are picked up
-by a parquet file stream and processed exactly once (checkpointed file
-offsets), with the identical decode/assembly operators via ``foreachBatch``.
+by a parquet file stream and processed once per normal run/restart
+(checkpointed file offsets), with the identical decode/assembly operators
+via ``foreachBatch``.  Delivery precision: ``foreachBatch`` + plain parquet
+append is exactly-once across clean restarts but at-least-once under a
+crash between the append and the offset commit — one micro-batch can
+replay.  A transactional sink (Iceberg ``writeTo``) or a downstream
+``dropDuplicates(doc_id)`` closes that window; same caveat applies to
+``stateful_assembly``.
 
 Ingest-unit contract: a document's pages must land in the same micro-batch
 (the usual case — the ingest unit is a file of whole documents).  Pages
