@@ -38,23 +38,21 @@ def blob_centers(ink: np.ndarray) -> np.ndarray:
     """Connected components (4-adjacency) of an ink mask → int32[N,2] (x, y)
     rounded centroids.
 
-    Run-based labeling: horizontal ink runs are extracted with one
-    vectorized diff pass (the same trick as lines._row_runs), then
-    union-find joins runs on adjacent rows whose column extents overlap —
-    exactly 4-adjacency, but the Python work is O(#runs), not O(#pixels)
-    (the per-pixel BFS this replaces profiled at 12% of the whole page
-    kernel).  Centroids come from exact per-run pixel sums, so outputs are
+    Run-based labeling: horizontal ink runs come from lines._row_runs (the
+    shared vectorized diff pass, min_len=1 → every run), then union-find
+    joins runs on adjacent rows whose column extents overlap — exactly
+    4-adjacency, but the Python work is O(#runs), not O(#pixels) (the
+    per-pixel BFS this replaces profiled at 12% of the whole page kernel).
+    Centroids come from exact per-run pixel sums, so outputs are
     bit-identical to the BFS (same banker's rounding, same (x, y) sort)."""
-    h, w = ink.shape
-    padded = np.zeros((h, w + 2), dtype=np.int8)
-    padded[:, 1:-1] = ink
-    d = np.diff(padded, axis=1)
-    rs, cs = np.nonzero(d == 1)
-    _re, ce = np.nonzero(d == -1)
-    n = len(rs)
+    from .lines import _row_runs
+
+    h, _w = ink.shape
+    runs = _row_runs(ink, 1)  # int32[N,3] (row, start, end) row-major
+    n = len(runs)
     if n == 0:
         return np.empty((0, 2), dtype=np.int32)
-    a, b = cs, ce - 1  # inclusive column extents, row-major order
+    rs, a, b = runs[:, 0], runs[:, 1], runs[:, 2]  # inclusive extents
     parent = np.arange(n)
 
     def find(i: int) -> int:

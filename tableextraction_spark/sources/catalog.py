@@ -26,15 +26,31 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-# catalog refs are dotted identifiers — db.table, catalog.db.table, and
-# nested namespaces up to catalog.ns1.ns2.table, with hyphens allowed in
-# each part (common in catalog names).  Anything else — including bare
-# relative dirs like "results" — is a filesystem path.
-_CATALOG_REF = re.compile(r"^[\w-]+(\.[\w-]+){1,3}$")
+# Syntax alone cannot separate "my-catalog.db.tbl" (catalog) from
+# "results-v2.d" (a local dir): both are dotted-hyphenated.  Routing rule:
+# 1. `.parquet` suffix → always a path.
+# 2. When a session is available and the first dotted part names a
+#    CONFIGURED catalog (spark.sql.catalog.<name> set — which any working
+#    catalog ref requires), → catalog.  This is how hyphenated or deeply
+#    nested refs route correctly, and only when they can actually work.
+# 3. Otherwise only plain 2-3 part \w identifiers (db.table /
+#    catalog.db.table) are catalog refs; everything else — bare names,
+#    hyphenated dotted names, 4+ parts without a configured catalog — is a
+#    filesystem path.
+_CATALOG_REF = re.compile(r"^\w+(\.\w+){1,2}$")
 
 
-def is_path(ref: str) -> bool:
-    return not _CATALOG_REF.match(ref) or ref.endswith(".parquet")
+def is_path(ref: str, spark: SparkSession | None = None) -> bool:
+    if ref.endswith(".parquet"):
+        return True
+    if spark is not None and "." in ref:
+        first = ref.split(".", 1)[0]
+        try:
+            if spark.conf.get(f"spark.sql.catalog.{first}", None):
+                return False
+        except Exception:
+            pass
+    return not _CATALOG_REF.match(ref)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -50,7 +66,7 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
     """Load a table by catalog name (Iceberg et al.) or parquet path."""
-    if is_path(ref):
+    if is_path(ref, spark):
         return spark.read.parquet(ref)
     return spark.table(ref)
 
@@ -64,7 +80,7 @@ def write_table(df: DataFrame, ref: str) -> None:
     the FIRST run of a job against a fresh table name succeed instead of
     dying at the final write after hours of extraction compute.
     """
-    if is_path(ref):
+    if is_path(ref, df.sparkSession):
         df.write.mode("append").parquet(ref)
         return
     try:

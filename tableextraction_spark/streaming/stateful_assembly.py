@@ -88,33 +88,43 @@ def run_stateful(
     """Drain blob files → exactly one (doc_id, spans) row per COMPLETE doc.
 
     Text-only documents (no media pages, hence no blob rows) are emitted by
-    a one-time batch write (marker-guarded); paged documents emit from
-    state when their declared page count completes.  Incomplete documents
-    stay in the state store and complete on a later run against the same
-    checkpoint (file offsets + state both checkpointed: exactly-once across
-    restarts).
+    a per-run batch write; paged documents emit from state when their
+    declared page count completes.  Every write anti-joins the committed
+    output, so reruns, crash-replayed micro-batches, and late-arriving
+    text-only docs are all handled exactly-once-effective.  Incomplete
+    documents stay in the state store and complete on a later run against
+    the same checkpoint.
     """
-    import os
+    def _append_new_docs(df: DataFrame) -> None:
+        """Idempotent append: drop docs already committed to out_path.
+
+        This one anti-join makes BOTH writers exactly-once-effective — a
+        crash-replayed micro-batch and a re-run of the text-only batch
+        write become no-ops instead of duplicating rows (the parquet
+        STREAMING sink would have given this via its _spark_metadata log,
+        but that log also hides batch-written files from readers; under an
+        Iceberg sink the anti-join reads the last committed snapshot and
+        the append is transactional).
+        """
+        try:
+            done = spark.read.parquet(out_path).select("doc_id")
+        except Exception:
+            done = None  # first write — nothing committed yet
+        if done is not None:
+            df = df.join(done, "doc_id", "left_anti")
+        df.write.mode("append").parquet(out_path)
 
     # Text-only documents (zero media spans) never appear in the blobs
     # stream, so state-based completeness would silently drop them; emit
-    # their span rows once, batch-side, guarded by a marker in the
-    # checkpoint dir we own (restarts skip it).  A crash between the write
-    # and the marker can duplicate these rows — a transactional sink
-    # (Iceberg) closes that window at deployment.
-    os.makedirs(checkpoint, exist_ok=True)
-    marker = os.path.join(checkpoint, "_text_only_docs_written")
-    if not os.path.exists(marker):
-        from ..operators import assemble_spans_sql
+    # them batch-side EVERY run (late-arriving text-only docs included) —
+    # the anti-join keeps reruns duplicate-free.
+    from ..operators import assemble_spans_sql
 
-        text_only = docs.where(
-            F.expr("size(filter(spans, s -> s.kind = 'media')) = 0")
-        )
-        empty_tables = spark.createDataFrame([], TABLES_SCHEMA)
-        assemble_spans_sql(text_only, empty_tables).write.mode("append").parquet(
-            out_path
-        )
-        open(marker, "w").close()
+    text_only = docs.where(
+        F.expr("size(filter(spans, s -> s.kind = 'media')) = 0")
+    )
+    empty_tables = spark.createDataFrame([], TABLES_SCHEMA)
+    _append_new_docs(assemble_spans_sql(text_only, empty_tables))
 
     stream = (
         spark.readStream.schema(BLOBS_SCHEMA)
@@ -128,6 +138,10 @@ def run_stateful(
         "doc_id",
         F.to_json("spans").alias("spans_json"),
         F.expr("size(filter(spans, s -> s.kind = 'media'))").alias("n_pages"),
+    ).where(
+        # text-only docs are handled batch-side above; if a stray blob row
+        # carried their doc_id, state's `seen >= 0` would emit a duplicate
+        F.col("n_pages") > 0
     )
     merged = (
         tables.join(docinfo, "doc_id")  # stream-static join
@@ -140,12 +154,13 @@ def run_stateful(
             GroupStateTimeout.NoTimeout,
         )
     )
-    # foreachBatch append, NOT the parquet streaming sink: that sink's
-    # _spark_metadata log makes the directory readable only through the log,
-    # hiding the batch-written text-only rows above from every reader
+    # foreachBatch + the committed-doc anti-join, NOT the parquet streaming
+    # sink: that sink's _spark_metadata log makes the directory readable
+    # only through the log (hiding the batch-written text-only rows), and
+    # the anti-join restores idempotent replay the blind append would lose
     (
         merged.writeStream.foreachBatch(
-            lambda batch_df, _epoch: batch_df.write.mode("append").parquet(out_path)
+            lambda batch_df, _epoch: _append_new_docs(batch_df)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

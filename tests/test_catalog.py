@@ -83,9 +83,16 @@ def test_run_to_parquet_catalog_table_commit_and_resume(spark):
         spark.sql(f"DROP TABLE IF EXISTS {ref}")
 
 
-def test_is_path_nested_and_hyphenated_catalog_refs():
-    # 4-part Iceberg nested namespaces and hyphenated catalog names are
-    # catalog refs, not local dirs (code-review round 2 finding)
-    assert not is_path("lake.ns1.ns2.spans")
-    assert not is_path("my-catalog.db.tbl")
-    assert is_path("lake.ns1.ns2.ns3.spans")  # >4 parts: not a valid ref
+def test_is_path_ambiguous_names_resolved_by_configured_catalog(spark):
+    # syntax alone cannot split "my-catalog.db.tbl" (catalog) from
+    # "results-v2.d" (local dir): the tiebreaker is whether the first part
+    # names a CONFIGURED catalog — which any working catalog ref requires
+    assert is_path("my-catalog.db.tbl")              # no session: path
+    assert is_path("my-catalog.db.tbl", spark)       # unconfigured: path
+    assert is_path("results-v2.d", spark)            # dir-looking: path
+    assert is_path("lake.ns1.ns2.spans", spark)      # unconfigured 4-part
+    spark.conf.set("spark.sql.catalog.my-catalog", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+    assert not is_path("my-catalog.db.tbl", spark)   # configured: catalog
+    assert not is_path("lake.ns1.ns2.spans", spark)  # nested ns: catalog
+    assert is_path("results-v2.d", spark)            # still a path
