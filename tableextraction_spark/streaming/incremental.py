@@ -5,12 +5,12 @@ engine is a deterministic per-page/per-document map, so the same DAG runs
 incrementally: new blob files landing in the ingest directory are picked up
 by a parquet file stream and processed once per normal run/restart
 (checkpointed file offsets), with the identical decode/assembly operators
-via ``foreachBatch``.  Delivery precision: ``foreachBatch`` + plain parquet
-append is exactly-once across clean restarts but at-least-once under a
-crash between the append and the offset commit — one micro-batch can
-replay.  A transactional sink (Iceberg ``writeTo``) or a downstream
-``dropDuplicates(doc_id)`` closes that window; same caveat applies to
-``stateful_assembly``.
+via ``foreachBatch``.  Delivery precision: ``foreachBatch`` parquet appends
+alone would be at-least-once under a crash between the append and the
+offset commit (one micro-batch can replay), so each batch write anti-joins
+the committed output — replays become no-ops and delivery is effectively
+exactly-once (``stateful_assembly`` uses the same device; an Iceberg sink
+makes the append itself transactional at deployment).
 
 Ingest-unit contract: a document's pages must land in the same micro-batch
 (the usual case — the ingest unit is a file of whole documents).  Pages
@@ -52,7 +52,16 @@ def run_incremental(
         batch_docs = docs.join(
             batch_df.select("doc_id").distinct(), "doc_id", "left_semi"
         )
-        assemble_spans_sql(batch_docs, tables).write.mode("append").parquet(out_path)
+        out = assemble_spans_sql(batch_docs, tables)
+        # idempotent append: a crash-replayed micro-batch re-derives the
+        # same docs; anti-joining the committed output turns the replay
+        # into a no-op (closes the at-least-once window documented above)
+        try:
+            done = spark.read.parquet(out_path).select("doc_id")
+            out = out.join(done, "doc_id", "left_anti")
+        except Exception:
+            pass  # first write — nothing committed yet
+        out.write.mode("append").parquet(out_path)
 
     (
         stream.writeStream.foreachBatch(process_batch)
