@@ -2,9 +2,13 @@
 
 ``entry(spark)`` — flagship: the full extraction pipeline (synthetic
 interleaved text+media corpus → detected tables → ordered spans).
-``queries()`` / ``oracle_sql()`` — operator coverage from SURVEY.md §2 plus
-the training-data ops (dedup / MinHash / SimHash / quality / langid / ANN),
-each with a DuckDB oracle where ANSI-SQL-expressible.
+``queries()`` / ``oracle_sql()`` — 36 entries: operator coverage from
+SURVEY.md §2 plus the training-data/curation ops (exact + MinHash-LSH +
+SimHash + embedding dedup, ANN with measured recall, quality / langid /
+token stats / winnowing, near-dup clustering, stratified sampling,
+benchmark decontamination), each with a DuckDB oracle where
+ANSI-SQL-expressible; the geometry flagship is gated by empty-on-success
+oracle queries (q24/q30).
 """
 
 from __future__ import annotations

@@ -49,3 +49,57 @@ def test_unrelated_docs_no_guaranteed_overlap(fingerprints):
     # with 5000-word vocab and 60-word docs, unrelated fingerprints are
     # (overwhelmingly) disjoint for this fixed seed
     assert not (fingerprints[100] & fingerprints[101])
+
+
+def test_label_propagation_equals_connected_components():
+    """q33's bounded min-label propagation must equal true connected
+    components whenever cluster diameter <= LP_ITERS — property-checked on
+    random pair graphs against a BFS reference."""
+    import numpy as np
+
+    from tableextraction_spark.queries.pipelineops import LP_ITERS
+
+    rng = np.random.default_rng(23)
+    for _trial in range(200):
+        n = int(rng.integers(2, 14))
+        # random sparse pair set (near-dup graphs are sparse)
+        m = int(rng.integers(0, n + 3))
+        pairs = {
+            tuple(sorted(rng.choice(n, size=2, replace=False).tolist()))
+            for _ in range(m)
+        }
+        if not pairs:
+            continue
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        verts = sorted(adj)
+        # BFS ground truth: min vertex per component, with diameter
+        comp_of, diam_ok = {}, True
+        for v in verts:
+            if v in comp_of:
+                continue
+            seen, frontier, depth = {v}, {v}, 0
+            while frontier:
+                frontier = {u for x in frontier for u in adj[x]} - seen
+                seen |= frontier
+                if frontier:
+                    depth += 1
+            for u in seen:
+                comp_of[u] = min(seen)
+            if depth > LP_ITERS:
+                diam_ok = False
+        # the algorithm under test (mirrors the Spark/SQL passes exactly)
+        lab = {v: v for v in verts}
+        for _ in range(LP_ITERS):
+            lab = {
+                v: min([lab[v]] + [lab[u] for u in adj[v]]) for v in verts
+            }
+        if diam_ok:
+            assert lab == comp_of
+        else:
+            # bounded passes may under-merge, but labels never cross
+            # component boundaries
+            for v in verts:
+                assert comp_of[lab[v]] == comp_of[v]
