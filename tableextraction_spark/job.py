@@ -43,8 +43,12 @@ def main(argv: list[str] | None = None) -> None:
     apply_engine_conf(spark)
     docs = read_table(spark, args.docs)
     # path form → python-native media scan (pixels stay in Python);
-    # catalog-table form (Iceberg) → JVM scan DataFrame
-    blobs = args.blobs if is_path(args.blobs) else read_table(spark, args.blobs)
+    # catalog-table form (Iceberg) → JVM scan DataFrame.  Pass the session
+    # so configured-catalog refs (hyphenated / nested-namespace) route the
+    # same way --docs does through read_table.
+    blobs = (
+        args.blobs if is_path(args.blobs, spark) else read_table(spark, args.blobs)
+    )
     run_to_parquet(
         spark,
         docs,

@@ -212,8 +212,20 @@ def run_to_parquet(
     if resume:
         try:
             committed = read_table(spark, out_path)
-        except Exception:
-            committed = None  # first run — nothing committed yet
+        except Exception as exc:
+            # first run: missing path / missing catalog table only — any
+            # other read failure (corrupt footer, permissions) must abort,
+            # not silently disable resume and reprocess the whole corpus
+            msg = str(exc)
+            if not any(
+                tag in msg
+                for tag in (
+                    "PATH_NOT_FOUND", "Path does not exist",
+                    "TABLE_OR_VIEW_NOT_FOUND", "not found",
+                )
+            ):
+                raise
+            committed = None
     out = extract_spans(
         spark, docs, blobs, committed=committed, metrics_path=metrics_path, **kw
     )

@@ -41,6 +41,15 @@ def run_incremental(
     classify: bool = False,
 ) -> None:
     """Drain new blob files → append (doc_id, spans) rows exactly once."""
+    from .sink import append_new_docs, read_committed_ids
+
+    # committed ids read once per run — only the previous run's final
+    # micro-batch can replay, so this snapshot is the sufficient dedup set
+    # (sink.py); path-not-found is the only swallowed read error
+    committed = read_committed_ids(spark, out_path)
+    if committed is not None:
+        committed = committed.cache()
+
     stream = (
         spark.readStream.schema(BLOBS_SCHEMA)
         .option("maxFilesPerTrigger", 16)
@@ -52,16 +61,7 @@ def run_incremental(
         batch_docs = docs.join(
             batch_df.select("doc_id").distinct(), "doc_id", "left_semi"
         )
-        out = assemble_spans_sql(batch_docs, tables)
-        # idempotent append: a crash-replayed micro-batch re-derives the
-        # same docs; anti-joining the committed output turns the replay
-        # into a no-op (closes the at-least-once window documented above)
-        try:
-            done = spark.read.parquet(out_path).select("doc_id")
-            out = out.join(done, "doc_id", "left_anti")
-        except Exception:
-            pass  # first write — nothing committed yet
-        out.write.mode("append").parquet(out_path)
+        append_new_docs(assemble_spans_sql(batch_docs, tables), out_path, committed)
 
     (
         stream.writeStream.foreachBatch(process_batch)
@@ -70,3 +70,5 @@ def run_incremental(
         .start()
         .awaitTermination()
     )
+    if committed is not None:
+        committed.unpersist()

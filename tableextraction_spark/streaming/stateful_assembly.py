@@ -95,36 +95,32 @@ def run_stateful(
     documents stay in the state store and complete on a later run against
     the same checkpoint.
     """
-    def _append_new_docs(df: DataFrame) -> None:
-        """Idempotent append: drop docs already committed to out_path.
+    from ..operators import assemble_spans_sql
+    from .sink import append_new_docs, read_committed_ids
 
-        This one anti-join makes BOTH writers exactly-once-effective — a
-        crash-replayed micro-batch and a re-run of the text-only batch
-        write become no-ops instead of duplicating rows (the parquet
-        STREAMING sink would have given this via its _spark_metadata log,
-        but that log also hides batch-written files from readers; under an
-        Iceberg sink the anti-join reads the last committed snapshot and
-        the append is transactional).
-        """
-        try:
-            done = spark.read.parquet(out_path).select("doc_id")
-        except Exception:
-            done = None  # first write — nothing committed yet
-        if done is not None:
-            df = df.join(done, "doc_id", "left_anti")
-        df.write.mode("append").parquet(out_path)
+    # Committed doc_ids read ONCE per run (see sink.py: only the previous
+    # run's final micro-batch can replay, so the run-start snapshot is the
+    # sufficient dedup set) — the anti-join makes every writer below
+    # exactly-once-effective.  (The parquet STREAMING sink would give this
+    # via its _spark_metadata log, but that log also hides batch-written
+    # files from readers; an Iceberg sink makes the appends transactional
+    # at deployment.)
+    committed = read_committed_ids(spark, out_path)
+    if committed is not None:
+        committed = committed.cache()  # tiny id column, joined per batch
 
     # Text-only documents (zero media spans) never appear in the blobs
     # stream, so state-based completeness would silently drop them; emit
-    # them batch-side EVERY run (late-arriving text-only docs included) —
-    # the anti-join keeps reruns duplicate-free.
-    from ..operators import assemble_spans_sql
-
+    # NEW ones batch-side every run (late arrivals included).  Pruning
+    # BEFORE assembly keeps the steady-state run O(committed-id scan) when
+    # nothing new arrived.
     text_only = docs.where(
         F.expr("size(filter(spans, s -> s.kind = 'media')) = 0")
     )
+    if committed is not None:
+        text_only = text_only.join(committed, "doc_id", "left_anti")
     empty_tables = spark.createDataFrame([], TABLES_SCHEMA)
-    _append_new_docs(assemble_spans_sql(text_only, empty_tables))
+    append_new_docs(assemble_spans_sql(text_only, empty_tables), out_path, None)
 
     stream = (
         spark.readStream.schema(BLOBS_SCHEMA)
@@ -154,16 +150,19 @@ def run_stateful(
             GroupStateTimeout.NoTimeout,
         )
     )
-    # foreachBatch + the committed-doc anti-join, NOT the parquet streaming
-    # sink: that sink's _spark_metadata log makes the directory readable
-    # only through the log (hiding the batch-written text-only rows), and
-    # the anti-join restores idempotent replay the blind append would lose
+    # foreachBatch + the run-start committed anti-join, NOT the parquet
+    # streaming sink: that sink's _spark_metadata log makes the directory
+    # readable only through the log (hiding the batch-written text-only
+    # rows), and the anti-join restores idempotent replay the blind append
+    # would lose
     (
         merged.writeStream.foreachBatch(
-            lambda batch_df, _epoch: _append_new_docs(batch_df)
+            lambda batch_df, _epoch: append_new_docs(batch_df, out_path, committed)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
+    if committed is not None:
+        committed.unpersist()

@@ -91,8 +91,13 @@ def test_is_path_ambiguous_names_resolved_by_configured_catalog(spark):
     assert is_path("my-catalog.db.tbl", spark)       # unconfigured: path
     assert is_path("results-v2.d", spark)            # dir-looking: path
     assert is_path("lake.ns1.ns2.spans", spark)      # unconfigured 4-part
-    spark.conf.set("spark.sql.catalog.my-catalog", "org.apache.iceberg.spark.SparkCatalog")
-    spark.conf.set("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
-    assert not is_path("my-catalog.db.tbl", spark)   # configured: catalog
-    assert not is_path("lake.ns1.ns2.spans", spark)  # nested ns: catalog
-    assert is_path("results-v2.d", spark)            # still a path
+    try:
+        spark.conf.set("spark.sql.catalog.my-catalog", "org.apache.iceberg.spark.SparkCatalog")
+        spark.conf.set("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+        assert not is_path("my-catalog.db.tbl", spark)   # configured: catalog
+        assert not is_path("lake.ns1.ns2.spans", spark)  # nested ns: catalog
+        assert is_path("results-v2.d", spark)            # still a path
+    finally:
+        # session-scoped fixture: don't leak catalog routing into later tests
+        spark.conf.unset("spark.sql.catalog.my-catalog")
+        spark.conf.unset("spark.sql.catalog.lake")
