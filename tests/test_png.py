@@ -168,3 +168,32 @@ def test_extract_spans_equality_over_png_corpus(spark):
         ]
         exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in e["spans"]]
         assert got == exp, f"span mismatch in {e['doc_id']}"
+
+
+def test_extract_spans_equality_over_mixed_format_corpus(spark):
+    """One corpus, three real payload formats interleaved — per-row magic
+    routing must hold under a single mapInArrow pass."""
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.pipeline import BLOBS_SCHEMA, DOCS_SCHEMA, extract_spans
+
+    codecs = ["img1", "png", "jpeg"]
+    docs, blobs, expected = [], [], []
+    for i, codec in enumerate(codecs * 2):  # 6 docs, formats interleaved
+        from tableextraction_spark.fixtures.generate import gen_doc
+
+        d, b, e = gen_doc(i, codec=codec)
+        docs.append(d)
+        blobs.extend(b)
+        expected.append(e)
+    magics = {bytes(b["content"][:2]) for b in blobs}
+    assert len(magics) == 3  # IMG1, \x89PNG, \xff\xd8 all present
+    docs_df = spark.createDataFrame(docs, DOCS_SCHEMA).repartition(3)
+    blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA).repartition(3)
+    out = {r.doc_id: r for r in extract_spans(spark, docs_df, blobs_df).collect()}
+    for e in expected:
+        got = [
+            (s.kind, s.text, s.media_ref, s.offset)
+            for s in sorted(out[e["doc_id"]].spans, key=lambda s: s.offset)
+        ]
+        exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in e["spans"]]
+        assert got == exp, f"span mismatch in {e['doc_id']}"
