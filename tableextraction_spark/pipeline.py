@@ -210,20 +210,16 @@ def run_to_parquet(
 
     committed = None
     if resume:
+        from .streaming.sink import is_missing_output_error
+
         try:
             committed = read_table(spark, out_path)
         except Exception as exc:
-            # first run: missing path / missing catalog table only — any
-            # other read failure (corrupt footer, permissions) must abort,
-            # not silently disable resume and reprocess the whole corpus
-            msg = str(exc)
-            if not any(
-                tag in msg
-                for tag in (
-                    "PATH_NOT_FOUND", "Path does not exist",
-                    "TABLE_OR_VIEW_NOT_FOUND", "not found",
-                )
-            ):
+            # first run only (missing path/table, or crash-debris-only
+            # dir) — any other read failure (corrupt footer, permissions,
+            # missing fs jar) must abort, not silently disable resume and
+            # reprocess the whole corpus
+            if not is_missing_output_error(exc):
                 raise
             committed = None
     out = extract_spans(

@@ -40,15 +40,17 @@ def run_incremental(
     checkpoint: str,
     classify: bool = False,
 ) -> None:
-    """Drain new blob files → append (doc_id, spans) rows exactly once."""
-    from .sink import append_new_docs, read_committed_ids
+    """Drain new blob files → append (doc_id, spans) rows exactly once.
 
-    # committed ids read once per run — only the previous run's final
-    # micro-batch can replay, so this snapshot is the sufficient dedup set
-    # (sink.py); path-not-found is the only swallowed read error
-    committed = read_committed_ids(spark, out_path)
-    if committed is not None:
-        committed = committed.cache()
+    Note on the ingest-unit contract above: a doc whose pages straddle
+    micro-batches would assemble PARTIAL spans per batch here; the sink's
+    doc_id dedup then keeps only the first partial — visibly wrong data is
+    avoided but so is completeness.  Such sources must use
+    :mod:`.stateful_assembly`, which holds partials in state.
+    """
+    from .sink import IdempotentSink
+
+    sink = IdempotentSink(spark, out_path)
 
     stream = (
         spark.readStream.schema(BLOBS_SCHEMA)
@@ -61,14 +63,15 @@ def run_incremental(
         batch_docs = docs.join(
             batch_df.select("doc_id").distinct(), "doc_id", "left_semi"
         )
-        append_new_docs(assemble_spans_sql(batch_docs, tables), out_path, committed)
+        sink.append_new_docs(assemble_spans_sql(batch_docs, tables))
 
-    (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    if committed is not None:
-        committed.unpersist()
+    try:
+        (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        sink.close()

@@ -96,18 +96,16 @@ def run_stateful(
     the same checkpoint.
     """
     from ..operators import assemble_spans_sql
-    from .sink import append_new_docs, read_committed_ids
+    from .sink import IdempotentSink
 
-    # Committed doc_ids read ONCE per run (see sink.py: only the previous
-    # run's final micro-batch can replay, so the run-start snapshot is the
-    # sufficient dedup set) — the anti-join makes every writer below
-    # exactly-once-effective.  (The parquet STREAMING sink would give this
-    # via its _spark_metadata log, but that log also hides batch-written
-    # files from readers; an Iceberg sink makes the appends transactional
-    # at deployment.)
-    committed = read_committed_ids(spark, out_path)
-    if committed is not None:
-        committed = committed.cache()  # tiny id column, joined per batch
+    # Dedup set = run-start committed snapshot + ids appended within this
+    # run (sink.py) — crash-replayed batches, re-runs, AND duplicate blob
+    # files re-completing a doc later in the same run all become no-ops.
+    # (The parquet STREAMING sink would give replay-idempotence via its
+    # _spark_metadata log, but that log also hides batch-written files
+    # from readers; an Iceberg sink makes the appends transactional at
+    # deployment.)
+    sink = IdempotentSink(spark, out_path)
 
     # Text-only documents (zero media spans) never appear in the blobs
     # stream, so state-based completeness would silently drop them; emit
@@ -117,10 +115,10 @@ def run_stateful(
     text_only = docs.where(
         F.expr("size(filter(spans, s -> s.kind = 'media')) = 0")
     )
-    if committed is not None:
-        text_only = text_only.join(committed, "doc_id", "left_anti")
+    if sink.committed is not None:
+        text_only = text_only.join(sink.committed, "doc_id", "left_anti")
     empty_tables = spark.createDataFrame([], TABLES_SCHEMA)
-    append_new_docs(assemble_spans_sql(text_only, empty_tables), out_path, None)
+    sink.append_new_docs(assemble_spans_sql(text_only, empty_tables))
 
     stream = (
         spark.readStream.schema(BLOBS_SCHEMA)
@@ -150,19 +148,19 @@ def run_stateful(
             GroupStateTimeout.NoTimeout,
         )
     )
-    # foreachBatch + the run-start committed anti-join, NOT the parquet
-    # streaming sink: that sink's _spark_metadata log makes the directory
-    # readable only through the log (hiding the batch-written text-only
-    # rows), and the anti-join restores idempotent replay the blind append
-    # would lose
-    (
-        merged.writeStream.foreachBatch(
-            lambda batch_df, _epoch: append_new_docs(batch_df, out_path, committed)
+    # foreachBatch + the idempotent sink, NOT the parquet streaming sink:
+    # that sink's _spark_metadata log makes the directory readable only
+    # through the log (hiding the batch-written text-only rows), and the
+    # dedup anti-joins restore the idempotent replay a blind append loses
+    try:
+        (
+            merged.writeStream.foreachBatch(
+                lambda batch_df, _epoch: sink.append_new_docs(batch_df)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
         )
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    if committed is not None:
-        committed.unpersist()
+    finally:
+        sink.close()

@@ -173,14 +173,13 @@ def test_extract_spans_equality_over_png_corpus(spark):
 def test_extract_spans_equality_over_mixed_format_corpus(spark):
     """One corpus, three real payload formats interleaved — per-row magic
     routing must hold under a single mapInArrow pass."""
-    from tableextraction_spark.fixtures import gen_corpus
     from tableextraction_spark.pipeline import BLOBS_SCHEMA, DOCS_SCHEMA, extract_spans
+
+    from tableextraction_spark.fixtures.generate import gen_doc
 
     codecs = ["img1", "png", "jpeg"]
     docs, blobs, expected = [], [], []
     for i, codec in enumerate(codecs * 2):  # 6 docs, formats interleaved
-        from tableextraction_spark.fixtures.generate import gen_doc
-
         d, b, e = gen_doc(i, codec=codec)
         docs.append(d)
         blobs.extend(b)

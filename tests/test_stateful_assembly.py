@@ -129,3 +129,54 @@ def test_null_span_fields_survive_state_roundtrip(spark, tmp_path):
     assert len(rows) == 1
     first = sorted(rows[0].spans, key=lambda s: s.offset)[0]
     assert (first.kind, first.text, first.media_ref) == ("text", "", "")
+
+
+def test_duplicate_blob_file_within_run_single_row(spark, tmp_path):
+    """A duplicate blob file (re-upload under a new filename) re-completes a
+    doc in a LATER micro-batch of the same run; the sink's within-run id
+    tracking must still emit exactly one row."""
+    docs, blobs, expected = gen_corpus(2)
+    one_pagers = [b for b in blobs if b["doc_id"] == "doc-000000"]
+    docs_df = spark.createDataFrame(docs, DOCS_SCHEMA)
+    blobs_dir = str(tmp_path / "blobs_in")
+    out = str(tmp_path / "spans_out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(blobs, BLOBS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(blobs_dir)
+    # duplicate file lands before the run starts → later micro-batch
+    spark.createDataFrame(one_pagers, BLOBS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(blobs_dir)
+    run_stateful(spark, blobs_dir, docs_df, out, ckpt, max_files_per_trigger=1)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(e["doc_id"] for e in expected)
+    assert _tuples(rows) == _exp_tuples(expected)
+
+
+def test_crash_debris_output_dir_treated_as_first_run(spark, tmp_path):
+    """out_path holding only a _temporary dir (crashed first write) must be
+    treated as 'nothing committed', not a permanent abort."""
+    import os
+
+    from tableextraction_spark.streaming.sink import IdempotentSink
+
+    out = str(tmp_path / "spans_out")
+    os.makedirs(os.path.join(out, "_temporary"))
+    sink = IdempotentSink(spark, out)
+    assert sink.committed is None
+    sink.close()
+
+
+def test_corrupt_output_aborts_not_silently_disables_dedup(spark, tmp_path):
+    """A non-'missing' read failure (corrupt footer) must raise — silent
+    fallback would reopen the duplicate-row window."""
+    import pytest
+
+    from tableextraction_spark.streaming.sink import IdempotentSink
+
+    out = tmp_path / "spans_out"
+    out.mkdir()
+    (out / "part-00000.parquet").write_bytes(b"not a parquet file at all")
+    with pytest.raises(Exception):
+        IdempotentSink(spark, str(out))
