@@ -98,6 +98,38 @@ def ensure_corpus(spark, n_docs: int) -> tuple[str, str]:
     return docs_path, blobs_path
 
 
+def ensure_html_corpus(spark, n_docs: int) -> str:
+    """Materialize the HTML-document corpus parquet once per (n_docs)."""
+    base = os.path.join(BENCH_ROOT, f"html_n{n_docs}")
+    docs_path = f"{base}/docs.parquet"
+    marker = f"{base}/_READY"
+    if not os.path.exists(marker):
+        from tableextraction_spark.fixtures.html_gen import html_docs_dataframe
+
+        html_docs_dataframe(spark, n_docs).write.mode("overwrite").parquet(docs_path)
+        open(marker, "w").close()
+    return docs_path
+
+
+def bench_html(spark, n_docs: int, passes: int = 2) -> dict:
+    """HTML main-content extraction throughput (markup spans → clean spans)."""
+    from tableextraction_spark.pipeline import extract_spans
+
+    docs_path = ensure_html_corpus(spark, n_docs)
+    docs = spark.read.parquet(docs_path)
+    _consume(extract_spans(spark, docs, None, html=True))  # warm pass
+    dt = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        _consume(extract_spans(spark, docs, None, html=True))
+        dt = min(dt, time.time() - t0)
+    return {
+        "sec": round(dt, 3),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 2),
+    }
+
+
 def bench_extraction(spark, n_docs: int, passes: int = 2) -> dict:
     from tableextraction_spark.pipeline import extract_spans
 
@@ -172,6 +204,15 @@ def main():
     )
     ext_sf1 = bench_extraction(spark, sf1_docs, passes=1)
 
+    # HTML main-content extraction headline (north rule: "HTML boilerplate
+    # strip … DOM heuristics"): markup-only corpus, sized so the parse stage
+    # dominates fixed costs (~1 ms/doc/core → ≥3 s at local[32])
+    n_html = int(os.environ.get("TABLEX_BENCH_HTML_DOCS", "0")) or max(
+        2048, int(round(sf * 1200000))
+    )
+    ext_html = bench_html(spark, n_html)
+    timings["q40_html_extract"] = ext_html["sec"]
+
     # ANN quality headline: mean recall@10 of the IVF probe vs exact top-k
     recall_rows = REGISTRY["q32_ivf_recall_at10"][0](spark, sf_dir).collect()
     recall = round(
@@ -200,6 +241,8 @@ def main():
         "extract_sf1_pages_per_sec": ext_sf1["pages_per_sec"],
         "extract_sf1_n_docs": ext_sf1["n_docs"],
         "extract_sf1_n_pages": ext_sf1["n_pages"],
+        "html_docs_per_sec": ext_html["docs_per_sec"],
+        "html_n_docs": ext_html["n_docs"],
         "ivf_recall_at10": recall,
         "prev_round": prev_n,
         "deltas_vs_prev": deltas,

@@ -1,0 +1,379 @@
+"""From-scratch HTML main-content extraction: DOM parse → boilerplate strip →
+ordered (text | table | media) spans.
+
+The north rule names "HTML boilerplate strip … DOM heuristics" as part of the
+main-content pipeline over interleaved documents; the reference repo is
+PDF-only, so this module is the HTML analogue of the raster kernel: where
+`kernel/page.py` turns page pixels into table/plot objects, `extract_main_spans`
+turns a raw HTML payload into the same span vocabulary —
+
+* ``text``  — a main-content block (paragraph / heading / list item / caption),
+  whitespace-normalized;
+* ``table`` — a ``<table>`` recovered to the SAME structured-JSON shape the
+  raster path emits (``{"columns", "headers", "records"}`` with the grouped
+  colspan-header tree — `kernel/assemble.py` / `fixtures/generate.py`
+  ``expected_table_json``), so downstream consumers see one table schema
+  regardless of whether the table arrived as pixels or as markup;
+* ``media`` — an ``<img src>`` back-pointer (``media_ref`` = the src value).
+
+Boilerplate heuristics are the published, public ones:
+
+* subtree strips for non-content machinery (``script/style/noscript/head`` …)
+  and ARIA/HTML5 landmark chrome (``nav/header/footer/aside``) plus a
+  class/id vocabulary match — the idea behind Readability's
+  "unlikelyCandidates" regex (arc90 readability.js, public domain);
+* block-level **link density × word count** scoring — navigation/related-link
+  lists are mostly anchor text and short, main prose is not (Kohlschütter,
+  Fankhauser, Nejdl, "Boilerplate Detection using Shallow Text Features",
+  WSDM 2010: link density and text length are the two strongest shallow
+  features).  A block is dropped when >50 % of its characters are anchor text
+  AND it has fewer than 25 words.
+
+Everything is deterministic, stdlib-only (``html.parser`` tokenizer; the DOM,
+segmentation, scoring and table recovery are this module's own), and pure
+Python — the Spark stage (`operators/html_extract.py`) batches it inside
+``mapInPandas``; no per-row Python ever touches the DataFrame layer.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from html.parser import HTMLParser
+
+# -------------------------------------------------------------------- DOM
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+# subtree removed entirely: never content, regardless of position
+DROP_TAGS = frozenset(
+    "script style noscript template svg canvas iframe object form button "
+    "select textarea datalist head title".split()
+)
+# HTML5 landmark chrome: site furniture, not document content
+LANDMARK_TAGS = frozenset("nav header footer aside".split())
+# Readability-style "unlikely candidate" class/id vocabulary
+_BOILER_ATTR = re.compile(
+    r"(?:^|[\s_-])(nav|menu|footer|sidebar|banner|advert|ads?|promo|sponsor|"
+    r"cookie|consent|social|share|comment|breadcrumbs?|related|widget|popup|"
+    r"masthead|pagination|pager)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+# leaf blocks: one emitted text span each
+LEAF_BLOCK_TAGS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 li pre blockquote dt dd caption figcaption summary".split()
+)
+# containers: recursed into; bare inline runs between block children become
+# implicit text blocks
+_CONTAINER_TAGS = frozenset(
+    "html body main article section div ul ol dl figure details fieldset "
+    "#root".split()
+)
+
+LINK_DENSITY_MAX = 0.5
+LINK_BLOCK_MAX_WORDS = 25
+
+
+class Node:
+    """Minimal DOM node; children are Node | str (text runs)."""
+
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict, children: list):
+        self.tag = tag
+        self.attrs = attrs
+        self.children = children
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"<{self.tag} {len(self.children)} children>"
+
+
+# HTML5 implied end tags: starting <tag> closes any open element in the set
+_IMPLIES_CLOSE = {
+    "li": {"li"},
+    "dt": {"dt", "dd"},
+    "dd": {"dt", "dd"},
+    "tr": {"tr", "td", "th"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "thead": {"tr", "td", "th"},
+    "tbody": {"tr", "td", "th", "thead"},
+    "tfoot": {"tr", "td", "th", "tbody"},
+    "option": {"option"},
+}
+# any block-ish start tag closes an open <p> (HTML5 "closing a p element")
+_P_CLOSERS = (
+    frozenset("p div ul ol dl table blockquote pre section article main "
+              "figure fieldset details hr form".split())
+    | LANDMARK_TAGS
+    | frozenset(f"h{i}" for i in range(1, 7))
+)
+
+
+class _DomParser(HTMLParser):
+    """Tolerant tree builder: unmatched close tags are ignored, a close tag
+    pops every open element above its match (mis-nesting recovers), void
+    elements never push, and the common HTML5 implied end tags
+    (``<p><p>``, ``<li><li>``, table rows/cells) are honoured."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#root", {}, [])
+        self._stack = [self.root]
+
+    def _implicit_close(self, tag):
+        closers = set(_IMPLIES_CLOSE.get(tag, ()))
+        if tag in _P_CLOSERS:
+            closers.add("p")
+        while len(self._stack) > 1 and self._stack[-1].tag in closers:
+            del self._stack[-1]
+
+    def handle_starttag(self, tag, attrs):
+        self._implicit_close(tag)
+        if tag in VOID_TAGS:
+            self.handle_startendtag(tag, attrs)
+            return
+        node = Node(tag, {k: (v or "") for k, v in attrs}, [])
+        self._stack[-1].children.append(node)
+        self._stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self._stack[-1].children.append(Node(tag, {k: (v or "") for k, v in attrs}, []))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+        # unmatched </tag>: ignore
+
+    def handle_data(self, data):
+        if data:
+            self._stack[-1].children.append(data)
+
+
+def parse_html(html: str) -> Node:
+    p = _DomParser()
+    p.feed(html)
+    p.close()
+    return p.root
+
+
+# -------------------------------------------------------- boilerplate strip
+
+
+def _is_boiler_node(node: Node) -> bool:
+    if node.tag in DROP_TAGS or node.tag in LANDMARK_TAGS:
+        return True
+    attr_text = f"{node.attrs.get('class', '')} {node.attrs.get('id', '')}"
+    role = node.attrs.get("role", "")
+    if role in ("navigation", "banner", "contentinfo", "complementary"):
+        return True
+    return bool(_BOILER_ATTR.search(attr_text))
+
+
+def _norm(text: str) -> str:
+    return " ".join(text.split())
+
+
+def _inline_text(node, parts: list[str], link_chars: list[int], in_link: bool):
+    """Flatten a subtree to text, counting characters inside <a> subtrees."""
+    if isinstance(node, str):
+        parts.append(node)
+        if in_link:
+            link_chars[0] += len(node)
+        return
+    if _is_boiler_node(node):
+        return
+    if node.tag == "br":
+        parts.append(" ")
+        return
+    inside = in_link or node.tag == "a"
+    for ch in node.children:
+        _inline_text(ch, parts, link_chars, inside)
+
+
+def _gather_inline(nodes) -> tuple[str, float, int]:
+    """Inline run → (normalized text, link density, word count)."""
+    parts: list[str] = []
+    link_chars = [0]
+    for n in nodes:
+        _inline_text(n, parts, link_chars, False)
+    raw = "".join(parts)
+    text = _norm(raw)
+    if not text:
+        return "", 0.0, 0
+    density = link_chars[0] / max(1, len(raw.strip()))
+    return text, density, len(text.split())
+
+
+def _is_link_list(text: str, density: float, words: int) -> bool:
+    return density > LINK_DENSITY_MAX and words < LINK_BLOCK_MAX_WORDS
+
+
+# ------------------------------------------------------------- table recovery
+
+
+def _cell_spec(cell: Node) -> tuple[str, int, int, bool]:
+    text, _d, _w = _gather_inline(cell.children)
+
+    def _ival(name: str) -> int:
+        try:
+            return max(1, int(cell.attrs.get(name, "1")))
+        except ValueError:
+            return 1
+
+    return text, _ival("colspan"), _ival("rowspan"), cell.tag == "th"
+
+
+def _table_rows(table: Node) -> list[list[tuple[str, int, int, bool]]]:
+    rows = []
+
+    def walk(node: Node):
+        for ch in node.children:
+            if not isinstance(ch, Node):
+                continue
+            if ch.tag == "tr":
+                cells = [
+                    _cell_spec(c)
+                    for c in ch.children
+                    if isinstance(c, Node) and c.tag in ("td", "th")
+                ]
+                if cells:
+                    rows.append(cells)
+            elif ch.tag in ("thead", "tbody", "tfoot"):
+                walk(ch)
+
+    walk(table)
+    return rows
+
+
+def table_to_json(table: Node) -> str | None:
+    """``<table>`` → the raster path's golden structure JSON (same shape as
+    ``fixtures/generate.py::expected_table_json``): ``columns`` are leaf paths
+    (``Group/Leaf`` for colspan-grouped headers), ``headers`` the 2-level
+    tree, ``records`` the body rows.  Returns None for tables with no rows
+    (layout tables with nothing to say)."""
+    rows = _table_rows(table)
+    if not rows:
+        return None
+    # leading all-<th> rows are the header block (≤2 used for the tree);
+    # a table with no <th> treats its first row as a single header row
+    n_head = 0
+    while n_head < len(rows) and all(c[3] for c in rows[n_head]):
+        n_head += 1
+    if n_head == 0:
+        n_head = 1
+    head_rows, body_rows = rows[:n_head], rows[n_head:]
+
+    headers: list[dict] = []
+    col_paths: list[str] = []
+    row1 = head_rows[0]
+    row2 = head_rows[1] if len(head_rows) > 1 else []
+    it2 = iter(row2)
+    for text, colspan, _rowspan, _is_th in row1:
+        if colspan > 1 and row2:
+            children = []
+            for _ in range(colspan):
+                try:
+                    children.append(next(it2)[0])
+                except StopIteration:  # malformed colspan: pad
+                    children.append("")
+            headers.append(
+                {"text": text, "children": [{"text": c, "children": []} for c in children]}
+            )
+            col_paths.extend(f"{text}/{c}" for c in children)
+        else:
+            headers.append({"text": text, "children": []})
+            col_paths.append(text)
+    n_cols = len(col_paths)
+
+    records = []
+    for row in body_rows:
+        rec = [c[0] for c in row][:n_cols]
+        rec += [""] * (n_cols - len(rec))
+        records.append(rec)
+    return json.dumps(
+        {"columns": col_paths, "headers": headers, "records": records},
+        ensure_ascii=False,
+        separators=(",", ":"),
+    )
+
+
+# ------------------------------------------------------------ main extraction
+
+
+def _emit(node, out: list[dict], buf: list):
+    """Recursive walk.  ``buf`` accumulates the current implicit inline run
+    (bare text / inline tags directly under a container); it flushes into a
+    text span whenever a block-level child or subtree end is reached."""
+
+    def flush():
+        if not buf:
+            return
+        text, density, words = _gather_inline(buf)
+        buf.clear()
+        if text and not _is_link_list(text, density, words):
+            out.append({"kind": "text", "text": text, "media_ref": ""})
+
+    if isinstance(node, str):
+        buf.append(node)
+        return
+    if _is_boiler_node(node):
+        return
+    tag = node.tag
+    if tag == "img":
+        flush()
+        src = node.attrs.get("src", "")
+        out.append({"kind": "media", "text": "", "media_ref": src})
+        return
+    if tag == "table":
+        flush()
+        payload = table_to_json(node)
+        if payload is not None:
+            out.append({"kind": "table", "text": payload, "media_ref": ""})
+        return
+    if tag in LEAF_BLOCK_TAGS:
+        flush()
+        # images / nested tables inside a leaf block still surface as spans
+        sub_media = [
+            c for c in node.children if isinstance(c, Node) and c.tag in ("img", "table")
+        ]
+        inline = [
+            c for c in node.children
+            if not (isinstance(c, Node) and c.tag in ("img", "table"))
+        ]
+        text, density, words = _gather_inline(inline)
+        if text and not _is_link_list(text, density, words):
+            out.append({"kind": "text", "text": text, "media_ref": ""})
+        for m in sub_media:
+            _emit(m, out, buf)
+        return
+    # containers and unknown elements alike: recurse, folding bare inline
+    # runs between block children into implicit text blocks
+    for ch in node.children:
+        is_inline = isinstance(ch, str) or (isinstance(ch, Node) and ch.tag in _INLINE_TAGS)
+        if is_inline:
+            buf.append(ch)
+        else:
+            flush()
+            _emit(ch, out, buf)
+    flush()  # a block element is a block boundary: no inline run crosses it
+
+
+_INLINE_TAGS = frozenset(
+    "a b i u em strong span code small sub sup mark abbr time cite q s del "
+    "ins kbd samp var bdi br".split()
+)
+
+
+def extract_main_spans(html: str) -> list[dict]:
+    """Raw HTML → ordered main-content spans ``[{kind, text, media_ref}]``.
+
+    Deterministic and pure; offsets are assigned by the caller (the Spark
+    assembly renumbers the whole document anyway)."""
+    root = parse_html(html)
+    out: list[dict] = []
+    _emit(root, out, [])
+    return out

@@ -25,6 +25,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--no-resume", action="store_true", help="reprocess everything")
     p.add_argument("--classify", action="store_true",
                    help="enable the fuzzy-keyword table filter")
+    p.add_argument("--html", action="store_true",
+                   help="extract main content from spans of kind 'html' "
+                        "(DOM boilerplate strip, in-place span replacement)")
     p.add_argument("--repartition", type=int, default=None,
                    help="force blob repartitioning (skewed inputs)")
     args = p.parse_args(argv)
@@ -57,6 +60,7 @@ def main(argv: list[str] | None = None) -> None:
         metrics_path=args.metrics,
         resume=not args.no_resume,
         classify=args.classify,
+        html=args.html,
         repartition=args.repartition,
     )
     spark.stop()

@@ -130,15 +130,23 @@ def detect_tables(
 def extract_spans(
     spark: SparkSession,
     docs: DataFrame,
-    blobs: DataFrame | str,
+    blobs: DataFrame | str | None,
     committed: DataFrame | None = None,
     use_pandas_assembly: bool = False,
     metrics_path: str | None = None,
     run_id: str | None = None,
     repartition: int | None = None,
     classify: bool = False,
+    html: bool = False,
 ) -> DataFrame:
     """(docs, blobs) → (doc_id, spans) with table spans inserted.
+
+    ``html=True`` additionally routes input spans of kind ``html`` through
+    the DOM main-content extractor (operators/html_extract.py): the raw
+    markup span is replaced in place by its extracted text/table/media
+    spans.  Off by default so raster-only corpora keep the unchanged
+    (and plan-audited) two-stage plan; ``blobs=None`` is allowed for
+    markup-only corpora (no decode stage at all).
 
     ``blobs`` may be a DataFrame (JVM parquet scan → mapInArrow) or a path
     string → the **python-native media scan** (sources/media_parquet.py):
@@ -157,7 +165,16 @@ def extract_spans(
     min/max clustering is the deploy-time upgrade).
     """
     todo = filter_unprocessed(docs, committed)
-    if isinstance(blobs, str):
+    hobjs = None
+    if html:
+        from .operators.html_extract import extract_html_objects
+
+        hobjs = extract_html_objects(todo)
+    if blobs is None:
+        tables = spark.createDataFrame([], TABLES_SCHEMA).withColumn(
+            "partition_id", F.spark_partition_id()
+        )
+    elif isinstance(blobs, str):
         from .sources import detect_tables_python_scan
 
         keep = None
@@ -185,7 +202,7 @@ def extract_spans(
         run_id = run_id or uuid.uuid4().hex[:12]
         write_table(stage_metrics(tables, run_id), metrics_path)
     assemble = assemble_spans_pandas if use_pandas_assembly else assemble_spans_sql
-    return assemble(todo, tables)
+    return assemble(todo, tables, html=hobjs)
 
 
 def run_to_parquet(

@@ -13,9 +13,10 @@ from .textops import QUERIES as _TEXT
 from .vectorops import QUERIES as _VEC
 from .extraction import QUERIES as _EXTRACT
 from .pipelineops import QUERIES as _PIPE
+from .htmlops import QUERIES as _HTML
 
 REGISTRY: dict = {}
-for part in (_REL, _TEXT, _VEC, _EXTRACT, _PIPE):
+for part in (_REL, _TEXT, _VEC, _EXTRACT, _PIPE, _HTML):
     overlap = REGISTRY.keys() & part.keys()
     if overlap:  # pragma: no cover
         raise AssertionError(f"duplicate query names: {overlap}")

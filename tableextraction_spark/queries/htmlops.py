@@ -1,0 +1,119 @@
+"""HTML main-content extraction as driver-contract queries.
+
+The north rule names "HTML boilerplate strip … DOM heuristics" as part of
+the main-content pipeline; like the raster flagship (extraction.py), DOM
+parsing is not ANSI-SQL-expressible, so all three checks are stated
+**empty-on-success** with a ``WHERE 1=0`` oracle — rows/schema/hash match
+exactly when extraction is perfect, any regression emits rows and flips the
+driver's hard gate red:
+
+* q37 — full golden verify: documents whose pipeline output spans differ
+  from the plan-derived goldens under the (kind, text, media_ref, order)
+  span-sequence invariant;
+* q38 — per-(doc, kind) span-count invariant (the weaker structural check,
+  mirroring q30 for the raster path);
+* q39 — boilerplate no-leak: output spans containing the fixture sentinel
+  token that occurs in every boilerplate chunk and no content word.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ..fixtures.html_gen import SENTINEL, html_docs_dataframe, html_expected_dataframe
+from ..pipeline import extract_spans
+
+
+def _n_docs_for(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.001
+    return max(8, int(round(sf * 2000)))
+
+
+def _output(spark, sf_dir):
+    n = _n_docs_for(sf_dir)
+    docs = html_docs_dataframe(spark, n)
+    return extract_spans(spark, docs, None, html=True), n
+
+
+def q37_html_extract_verify(spark, sf_dir):
+    """Empty-on-success golden verify for the HTML main-content path."""
+    out, n = _output(spark, sf_dir)
+    exp = html_expected_dataframe(spark, n).withColumnRenamed("spans", "expected")
+    return (
+        out.join(exp, "doc_id", "full")
+        .where(~F.col("spans").eqNullSafe(F.col("expected")))
+        .selectExpr("doc_id", "size(spans) AS n_spans", "size(expected) AS n_expected")
+    )
+
+
+Q37_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS doc_id,
+       CAST(NULL AS INT) AS n_spans,
+       CAST(NULL AS INT) AS n_expected
+WHERE 1 = 0
+"""
+
+
+def q38_html_count_invariant(spark, sf_dir):
+    """Per-(doc, kind) span counts of the html pipeline output must equal the
+    plan's counts (empty-on-success)."""
+    out, n = _output(spark, sf_dir)
+    got = (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .groupBy("doc_id", F.col("s.kind").alias("kind"))
+        .agg(F.count("*").alias("n_out"))
+    )
+    exp = (
+        html_expected_dataframe(spark, n)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .groupBy("doc_id", F.col("s.kind").alias("kind"))
+        .agg(F.count("*").alias("n_expected"))
+    )
+    return (
+        got.join(exp, ["doc_id", "kind"], "full")
+        .where(~F.col("n_out").eqNullSafe(F.col("n_expected")))
+        .select("doc_id", "kind", "n_out", "n_expected")
+    )
+
+
+Q38_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS doc_id, CAST(NULL AS VARCHAR) AS kind,
+       CAST(NULL AS BIGINT) AS n_out, CAST(NULL AS BIGINT) AS n_expected
+WHERE 1 = 0
+"""
+
+
+def q39_html_boilerplate_leak(spark, sf_dir):
+    """No output span may contain the boilerplate sentinel (empty-on-success).
+
+    Independent of the goldens: even if the plan and parser agreed on a wrong
+    answer, a nav/ad/footer/script leak would surface here."""
+    out, _n = _output(spark, sf_dir)
+    return (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .where(
+            F.col("s.text").contains(SENTINEL) | F.col("s.media_ref").contains(SENTINEL)
+        )
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+        )
+    )
+
+
+Q39_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS doc_id, CAST(NULL AS INT) AS offset,
+       CAST(NULL AS VARCHAR) AS kind
+WHERE 1 = 0
+"""
+
+
+QUERIES = {
+    "q37_html_extract_verify": (q37_html_extract_verify, Q37_SQL),
+    "q38_html_count_invariant": (q38_html_count_invariant, Q38_SQL),
+    "q39_html_boilerplate_leak": (q39_html_boilerplate_leak, Q39_SQL),
+}

@@ -1,0 +1,179 @@
+"""End-to-end HTML main-content extraction through the Spark pipeline:
+mixed raster+markup corpora, SQL↔pandas assembly parity, raster-path
+no-regression with the html flag on, and per-row failure isolation."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tableextraction_spark.fixtures import gen_corpus
+from tableextraction_spark.fixtures.html_gen import gen_html_doc
+from tableextraction_spark.pipeline import BLOBS_SCHEMA, DOCS_SCHEMA, extract_spans
+
+N_RASTER = 6
+N_HTML = 8
+
+
+def _tuples(rows):
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in rows
+    }
+
+
+@pytest.fixture(scope="module")
+def mixed(spark):
+    """Raster docs (pages→tables) + html docs (markup→main content) in ONE
+    docs table — the north rule's interleaved corpus, both media kinds."""
+    rdocs, blobs, rexp = gen_corpus(N_RASTER)
+    hdocs, hexp = zip(*(gen_html_doc(i) for i in range(N_HTML)))
+    docs_df = spark.createDataFrame(rdocs + list(hdocs), DOCS_SCHEMA).repartition(4)
+    blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA).repartition(4)
+    expected = {r["doc_id"]: r for r in rexp + list(hexp)}
+    return docs_df, blobs_df, expected
+
+
+def test_mixed_corpus_span_equality(spark, mixed):
+    docs_df, blobs_df, expected = mixed
+    out = _tuples(extract_spans(spark, docs_df, blobs_df, html=True).collect())
+    assert set(out) == set(expected)
+    for doc_id, exp in expected.items():
+        exp_t = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in exp["spans"]]
+        assert out[doc_id] == exp_t, doc_id
+
+
+def test_pandas_assembly_parity_with_html(spark, mixed):
+    docs_df, blobs_df, _ = mixed
+    sql_out = _tuples(extract_spans(spark, docs_df, blobs_df, html=True).collect())
+    pd_out = _tuples(
+        extract_spans(
+            spark, docs_df, blobs_df, html=True, use_pandas_assembly=True
+        ).collect()
+    )
+    assert sql_out == pd_out
+
+
+def test_html_flag_noop_on_raster_corpus(spark):
+    """html=True on a corpus with no html spans changes nothing."""
+    rdocs, blobs, _ = gen_corpus(N_RASTER)
+    docs_df = spark.createDataFrame(rdocs, DOCS_SCHEMA)
+    blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA)
+    off = _tuples(extract_spans(spark, docs_df, blobs_df).collect())
+    on = _tuples(extract_spans(spark, docs_df, blobs_df, html=True).collect())
+    assert off == on
+
+
+def test_html_off_passes_raw_span_through(spark):
+    """Without the flag, html spans survive untouched (no silent drop)."""
+    hdocs, _ = zip(*(gen_html_doc(i) for i in range(2)))
+    docs_df = spark.createDataFrame(list(hdocs), DOCS_SCHEMA)
+    out = _tuples(extract_spans(spark, docs_df, None).collect())
+    for d in hdocs:
+        assert out[d["doc_id"]] == [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]
+        ]
+
+
+def test_html_failure_isolated_per_row(spark, monkeypatch):
+    """A payload that crashes the extractor yields an error row, not a task
+    failure; the document's other spans still assemble."""
+    import tableextraction_spark.htmlx as htmlx
+    from tableextraction_spark.operators.html_extract import _parse_batches
+
+    real = htmlx.extract_main_spans
+
+    def boom(markup):
+        if "BOOM" in markup:
+            raise ValueError("kernel crash")
+        return real(markup)
+
+    monkeypatch.setattr(htmlx, "extract_main_spans", boom)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["d1", "d2"],
+            "src_offset": [0, 0],
+            "html": ["<p>BOOM</p>", "<p>fine</p>"],
+        }
+    )
+    out = pd.concat(list(_parse_batches([pdf])))
+    errs = out[out["error"].notna()]
+    ok = out[out["error"].isna()]
+    assert list(errs["doc_id"]) == ["d1"] and list(errs["obj_no"]) == [-1]
+    assert list(ok["doc_id"]) == ["d2"] and list(ok["text"]) == ["fine"]
+
+
+def test_error_rows_dropped_by_assembly(spark):
+    """An html span whose extraction errored is dropped from the output (like
+    a corrupt blob page) while the rest of the document survives."""
+    from tableextraction_spark.operators.assemble import assemble_spans_sql
+    from tableextraction_spark.operators.html_extract import HTML_OBJS_SCHEMA
+    from tableextraction_spark.pipeline import TABLES_SCHEMA
+
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "d1",
+                "spans": [
+                    {"kind": "text", "text": "pre", "media_ref": "", "offset": 0},
+                    {"kind": "html", "text": "<x>", "media_ref": "", "offset": 1},
+                    {"kind": "text", "text": "post", "media_ref": "", "offset": 2},
+                ],
+            }
+        ],
+        DOCS_SCHEMA,
+    )
+    tables = spark.createDataFrame([], TABLES_SCHEMA)
+    hobjs = spark.createDataFrame(
+        [("d1", 1, -1, "error", "", "", "ValueError('x')")], HTML_OBJS_SCHEMA
+    )
+    out = _tuples(assemble_spans_sql(docs, tables, html=hobjs).collect())
+    assert out["d1"] == [("text", "pre", "", 0), ("text", "post", "", 1)]
+
+
+def test_html_plan_has_no_pixel_shuffle(spark):
+    """Plan audit: the html path is explode→filter→mapInPandas (narrow) into
+    the single assembly aggregate — markup bytes reach exactly one exchange
+    as part of the collect_list aggregate's partial/final split, never a
+    join of raw payloads against themselves."""
+    hdocs, _ = zip(*(gen_html_doc(i) for i in range(2)))
+    docs_df = spark.createDataFrame(list(hdocs), DOCS_SCHEMA)
+    plan = extract_spans(spark, docs_df, None, html=True)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "doc_id" in plan  # join keyed by doc_id only
+
+
+def test_interleaved_doc_with_both_html_and_media(spark):
+    """One document carrying BOTH a markup span and a raster page: table
+    objects append after the media span, html extraction replaces the html
+    span, offsets renumber across the whole merged sequence."""
+    rdocs, blobs, rexp = gen_corpus(1)
+    hdoc, hexp = gen_html_doc(0)
+    spans = list(rdocs[0]["spans"])
+    h = dict(hdoc["spans"][[s["kind"] for s in hdoc["spans"]].index("html")])
+    h["offset"] = len(spans)
+    spans.append(h)
+    doc = {"doc_id": rdocs[0]["doc_id"], "spans": spans}
+    docs_df = spark.createDataFrame([doc], DOCS_SCHEMA)
+    blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA)
+    out = _tuples(extract_spans(spark, docs_df, blobs_df, html=True).collect())
+
+    # golden: raster expected spans, then the html block spans (html span was
+    # appended last); intro/tail text spans of the html fixture are NOT in
+    # this doc — only the html span itself was grafted in
+    from tableextraction_spark.fixtures.html_gen import (
+        expected_block_spans,
+        plan_html_doc,
+    )
+
+    del hexp  # unused: goldens come straight from the plan
+    exp = [(s["kind"], s["text"], s["media_ref"]) for s in rexp[0]["spans"]]
+    exp += [
+        (s["kind"], s["text"], s["media_ref"])
+        for s in expected_block_spans(plan_html_doc(0))
+    ]
+    got = [(k, t, m) for (k, t, m, _o) in out[rdocs[0]["doc_id"]]]
+    assert got == exp
+    offsets = [o for (_k, _t, _m, o) in out[rdocs[0]["doc_id"]]]
+    assert offsets == list(range(len(offsets)))

@@ -1,0 +1,154 @@
+"""Unit + property tests for the HTML main-content kernel (htmlx.py)."""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tableextraction_spark.fixtures.html_gen import (
+    SENTINEL,
+    expected_block_spans,
+    gen_html_doc,
+    plan_html_doc,
+    render_html_doc,
+)
+from tableextraction_spark.htmlx import extract_main_spans, parse_html, table_to_json
+
+
+def _texts(spans):
+    return [s["text"] for s in spans if s["kind"] == "text"]
+
+
+def test_basic_paragraphs_and_entities():
+    spans = extract_main_spans(
+        "<body><p>Hello   <b>world</b> &amp; friends.</p><p>Second &lt;p&gt;</p></body>"
+    )
+    assert _texts(spans) == ["Hello world & friends.", "Second <p>"]
+
+
+def test_boilerplate_tags_stripped():
+    html = (
+        "<head><title>t</title><style>p{}</style><script>x</script></head>"
+        "<body><nav><a href='#'>n1</a></nav><header>site</header>"
+        "<p>keep me</p>"
+        "<aside>side</aside><footer>foot</footer><form><input></form></body>"
+    )
+    assert _texts(extract_main_spans(html)) == ["keep me"]
+
+
+def test_boiler_class_id_and_role_stripped():
+    html = (
+        "<div class='ad-slot'>buy</div><div id='main-sidebar'>s</div>"
+        "<div role='navigation'><a href='#'>x</a></div>"
+        "<div class='breadcrumbs'>a &gt; b</div><p>content</p>"
+    )
+    assert _texts(extract_main_spans(html)) == ["content"]
+
+
+def test_link_density_strip_keeps_prose_links():
+    # short all-link block → dropped; long prose with one link → kept
+    linky = "<div>" + " ".join(f"<a href='/{i}'>link{i}</a>" for i in range(4)) + "</div>"
+    words = " ".join(f"word{i}" for i in range(30))
+    prose = f"<p>{words} and <a href='/x'>one link</a> inside.</p>"
+    spans = extract_main_spans(linky + prose)
+    assert len(_texts(spans)) == 1
+    assert "one link" in _texts(spans)[0]
+
+
+def test_img_and_implicit_text_runs():
+    spans = extract_main_spans(
+        "<div>before <b>image</b><img src='m-1'> after</div>"
+    )
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == [
+        ("text", "before image", ""),
+        ("media", "", "m-1"),
+        ("text", "after", ""),
+    ]
+
+
+def test_list_items_are_separate_blocks():
+    spans = extract_main_spans("<ul><li>one two</li><li>three</li></ul>")
+    assert _texts(spans) == ["one two", "three"]
+
+
+def test_malformed_nesting_recovers():
+    spans = extract_main_spans("<div><p>alpha<p>beta</div></em><p>gamma")
+    assert _texts(spans) == ["alpha", "beta", "gamma"]
+
+
+def test_table_simple_headers():
+    t = parse_html(
+        "<table><tr><th>A</th><th>B</th></tr>"
+        "<tr><td>1</td><td>2</td></tr><tr><td>3</td><td>4</td></tr></table>"
+    ).children[0]
+    got = json.loads(table_to_json(t))
+    assert got["columns"] == ["A", "B"]
+    assert got["records"] == [["1", "2"], ["3", "4"]]
+    assert got["headers"] == [
+        {"text": "A", "children": []},
+        {"text": "B", "children": []},
+    ]
+
+
+def test_table_colspan_group_header_tree():
+    t = parse_html(
+        "<table><thead>"
+        "<tr><th rowspan='2'>A</th><th colspan='2'>G</th></tr>"
+        "<tr><th>B</th><th>C</th></tr></thead>"
+        "<tbody><tr><td>1</td><td>2</td><td>3</td></tr></tbody></table>"
+    ).children[0]
+    got = json.loads(table_to_json(t))
+    assert got["columns"] == ["A", "G/B", "G/C"]
+    assert got["headers"][1] == {
+        "text": "G",
+        "children": [
+            {"text": "B", "children": []},
+            {"text": "C", "children": []},
+        ],
+    }
+    assert got["records"] == [["1", "2", "3"]]
+
+
+def test_table_no_th_first_row_is_header():
+    t = parse_html(
+        "<table><tr><td>H1</td><td>H2</td></tr><tr><td>a</td><td>b</td></tr></table>"
+    ).children[0]
+    got = json.loads(table_to_json(t))
+    assert got["columns"] == ["H1", "H2"]
+    assert got["records"] == [["a", "b"]]
+
+
+def test_empty_table_is_skipped():
+    assert extract_main_spans("<p>x</p><table></table>") == [
+        {"kind": "text", "text": "x", "media_ref": ""}
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000))
+def test_fixture_golden_equality(doc_num):
+    """Parser output == plan-derived goldens, for any fixture document."""
+    plan = plan_html_doc(doc_num)
+    got = extract_main_spans(render_html_doc(plan, doc_num))
+    assert got == expected_block_spans(plan)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000))
+def test_no_sentinel_leak(doc_num):
+    """No boilerplate sentinel ever reaches an output span — independent of
+    the goldens (a wrong-but-agreeing plan would still fail here)."""
+    plan = plan_html_doc(doc_num)
+    for s in extract_main_spans(render_html_doc(plan, doc_num)):
+        assert SENTINEL not in s["text"]
+        assert SENTINEL not in s["media_ref"]
+
+
+def test_gen_html_doc_shapes():
+    doc, exp = gen_html_doc(7)
+    assert doc["doc_id"] == exp["doc_id"] == "hdoc-000007"
+    kinds = {s["kind"] for s in doc["spans"]}
+    assert "html" in kinds
+    assert all(s["offset"] == i for i, s in enumerate(doc["spans"]))
+    assert all(s["offset"] == i for i, s in enumerate(exp["spans"]))
+    assert all(s["kind"] != "html" for s in exp["spans"])
