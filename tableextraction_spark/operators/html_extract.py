@@ -64,4 +64,6 @@ def extract_html_objects(docs: DataFrame) -> DataFrame:
             F.col("s.text").alias("html"),
         )
     )
-    return htmls.mapInPandas(_parse_batches, HTML_OBJS_SCHEMA)
+    return htmls.mapInPandas(_parse_batches, HTML_OBJS_SCHEMA).withColumn(
+        "partition_id", F.spark_partition_id()
+    )

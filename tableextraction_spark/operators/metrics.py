@@ -49,3 +49,38 @@ def stage_metrics(tables: DataFrame, run_id: str, stage: str = "decode_detect_oc
             F.current_timestamp().alias("committed_at"),
         )
     )
+
+
+def html_stage_metrics(hobjs: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage for the HTML main-content stage, in the SAME
+    metrics schema as the decode stage so both append to one table: html
+    source spans parsed → ``pages_decoded``, recovered table spans →
+    ``tables_detected``, extracted text/media spans → ``cells_ocrd`` (the
+    generic "items produced" slot), parse failures → ``errors``."""
+    return (
+        hobjs.groupBy("partition_id")
+        .agg(
+            F.countDistinct("doc_id").alias("docs_processed"),
+            F.countDistinct("doc_id", "src_offset").alias("pages_decoded"),
+            F.sum((F.col("kind") == "table").cast("long")).alias("tables_detected"),
+            F.lit(0).cast("long").alias("plots_detected"),
+            F.sum(F.col("kind").isin("text", "media").cast("long")).cast("long").alias(
+                "cells_ocrd"
+            ),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("errors"),
+            F.lit(0).cast("long").alias("wall_ms"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit("html_extract").alias("stage"),
+            "partition_id",
+            "docs_processed",
+            "pages_decoded",
+            "tables_detected",
+            "plots_detected",
+            "cells_ocrd",
+            "errors",
+            "wall_ms",
+            F.current_timestamp().alias("committed_at"),
+        )
+    )

@@ -201,6 +201,11 @@ def extract_spans(
         tables = tables.persist()
         run_id = run_id or uuid.uuid4().hex[:12]
         write_table(stage_metrics(tables, run_id), metrics_path)
+        if hobjs is not None:
+            from .operators.metrics import html_stage_metrics
+
+            hobjs = hobjs.persist()
+            write_table(html_stage_metrics(hobjs, run_id), metrics_path)
     assemble = assemble_spans_pandas if use_pandas_assembly else assemble_spans_sql
     return assemble(todo, tables, html=hobjs)
 

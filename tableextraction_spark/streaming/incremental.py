@@ -39,6 +39,7 @@ def run_incremental(
     out_path: str,
     checkpoint: str,
     classify: bool = False,
+    html: bool = False,
 ) -> None:
     """Drain new blob files → append (doc_id, spans) rows exactly once.
 
@@ -47,6 +48,9 @@ def run_incremental(
     doc_id dedup then keeps only the first partial — visibly wrong data is
     avoided but so is completeness.  Such sources must use
     :mod:`.stateful_assembly`, which holds partials in state.
+
+    ``html=True`` routes each batch-doc's markup spans through the DOM
+    main-content extractor, exactly like the batch pipeline.
     """
     from .sink import IdempotentSink
 
@@ -63,7 +67,12 @@ def run_incremental(
         batch_docs = docs.join(
             batch_df.select("doc_id").distinct(), "doc_id", "left_semi"
         )
-        sink.append_new_docs(assemble_spans_sql(batch_docs, tables))
+        hobjs = None
+        if html:
+            from ..operators.html_extract import extract_html_objects
+
+            hobjs = extract_html_objects(batch_docs)
+        sink.append_new_docs(assemble_spans_sql(batch_docs, tables, html=hobjs))
 
     try:
         (

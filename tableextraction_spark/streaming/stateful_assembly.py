@@ -14,6 +14,12 @@ Plumbing per SURVEY §2.10: the decode stage is the same fused ``mapInArrow``
 as batch; only the assembly differs (per-doc state instead of a groupBy).
 Error pages count toward completeness but contribute no object spans —
 identical to the batch path, which drops error rows at assembly.
+
+``html=True`` extracts main content from markup spans exactly like batch:
+text-only docs get it in the per-run batch write; paged docs carry their
+extracted spans through the stream-static join as one JSON column held in
+state (``html_json`` — note this widened STATE_SCHEMA, so checkpoints from
+before the html field are incompatible; start a fresh checkpoint dir).
 """
 
 from __future__ import annotations
@@ -31,22 +37,25 @@ from ..operators.decode_detect import make_decode_detect_ocr
 from ..pipeline import BLOBS_SCHEMA
 
 STATE_SCHEMA = (
-    "seen array<int>, objs array<string>, n_pages int, spans_json string"
+    "seen array<int>, objs array<string>, n_pages int, spans_json string, "
+    "html_json string"
 )
 
 
 def _update_doc(key, pdfs, state: GroupState):
     (doc_id,) = key
     if state.exists:
-        seen_l, objs, n_pages, spans_json = state.get
+        seen_l, objs, n_pages, spans_json, html_json = state.get
         seen = set(seen_l)
         objs = list(objs)
     else:
-        seen, objs, n_pages, spans_json = set(), [], None, None
+        seen, objs, n_pages, spans_json, html_json = set(), [], None, None, None
     for pdf in pdfs:
         for row in pdf.itertuples(index=False):
             n_pages = int(row.n_pages)
             spans_json = row.spans_json
+            if isinstance(row.html_json, str):
+                html_json = row.html_json
             seen.add(int(row.page_no))  # markers/errors/objects all mark the page
             # null error arrives as None or NaN depending on the pandas dtype
             has_error = isinstance(row.error, str) and bool(row.error)
@@ -69,11 +78,25 @@ def _update_doc(key, pdfs, state: GroupState):
             }
             for i, s in enumerate(json.loads(spans_json))
         ]
-        merged = merge_doc_spans(spans, [tuple(json.loads(o)) for o in objs])
+        # to_json writes objects (and drops null fields): rebuild the
+        # (src_offset, obj_no, kind, text, media_ref) tuples by name
+        html_rows = [
+            (
+                h.get("src_offset", 0),
+                h.get("obj_no", 0),
+                h.get("kind", ""),
+                h.get("text", ""),
+                h.get("media_ref", ""),
+            )
+            for h in json.loads(html_json)
+        ] if html_json else ()
+        merged = merge_doc_spans(
+            spans, [tuple(json.loads(o)) for o in objs], html_rows
+        )
         state.remove()
         yield pd.DataFrame([{"doc_id": doc_id, "spans": merged}])
     else:
-        state.update((sorted(seen), objs, n_pages, spans_json))
+        state.update((sorted(seen), objs, n_pages, spans_json, html_json))
 
 
 def run_stateful(
@@ -84,6 +107,7 @@ def run_stateful(
     checkpoint: str,
     classify: bool = False,
     max_files_per_trigger: int = 16,
+    html: bool = False,
 ) -> None:
     """Drain blob files → exactly one (doc_id, spans) row per COMPLETE doc.
 
@@ -118,7 +142,12 @@ def run_stateful(
     if sink.committed is not None:
         text_only = text_only.join(sink.committed, "doc_id", "left_anti")
     empty_tables = spark.createDataFrame([], TABLES_SCHEMA)
-    sink.append_new_docs(assemble_spans_sql(text_only, empty_tables))
+    hobjs_text = None
+    if html:
+        from ..operators.html_extract import extract_html_objects
+
+        hobjs_text = extract_html_objects(text_only)
+    sink.append_new_docs(assemble_spans_sql(text_only, empty_tables, html=hobjs_text))
 
     stream = (
         spark.readStream.schema(BLOBS_SCHEMA)
@@ -137,6 +166,30 @@ def run_stateful(
         # carried their doc_id, state's `seen >= 0` would emit a duplicate
         F.col("n_pages") > 0
     )
+    if html:
+        # extracted-html rows for PAGED docs ride the stream-static join as
+        # one JSON column and live in state beside spans_json, so a doc
+        # completing in any later micro-batch (or run) still splices them in
+        hjson = (
+            extract_html_objects(docs)
+            .where((F.col("obj_no") >= 0) & F.col("error").isNull())
+            .groupBy("doc_id")
+            .agg(
+                F.to_json(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("src_offset", "obj_no", "kind", "text", "media_ref")
+                        )
+                    )
+                ).alias("html_json")
+            )
+        )
+        docinfo = docinfo.join(hjson, "doc_id", "left")
+    else:
+        docinfo = docinfo.withColumn("html_json", F.lit(None).cast("string"))
+    # the static side of a stream-static join is re-evaluated every
+    # micro-batch — cache it so the DOM parse runs once per run, not per batch
+    docinfo = docinfo.persist()
     merged = (
         tables.join(docinfo, "doc_id")  # stream-static join
         .groupBy("doc_id")
@@ -163,4 +216,5 @@ def run_stateful(
             .awaitTermination()
         )
     finally:
+        docinfo.unpersist()
         sink.close()

@@ -177,3 +177,124 @@ def test_interleaved_doc_with_both_html_and_media(spark):
     assert got == exp
     offsets = [o for (_k, _t, _m, o) in out[rdocs[0]["doc_id"]]]
     assert offsets == list(range(len(offsets)))
+
+
+def test_stateful_streaming_html_split_pages(spark, tmp_path):
+    """Streaming parity: a paged doc carrying an html span, pages split
+    across micro-batches, plus a text-only html doc — run_stateful(html=True)
+    emits exactly one golden row each."""
+    from tableextraction_spark.fixtures.html_gen import (
+        expected_block_spans,
+        plan_html_doc,
+    )
+    from tableextraction_spark.streaming.stateful_assembly import run_stateful
+
+    rdocs, blobs, rexp = gen_corpus(6)  # doc 5 = 10-page skew doc
+    paged = dict(rdocs[5])
+    h_in, _ = gen_html_doc(3)
+    hspan = next(s for s in h_in["spans"] if s["kind"] == "html")
+    paged_spans = list(paged["spans"]) + [{**hspan, "offset": len(paged["spans"])}]
+    paged = {"doc_id": paged["doc_id"], "spans": paged_spans}
+    text_doc, text_exp = gen_html_doc(4)
+
+    docs_df = spark.createDataFrame(
+        rdocs[:5] + [paged, text_doc], "doc_id string, spans array<struct<"
+        "kind string, text string, media_ref string, offset int>>"
+    )
+    blobs_dir = str(tmp_path / "blobs_in")
+    out = str(tmp_path / "spans_out")
+    ckpt = str(tmp_path / "ckpt")
+    split = [b for b in blobs if b["doc_id"] == paged["doc_id"]]
+    rest = [b for b in blobs if b["doc_id"] != paged["doc_id"]]
+    half = len(split) // 2
+    from tableextraction_spark.pipeline import BLOBS_SCHEMA
+
+    for wave in (rest + split[:half], split[half:]):
+        spark.createDataFrame(wave, BLOBS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(blobs_dir)
+    run_stateful(spark, blobs_dir, docs_df, out, ckpt, max_files_per_trigger=1,
+                 html=True)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 7  # one row per doc, no partials
+    got = {
+        r.doc_id: [
+            (s.kind, s.text, s.media_ref)
+            for s in sorted(r.spans, key=lambda s: s.offset)
+        ]
+        for r in rows
+    }
+    # paged doc: raster goldens then html block spans (html span was last)
+    exp_paged = [(s["kind"], s["text"], s["media_ref"]) for s in rexp[5]["spans"]]
+    exp_paged += [
+        (s["kind"], s["text"], s["media_ref"])
+        for s in expected_block_spans(plan_html_doc(3))
+    ]
+    assert got[paged["doc_id"]] == exp_paged
+    # text-only html doc: full html-fixture goldens
+    assert got[text_doc["doc_id"]] == [
+        (s["kind"], s["text"], s["media_ref"]) for s in text_exp["spans"]
+    ]
+
+
+def test_incremental_streaming_html(spark, tmp_path):
+    """run_incremental(html=True): per-batch docs get their markup spans
+    replaced, same as batch."""
+    from tableextraction_spark.fixtures.html_gen import (
+        expected_block_spans,
+        plan_html_doc,
+    )
+    from tableextraction_spark.streaming.incremental import run_incremental
+
+    rdocs, blobs, rexp = gen_corpus(2)
+    h_in, _ = gen_html_doc(9)
+    hspan = next(s for s in h_in["spans"] if s["kind"] == "html")
+    doc0 = {
+        "doc_id": rdocs[0]["doc_id"],
+        "spans": list(rdocs[0]["spans"]) + [{**hspan, "offset": len(rdocs[0]["spans"])}],
+    }
+    docs_df = spark.createDataFrame([doc0, rdocs[1]], DOCS_SCHEMA)
+    blobs_dir = str(tmp_path / "blobs_in")
+    spark.createDataFrame(blobs, BLOBS_SCHEMA).coalesce(1).write.parquet(blobs_dir)
+    out = str(tmp_path / "spans_out")
+    run_incremental(spark, blobs_dir, docs_df, out, str(tmp_path / "ckpt"), html=True)
+
+    rows = spark.read.parquet(out).collect()
+    got = {
+        r.doc_id: [
+            (s.kind, s.text, s.media_ref)
+            for s in sorted(r.spans, key=lambda s: s.offset)
+        ]
+        for r in rows
+    }
+    exp0 = [(s["kind"], s["text"], s["media_ref"]) for s in rexp[0]["spans"]]
+    exp0 += [
+        (s["kind"], s["text"], s["media_ref"])
+        for s in expected_block_spans(plan_html_doc(9))
+    ]
+    assert got[doc0["doc_id"]] == exp0
+    assert got[rdocs[1]["doc_id"]] == [
+        (s["kind"], s["text"], s["media_ref"]) for s in rexp[1]["spans"]
+    ]
+
+
+def test_html_lineage_metrics(spark, tmp_path):
+    """metrics_path + html=True writes a second stage's per-partition
+    counters (html_extract) next to the decode stage's, same schema."""
+    rdocs, blobs, _ = gen_corpus(2)
+    hdocs, _ = zip(*(gen_html_doc(i) for i in range(3)))
+    docs_df = spark.createDataFrame(rdocs + list(hdocs), DOCS_SCHEMA)
+    blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA)
+    mpath = str(tmp_path / "metrics")
+    extract_spans(
+        spark, docs_df, blobs_df, html=True, metrics_path=mpath, run_id="h1"
+    ).write.format("noop").mode("overwrite").save()
+    m = spark.read.parquet(mpath)
+    stages = {r.stage for r in m.select("stage").distinct().collect()}
+    assert stages == {"decode_detect_ocr", "html_extract"}
+    h = m.where(F.col("stage") == "html_extract")
+    agg = h.groupBy().sum("docs_processed", "pages_decoded", "errors").collect()[0]
+    assert agg[0] >= 3  # 3 html docs parsed (partition-sum is an upper bound)
+    assert agg[1] == 3  # one html span per fixture doc
+    assert agg[2] == 0
