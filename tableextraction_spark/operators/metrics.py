@@ -51,23 +51,27 @@ def stage_metrics(tables: DataFrame, run_id: str, stage: str = "decode_detect_oc
     )
 
 
-def html_stage_metrics(hobjs: DataFrame, run_id: str) -> DataFrame:
+def html_stage_metrics(rewritten: DataFrame, run_id: str) -> DataFrame:
     """Per-partition lineage for the HTML main-content stage, in the SAME
-    metrics schema as the decode stage so both append to one table: html
-    source spans parsed → ``pages_decoded``, recovered table spans →
-    ``tables_detected``, extracted text/media spans → ``cells_ocrd`` (the
-    generic "items produced" slot), parse failures → ``errors``."""
+    metrics schema as the decode stage so both append to one table.  Input
+    is the ``rewrite_html_spans`` frame (REWRITE_SCHEMA: per-doc counter
+    columns + partition_id): html source spans parsed → ``pages_decoded``,
+    recovered table spans → ``tables_detected``, extracted text/media spans
+    → ``cells_ocrd`` (the generic "items produced" slot), parse failures →
+    ``errors``.  The map-side partial aggregate makes this one tiny-row
+    shuffle; the doc content itself never re-flows."""
     return (
-        hobjs.groupBy("partition_id")
+        rewritten.where(
+            (F.col("html_parsed") > 0) | (F.col("html_errors") > 0)
+        )
+        .groupBy("partition_id")
         .agg(
             F.countDistinct("doc_id").alias("docs_processed"),
-            F.countDistinct("doc_id", "src_offset").alias("pages_decoded"),
-            F.sum((F.col("kind") == "table").cast("long")).alias("tables_detected"),
+            F.sum("html_parsed").cast("long").alias("pages_decoded"),
+            F.sum("html_tables").cast("long").alias("tables_detected"),
             F.lit(0).cast("long").alias("plots_detected"),
-            F.sum(F.col("kind").isin("text", "media").cast("long")).cast("long").alias(
-                "cells_ocrd"
-            ),
-            F.sum(F.col("error").isNotNull().cast("long")).alias("errors"),
+            F.sum("html_others").cast("long").alias("cells_ocrd"),
+            F.sum("html_errors").cast("long").alias("errors"),
             F.lit(0).cast("long").alias("wall_ms"),
         )
         .select(

@@ -165,12 +165,29 @@ def extract_spans(
     min/max clustering is the deploy-time upgrade).
     """
     todo = filter_unprocessed(docs, committed)
-    hobjs = None
+    rewritten = None
     if html:
-        from .operators.html_extract import extract_html_objects
+        # in-place rewrite, NOT the object-row + join form: markup never
+        # shuffles (measured 2.3× throughput and 0.94-vs-0.55 scaling at
+        # 4→16 cores on 240k docs — see operators/html_extract.py)
+        from .operators.html_extract import rewrite_html_spans
 
-        hobjs = extract_html_objects(todo)
+        rewritten = rewrite_html_spans(todo)
+        todo = rewritten.select("doc_id", "spans")
     if blobs is None:
+        if rewritten is not None:
+            # markup-only corpus: the rewrite already produced the final
+            # renumbered span arrays, and the tables side is statically
+            # empty — assembly would be an identity join.  Whole job =
+            # scan → mapInPandas → sink, zero exchanges.
+            if metrics_path is not None:
+                from .operators.metrics import html_stage_metrics
+                from .sources import write_table
+
+                rewritten.persist()
+                run_id = run_id or uuid.uuid4().hex[:12]
+                write_table(html_stage_metrics(rewritten, run_id), metrics_path)
+            return todo
         tables = spark.createDataFrame([], TABLES_SCHEMA).withColumn(
             "partition_id", F.spark_partition_id()
         )
@@ -201,13 +218,14 @@ def extract_spans(
         tables = tables.persist()
         run_id = run_id or uuid.uuid4().hex[:12]
         write_table(stage_metrics(tables, run_id), metrics_path)
-        if hobjs is not None:
+        if rewritten is not None:
             from .operators.metrics import html_stage_metrics
 
-            hobjs = hobjs.persist()
-            write_table(html_stage_metrics(hobjs, run_id), metrics_path)
+            # persist so the metrics write and the assembly share ONE parse
+            rewritten.persist()
+            write_table(html_stage_metrics(rewritten, run_id), metrics_path)
     assemble = assemble_spans_pandas if use_pandas_assembly else assemble_spans_sql
-    return assemble(todo, tables, html=hobjs)
+    return assemble(todo, tables)
 
 
 def run_to_parquet(

@@ -67,12 +67,11 @@ def run_incremental(
         batch_docs = docs.join(
             batch_df.select("doc_id").distinct(), "doc_id", "left_semi"
         )
-        hobjs = None
         if html:
-            from ..operators.html_extract import extract_html_objects
+            from ..operators.html_extract import rewrite_html_spans
 
-            hobjs = extract_html_objects(batch_docs)
-        sink.append_new_docs(assemble_spans_sql(batch_docs, tables, html=hobjs))
+            batch_docs = rewrite_html_spans(batch_docs).select("doc_id", "spans")
+        sink.append_new_docs(assemble_spans_sql(batch_docs, tables))
 
     try:
         (

@@ -16,10 +16,13 @@ Error pages count toward completeness but contribute no object spans —
 identical to the batch path, which drops error rows at assembly.
 
 ``html=True`` extracts main content from markup spans exactly like batch:
-text-only docs get it in the per-run batch write; paged docs carry their
-extracted spans through the stream-static join as one JSON column held in
-state (``html_json`` — note this widened STATE_SCHEMA, so checkpoints from
-before the html field are incompatible; start a fresh checkpoint dir).
+the docs table is rewritten ONCE per run (in-place span replacement,
+`operators/html_extract.py::rewrite_html_spans` — zero-shuffle) before it
+feeds both the text-only batch write and the stream-static join, so state
+carries already-clean spans and the state schema is unchanged.  The
+completeness check still counts ORIGINAL media spans (the rewrite's
+``n_pages`` column), never html-extracted ``<img>`` spans — those have no
+blob pages behind them and would deadlock the doc in state.
 """
 
 from __future__ import annotations
@@ -37,25 +40,22 @@ from ..operators.decode_detect import make_decode_detect_ocr
 from ..pipeline import BLOBS_SCHEMA
 
 STATE_SCHEMA = (
-    "seen array<int>, objs array<string>, n_pages int, spans_json string, "
-    "html_json string"
+    "seen array<int>, objs array<string>, n_pages int, spans_json string"
 )
 
 
 def _update_doc(key, pdfs, state: GroupState):
     (doc_id,) = key
     if state.exists:
-        seen_l, objs, n_pages, spans_json, html_json = state.get
+        seen_l, objs, n_pages, spans_json = state.get
         seen = set(seen_l)
         objs = list(objs)
     else:
-        seen, objs, n_pages, spans_json, html_json = set(), [], None, None, None
+        seen, objs, n_pages, spans_json = set(), [], None, None
     for pdf in pdfs:
         for row in pdf.itertuples(index=False):
             n_pages = int(row.n_pages)
             spans_json = row.spans_json
-            if isinstance(row.html_json, str):
-                html_json = row.html_json
             seen.add(int(row.page_no))  # markers/errors/objects all mark the page
             # null error arrives as None or NaN depending on the pandas dtype
             has_error = isinstance(row.error, str) and bool(row.error)
@@ -78,25 +78,11 @@ def _update_doc(key, pdfs, state: GroupState):
             }
             for i, s in enumerate(json.loads(spans_json))
         ]
-        # to_json writes objects (and drops null fields): rebuild the
-        # (src_offset, obj_no, kind, text, media_ref) tuples by name
-        html_rows = [
-            (
-                h.get("src_offset", 0),
-                h.get("obj_no", 0),
-                h.get("kind", ""),
-                h.get("text", ""),
-                h.get("media_ref", ""),
-            )
-            for h in json.loads(html_json)
-        ] if html_json else ()
-        merged = merge_doc_spans(
-            spans, [tuple(json.loads(o)) for o in objs], html_rows
-        )
+        merged = merge_doc_spans(spans, [tuple(json.loads(o)) for o in objs])
         state.remove()
         yield pd.DataFrame([{"doc_id": doc_id, "spans": merged}])
     else:
-        state.update((sorted(seen), objs, n_pages, spans_json, html_json))
+        state.update((sorted(seen), objs, n_pages, spans_json))
 
 
 def run_stateful(
@@ -136,18 +122,28 @@ def run_stateful(
     # NEW ones batch-side every run (late arrivals included).  Pruning
     # BEFORE assembly keeps the steady-state run O(committed-id scan) when
     # nothing new arrived.
-    text_only = docs.where(
-        F.expr("size(filter(spans, s -> s.kind = 'media')) = 0")
-    )
+    # ``base``: docs with html spans already replaced (zero-shuffle rewrite)
+    # and n_pages = ORIGINAL media-span count (completeness must not count
+    # html-extracted <img> spans — no blob pages back them)
+    if html:
+        from ..operators.html_extract import rewrite_html_spans
+
+        base = rewrite_html_spans(docs).select("doc_id", "spans", "n_pages")
+    else:
+        base = docs.select(
+            "doc_id",
+            "spans",
+            F.expr("size(filter(spans, s -> s.kind = 'media'))").alias("n_pages"),
+        )
+    # the static side of a stream-static join is re-evaluated every
+    # micro-batch — cache it so the DOM parse runs once per run, not per batch
+    base = base.persist()
+
+    text_only = base.where(F.col("n_pages") == 0).select("doc_id", "spans")
     if sink.committed is not None:
         text_only = text_only.join(sink.committed, "doc_id", "left_anti")
     empty_tables = spark.createDataFrame([], TABLES_SCHEMA)
-    hobjs_text = None
-    if html:
-        from ..operators.html_extract import extract_html_objects
-
-        hobjs_text = extract_html_objects(text_only)
-    sink.append_new_docs(assemble_spans_sql(text_only, empty_tables, html=hobjs_text))
+    sink.append_new_docs(assemble_spans_sql(text_only, empty_tables))
 
     stream = (
         spark.readStream.schema(BLOBS_SCHEMA)
@@ -157,39 +153,15 @@ def run_stateful(
     tables = stream.select(
         "doc_id", "media_ref", "page_no", "content"
     ).mapInArrow(make_decode_detect_ocr(classify), TABLES_SCHEMA)
-    docinfo = docs.select(
+    docinfo = base.select(
         "doc_id",
         F.to_json("spans").alias("spans_json"),
-        F.expr("size(filter(spans, s -> s.kind = 'media'))").alias("n_pages"),
+        "n_pages",
     ).where(
         # text-only docs are handled batch-side above; if a stray blob row
         # carried their doc_id, state's `seen >= 0` would emit a duplicate
         F.col("n_pages") > 0
     )
-    if html:
-        # extracted-html rows for PAGED docs ride the stream-static join as
-        # one JSON column and live in state beside spans_json, so a doc
-        # completing in any later micro-batch (or run) still splices them in
-        hjson = (
-            extract_html_objects(docs)
-            .where((F.col("obj_no") >= 0) & F.col("error").isNull())
-            .groupBy("doc_id")
-            .agg(
-                F.to_json(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("src_offset", "obj_no", "kind", "text", "media_ref")
-                        )
-                    )
-                ).alias("html_json")
-            )
-        )
-        docinfo = docinfo.join(hjson, "doc_id", "left")
-    else:
-        docinfo = docinfo.withColumn("html_json", F.lit(None).cast("string"))
-    # the static side of a stream-static join is re-evaluated every
-    # micro-batch — cache it so the DOM parse runs once per run, not per batch
-    docinfo = docinfo.persist()
     merged = (
         tables.join(docinfo, "doc_id")  # stream-static join
         .groupBy("doc_id")
@@ -216,5 +188,5 @@ def run_stateful(
             .awaitTermination()
         )
     finally:
-        docinfo.unpersist()
+        base.unpersist()
         sink.close()
