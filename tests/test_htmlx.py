@@ -152,3 +152,48 @@ def test_gen_html_doc_shapes():
     assert all(s["offset"] == i for i, s in enumerate(doc["spans"]))
     assert all(s["offset"] == i for i, s in enumerate(exp["spans"]))
     assert all(s["kind"] != "html" for s in exp["spans"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000))
+def test_fast_tokenizer_matches_stdlib_builder(doc_num):
+    """The regex tokenizer and the stdlib html.parser builder produce
+    identical spans for any fixture document (differential oracle).
+    (Manual swap: hypothesis forbids function-scoped fixtures like
+    monkeypatch inside @given.)"""
+    import tableextraction_spark.htmlx as hx
+
+    html = render_html_doc(plan_html_doc(doc_num), doc_num)
+    fast = extract_main_spans(html)
+    real = hx.parse_html
+    hx.parse_html = hx.parse_html_stdlib
+    try:
+        assert fast == extract_main_spans(html)
+    finally:
+        hx.parse_html = real
+
+
+def test_fast_tokenizer_matches_stdlib_adversarial(monkeypatch):
+    import tableextraction_spark.htmlx as hx
+
+    cases = [
+        "<p>a<b>b</p>c",
+        "<!DOCTYPE html><!-- c --><p>x &amp; y</p>",
+        "<div class='a\"b'><p title=\"x>y\">z</p></div>",
+        "<script>if (a<b && c>d) { '</div>' }</script><p>keep</p>",
+        "<style>a>b{}</style><p>s</p>",
+        "<table><tr><td>1<td>2<tr><td>3</table>",
+        "<ul><li>a<li>b</ul>",
+        "<p>unclosed <em>emph",
+        "text only, no tags &lt;p&gt;",
+        "<img src='x'/><br><hr><p>after</p>",
+        "<P CLASS='Big'>UPPER</P>",
+        "<div><div><div>deep</div></div></div>trail",
+        "<textarea><p>not a tag</p></textarea><p>real</p>",
+    ]
+    for c in cases:
+        fast = extract_main_spans(c)
+        monkeypatch.setattr(hx, "parse_html", hx.parse_html_stdlib)
+        ref = extract_main_spans(c)
+        monkeypatch.undo()
+        assert fast == ref, c
