@@ -112,8 +112,39 @@ WHERE 1 = 0
 """
 
 
+def q41_html_table_harvest_verify(spark, sf_dir):
+    """The RELATIONAL html form (`extract_html_objects` — object rows, no
+    document assembly) harvests exactly the plan's `<table>` structures:
+    multiset difference of (doc_id, payload-md5) in both directions, stated
+    empty-on-success.  Covers the corpus-wide-harvesting path the in-place
+    rewrite (q37) does not exercise."""
+    from ..fixtures.html_gen import html_docs_dataframe, html_expected_dataframe
+    from ..operators.html_extract import extract_html_objects
+
+    n = _n_docs_for(sf_dir)
+    harvested = (
+        extract_html_objects(html_docs_dataframe(spark, n))
+        .where((F.col("kind") == "table") & F.col("error").isNull())
+        .select("doc_id", F.md5("text").alias("payload_md5"))
+    )
+    expected = (
+        html_expected_dataframe(spark, n)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "table")
+        .select("doc_id", F.md5(F.col("s.text")).alias("payload_md5"))
+    )
+    return harvested.exceptAll(expected).unionAll(expected.exceptAll(harvested))
+
+
+Q41_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS doc_id, CAST(NULL AS VARCHAR) AS payload_md5
+WHERE 1 = 0
+"""
+
+
 QUERIES = {
     "q37_html_extract_verify": (q37_html_extract_verify, Q37_SQL),
     "q38_html_count_invariant": (q38_html_count_invariant, Q38_SQL),
     "q39_html_boilerplate_leak": (q39_html_boilerplate_leak, Q39_SQL),
+    "q41_html_table_harvest_verify": (q41_html_table_harvest_verify, Q41_SQL),
 }
