@@ -298,3 +298,30 @@ def test_html_lineage_metrics(spark, tmp_path):
     assert agg[0] >= 3  # 3 html docs parsed (partition-sum is an upper bound)
     assert agg[1] == 3  # one html span per fixture doc
     assert agg[2] == 0
+
+
+def test_multiple_html_spans_per_doc(spark):
+    """A doc may interleave SEVERAL markup spans with text: each is replaced
+    at its own position, order preserved, offsets contiguous."""
+    doc = {
+        "doc_id": "multi",
+        "spans": [
+            {"kind": "text", "text": "intro", "media_ref": "", "offset": 0},
+            {"kind": "html", "text": "<p>first block</p><p>second</p>",
+             "media_ref": "", "offset": 1},
+            {"kind": "text", "text": "middle", "media_ref": "", "offset": 2},
+            {"kind": "html",
+             "text": "<nav><a href='/'>x</a></nav><p>third</p><img src='im-9'>",
+             "media_ref": "", "offset": 3},
+        ],
+    }
+    docs_df = spark.createDataFrame([doc], DOCS_SCHEMA)
+    out = _tuples(extract_spans(spark, docs_df, None, html=True).collect())
+    assert out["multi"] == [
+        ("text", "intro", "", 0),
+        ("text", "first block", "", 1),
+        ("text", "second", "", 2),
+        ("text", "middle", "", 3),
+        ("text", "third", "", 4),
+        ("media", "", "im-9", 5),
+    ]
