@@ -95,7 +95,17 @@ def _rewrite_batches(batches):
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             new_spans, n_pages = [], 0
             parsed = errors = tables = others = 0
-            for s in sorted(spans, key=lambda s: s["offset"]):
+            # a null spans array (or null offsets) must degrade like the
+            # Catalyst assembly does (null in → null out), not kill the task
+            if spans is None:
+                out.append(
+                    {"doc_id": doc_id, "spans": None, "n_pages": 0,
+                     "html_parsed": 0, "html_errors": 0, "html_tables": 0,
+                     "html_others": 0}
+                )
+                continue
+            order = lambda s: s["offset"] if s["offset"] is not None else -1  # noqa: E731
+            for s in sorted(spans, key=order):
                 if s["kind"] == "media":
                     n_pages += 1
                 if s["kind"] != "html":

@@ -325,3 +325,19 @@ def test_multiple_html_spans_per_doc(spark):
         ("text", "third", "", 4),
         ("media", "", "im-9", 5),
     ]
+
+
+def test_null_spans_doc_survives_rewrite(spark):
+    """A doc with a NULL spans array must not kill the rewrite task — it
+    degrades like the Catalyst assembly (null in → null out), and other
+    docs in the same batch are unaffected."""
+    from tableextraction_spark.operators.html_extract import rewrite_html_spans
+
+    docs = spark.createDataFrame(
+        [("nullguy", None),
+         ("ok", [{"kind": "html", "text": "<p>x</p>", "media_ref": "", "offset": 0}])],
+        DOCS_SCHEMA,
+    )
+    rows = {r.doc_id: r for r in rewrite_html_spans(docs).collect()}
+    assert rows["nullguy"].spans is None
+    assert [(s.kind, s.text) for s in rows["ok"].spans] == [("text", "x")]
