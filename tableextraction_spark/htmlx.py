@@ -194,8 +194,15 @@ _TAG_RE = re.compile(
 _ATTR_RE = re.compile(
     r"([^\s=/>]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
 )
-# raw-text elements: content is literal until the matching close tag
+# raw-text elements: content is literal until the matching close tag.
+# The close-tag search must require a name BOUNDARY (</script followed by
+# whitespace, '/', or '>') — a bare prefix find would close on </scripty>
+# and leak script text into extracted content; case-insensitive regex also
+# avoids lowercasing the whole remaining document per rawtext element.
 _RAWTEXT_TAGS = frozenset(("script", "style", "textarea", "title"))
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</{t}(?=[\s/>])", re.IGNORECASE) for t in _RAWTEXT_TAGS
+}
 
 
 def _unescape(text: str) -> str:
@@ -238,19 +245,28 @@ def parse_html(html: str) -> Node:
             if closers:
                 while len(stack) > 1 and stack[-1].tag in closers:
                     del stack[-1]
-            node = Node(tag, _parse_attrs(m.group("attrs")), [])
+            attrs_raw = m.group("attrs")
+            selfclose = m.group("selfclose")
+            if selfclose and attrs_raw and attrs_raw[-1] not in " \t\n\r\"'":
+                # HTML5: a '/' at the end of an UNQUOTED attribute value is
+                # part of the value (<a href=/x/> is NOT self-closing) —
+                # only after whitespace or a closing quote does '/>' close
+                attrs_raw += "/"
+                selfclose = ""
+            node = Node(tag, _parse_attrs(attrs_raw), [])
             stack[-1].children.append(node)
-            if m.group("selfclose") or tag in VOID_TAGS:
+            if selfclose or tag in VOID_TAGS:
                 continue
             if tag in _RAWTEXT_TAGS:
-                # literal content until the matching close tag
-                end = html.lower().find(f"</{tag}", pos)
-                if end == -1:
+                # literal content until the matching close tag (boundary-
+                # checked, case-insensitive — see _RAWTEXT_CLOSE note)
+                m2 = _RAWTEXT_CLOSE[tag].search(html, pos)
+                if m2 is None:
                     node.children.append(html[pos:])
                     pos = n
                 else:
-                    node.children.append(html[pos:end])
-                    gt = html.find(">", end)
+                    node.children.append(html[pos : m2.start()])
+                    gt = html.find(">", m2.end())
                     pos = n if gt == -1 else gt + 1
                 continue
             stack.append(node)
@@ -363,32 +379,57 @@ def table_to_json(table: Node) -> str | None:
     rows = _table_rows(table)
     if not rows:
         return None
-    # leading all-<th> rows are the header block (≤2 used for the tree);
-    # a table with no <th> treats its first row as a single header row
+    # leading all-<th> rows are the header block; the 2-level tree consumes
+    # at most 2 of them (extra th-rows are demoted to records, not dropped).
+    # A table with no <th> treats its first row as a single header row.
     n_head = 0
     while n_head < len(rows) and all(c[3] for c in rows[n_head]):
         n_head += 1
-    if n_head == 0:
-        n_head = 1
+    n_head = min(max(n_head, 1), 2)
     head_rows, body_rows = rows[:n_head], rows[n_head:]
 
     headers: list[dict] = []
     col_paths: list[str] = []
     row1 = head_rows[0]
     row2 = head_rows[1] if len(head_rows) > 1 else []
+    # column bookkeeping: row2 cells fill, left to right, exactly the column
+    # slots NOT occupied by a rowspan≥2 cell of row1 — so a group's children
+    # come from the row2 cells under the group's own columns, even when
+    # sibling cells omit rowspan (sloppy but common markup)
+    row1_cols = []
+    occupied: set[int] = set()
+    col = 0
+    for cell in row1:
+        _text, cs, rs, _is_th = cell
+        idxs = list(range(col, col + cs))
+        row1_cols.append((cell, idxs))
+        if rs >= 2 and cs == 1:
+            occupied.update(idxs)
+        col += cs
+    row2_map: dict[int, str] = {}
     it2 = iter(row2)
-    for text, colspan, _rowspan, _is_th in row1:
+    for c in range(col):
+        if c in occupied:
+            continue
+        try:
+            row2_map[c] = next(it2)[0]
+        except StopIteration:
+            break
+    for (text, colspan, _rowspan, _is_th), idxs in row1_cols:
+        subs = [row2_map[c] for c in idxs if c in row2_map]
         if colspan > 1 and row2:
-            children = []
-            for _ in range(colspan):
-                try:
-                    children.append(next(it2)[0])
-                except StopIteration:  # malformed colspan: pad
-                    children.append("")
+            children = subs + [""] * (colspan - len(subs))  # malformed: pad
             headers.append(
                 {"text": text, "children": [{"text": c, "children": []} for c in children]}
             )
             col_paths.extend(f"{text}/{c}" for c in children)
+        elif subs:
+            # single column with a stacked sub-header (rowspan omitted):
+            # a one-child group, path "Top/Sub"
+            headers.append(
+                {"text": text, "children": [{"text": subs[0], "children": []}]}
+            )
+            col_paths.append(f"{text}/{subs[0]}")
         else:
             headers.append({"text": text, "children": []})
             col_paths.append(text)
@@ -441,24 +482,35 @@ def _emit(node, out: list[dict], buf: list):
         return
     if tag in LEAF_BLOCK_TAGS:
         flush()
-        # images / nested tables inside a leaf block still surface as spans
-        sub_media = [
-            c for c in node.children if isinstance(c, Node) and c.tag in ("img", "table")
-        ]
-        inline = [
-            c for c in node.children
-            if not (isinstance(c, Node) and c.tag in ("img", "table"))
-        ]
-        text, density, words = _gather_inline(inline)
-        if text and not _is_link_list(text, density, words):
-            out.append({"kind": "text", "text": text, "media_ref": ""})
-        for m in sub_media:
-            _emit(m, out, buf)
+        # in-order: text runs split around img/table at ANY depth (an image
+        # wrapped in <a>/<span> inside a paragraph must still surface as a
+        # media span, in document position — not be dropped or reordered)
+        lbuf: list = []
+
+        def lflush():
+            if not lbuf:
+                return
+            t, d, w = _gather_inline(lbuf)
+            lbuf.clear()
+            if t and not _is_link_list(t, d, w):
+                out.append({"kind": "text", "text": t, "media_ref": ""})
+
+        for ch in node.children:
+            if isinstance(ch, str) or not _has_media(ch):
+                lbuf.append(ch)
+            else:
+                lflush()
+                _emit(ch, out, lbuf)
+        lflush()
         return
     # containers and unknown elements alike: recurse, folding bare inline
-    # runs between block children into implicit text blocks
+    # runs between block children into implicit text blocks; an inline
+    # element hiding an img/table descendant recurses instead (media must
+    # not vanish inside a text run)
     for ch in node.children:
-        is_inline = isinstance(ch, str) or (isinstance(ch, Node) and ch.tag in _INLINE_TAGS)
+        is_inline = isinstance(ch, str) or (
+            ch.tag in _INLINE_TAGS and not _has_media(ch)
+        )
         if is_inline:
             buf.append(ch)
         else:
@@ -471,6 +523,17 @@ _INLINE_TAGS = frozenset(
     "a b i u em strong span code small sub sup mark abbr time cite q s del "
     "ins kbd samp var bdi br".split()
 )
+
+
+def _has_media(node) -> bool:
+    """True when a non-boilerplate img/table exists anywhere in the subtree."""
+    if isinstance(node, str):
+        return False
+    if _is_boiler_node(node):
+        return False
+    if node.tag in ("img", "table"):
+        return True
+    return any(_has_media(c) for c in node.children)
 
 
 def extract_main_spans(html: str) -> list[dict]:

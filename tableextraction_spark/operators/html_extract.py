@@ -57,14 +57,17 @@ def _parse_batches(batches):
     for pdf in batches:
         rows = []
         for doc_id, off, markup in zip(pdf["doc_id"], pdf["src_offset"], pdf["html"]):
+            # a null offset arrives as NaN — int(NaN) raises OUTSIDE any
+            # per-row guard and would kill the task, not the row
+            off = -1 if off is None or pd.isna(off) else int(off)
             try:
                 spans = extract_main_spans(markup or "")
             except Exception as exc:  # noqa: BLE001 — per-row isolation
-                rows.append((doc_id, int(off), -1, "error", "", "", repr(exc)[:500]))
+                rows.append((doc_id, off, -1, "error", "", "", repr(exc)[:500]))
                 continue
             for i, s in enumerate(spans):
                 rows.append(
-                    (doc_id, int(off), i, s["kind"], s["text"], s["media_ref"], None)
+                    (doc_id, off, i, s["kind"], s["text"], s["media_ref"], None)
                 )
         yield pd.DataFrame(rows, columns=_COLS)
 

@@ -164,7 +164,11 @@ def extract_spans(
     and dropped by the assembly join (row-group metadata pruning via doc_id
     min/max clustering is the deploy-time upgrade).
     """
-    todo = filter_unprocessed(docs, committed)
+    # NOTE: the resume prunes below read doc_ids from raw_todo, NOT from the
+    # rewritten frame — doc ids are unchanged by the html rewrite, and Spark
+    # cannot prune columns through mapInPandas, so id-scanning the rewritten
+    # frame would DOM-parse the whole corpus once per prune
+    raw_todo = todo = filter_unprocessed(docs, committed)
     rewritten = None
     if html:
         # in-place rewrite, NOT the object-row + join form: markup never
@@ -201,7 +205,7 @@ def extract_spans(
             # scan skips decode for every committed page; a completed job's
             # rerun decodes nothing).  More rows → pruning would broadcast
             # too much; fall back to decode-all + assembly-drop.
-            ids = todo.select("doc_id").limit(RESUME_PRUNE_MAX + 1).collect()
+            ids = raw_todo.select("doc_id").limit(RESUME_PRUNE_MAX + 1).collect()
             if len(ids) <= RESUME_PRUNE_MAX:
                 keep = {r.doc_id for r in ids}
         tables = detect_tables_python_scan(
@@ -210,7 +214,7 @@ def extract_spans(
     else:
         src = blobs
         if committed is not None:
-            src = blobs.join(todo.select("doc_id"), "doc_id", "left_semi")
+            src = blobs.join(raw_todo.select("doc_id"), "doc_id", "left_semi")
         tables = detect_tables(src, repartition=repartition, classify=classify)
     if metrics_path is not None:
         from .sources import write_table

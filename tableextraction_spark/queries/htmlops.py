@@ -18,18 +18,11 @@ driver's hard gate red:
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import functions as F
 
 from ..fixtures.html_gen import SENTINEL, html_docs_dataframe, html_expected_dataframe
 from ..pipeline import extract_spans
-
-
-def _n_docs_for(sf_dir: str) -> int:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.001
-    return max(8, int(round(sf * 2000)))
+from .extraction import _n_docs_for  # one corpus-sizing rule for all fixtures
 
 
 def _output(spark, sf_dir):

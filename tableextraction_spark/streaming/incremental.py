@@ -52,9 +52,27 @@ def run_incremental(
     ``html=True`` routes each batch-doc's markup spans through the DOM
     main-content extractor, exactly like the batch pipeline.
     """
+    from pyspark.sql import functions as F
+
+    from ..operators import TABLES_SCHEMA
     from .sink import IdempotentSink
 
     sink = IdempotentSink(spark, out_path)
+
+    # documents with NO media spans produce no blob rows, so they can never
+    # appear in any micro-batch — emit NEW ones batch-side each run (the
+    # same device as stateful_assembly; without it a markup-only or
+    # text-only doc is silently dropped forever)
+    no_media = docs.where(F.expr("size(filter(spans, s -> s.kind = 'media')) = 0"))
+    if sink.committed is not None:
+        no_media = no_media.join(sink.committed, "doc_id", "left_anti")
+    if html:
+        from ..operators.html_extract import rewrite_html_spans
+
+        no_media = rewrite_html_spans(no_media).select("doc_id", "spans")
+    sink.append_new_docs(
+        assemble_spans_sql(no_media, spark.createDataFrame([], TABLES_SCHEMA))
+    )
 
     stream = (
         spark.readStream.schema(BLOBS_SCHEMA)

@@ -132,16 +132,17 @@ def test_error_rows_dropped_by_assembly(spark):
     assert out["d1"] == [("text", "pre", "", 0), ("text", "post", "", 1)]
 
 
-def test_html_plan_has_no_pixel_shuffle(spark):
-    """Plan audit: the html path is explode→filter→mapInPandas (narrow) into
-    the single assembly aggregate — markup bytes reach exactly one exchange
-    as part of the collect_list aggregate's partial/final split, never a
-    join of raw payloads against themselves."""
+def test_html_plan_zero_exchanges(spark):
+    """Plan audit: a markup-only corpus is scan → mapInPandas → sink with
+    ZERO exchanges — no shuffle, no join, no aggregate anywhere in the
+    executed plan ("markup never shuffles")."""
     hdocs, _ = zip(*(gen_html_doc(i) for i in range(2)))
     docs_df = spark.createDataFrame(list(hdocs), DOCS_SCHEMA)
     plan = extract_spans(spark, docs_df, None, html=True)._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan or "doc_id" in plan  # join keyed by doc_id only
+    for op in ("Exchange", "CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+               "HashAggregate", "ObjectHashAggregate"):
+        assert op not in plan, f"{op} leaked into the markup-only plan:\n{plan}"
+    assert "MapInPandas" in plan
 
 
 def test_interleaved_doc_with_both_html_and_media(spark):
@@ -341,3 +342,29 @@ def test_null_spans_doc_survives_rewrite(spark):
     rows = {r.doc_id: r for r in rewrite_html_spans(docs).collect()}
     assert rows["nullguy"].spans is None
     assert [(s.kind, s.text) for s in rows["ok"].spans] == [("text", "x")]
+
+
+def test_incremental_emits_blobless_docs(spark, tmp_path):
+    """run_incremental must emit docs that never appear in the blob stream
+    (markup-only / text-only) — previously they were dropped forever."""
+    from tableextraction_spark.streaming.incremental import run_incremental
+
+    rdocs, blobs, rexp = gen_corpus(2)
+    hdoc, hexp = gen_html_doc(5)         # markup-only: no media spans
+    tdoc = {"doc_id": "textonly", "spans": [
+        {"kind": "text", "text": "just text", "media_ref": "", "offset": 0}]}
+    docs_df = spark.createDataFrame(rdocs + [hdoc, tdoc], DOCS_SCHEMA)
+    blobs_dir = str(tmp_path / "blobs_in")
+    spark.createDataFrame(blobs, BLOBS_SCHEMA).coalesce(1).write.parquet(blobs_dir)
+    out = str(tmp_path / "spans_out")
+    run_incremental(spark, blobs_dir, docs_df, out, str(tmp_path / "ckpt"), html=True)
+
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {d["doc_id"] for d in rdocs} | {hdoc["doc_id"], "textonly"}
+    got_h = [(s.kind, s.text, s.media_ref) for s in rows[hdoc["doc_id"]].spans]
+    assert got_h == [(s["kind"], s["text"], s["media_ref"]) for s in hexp["spans"]]
+    assert [(s.kind, s.text) for s in rows["textonly"].spans] == [("text", "just text")]
+
+    # rerun = no duplicates
+    run_incremental(spark, blobs_dir, docs_df, out, str(tmp_path / "ckpt"), html=True)
+    assert spark.read.parquet(out).count() == 4

@@ -197,3 +197,85 @@ def test_fast_tokenizer_matches_stdlib_adversarial(monkeypatch):
         ref = extract_main_spans(c)
         monkeypatch.undo()
         assert fast == ref, c
+
+
+# --- regression tests for the round-2 self-review findings ---
+
+
+def _both(markup):
+    import tableextraction_spark.htmlx as hx
+
+    fast = extract_main_spans(markup)
+    real = hx.parse_html
+    hx.parse_html = hx.parse_html_stdlib
+    try:
+        ref = extract_main_spans(markup)
+    finally:
+        hx.parse_html = real
+    return fast, ref
+
+
+def test_rawtext_close_requires_name_boundary():
+    """</scripty> must NOT close a <script>: a prefix-find leaked script
+    text into main content and broke stdlib equivalence."""
+    fast, ref = _both("<script>var s = '</scripty>'; evil()</script><p>keep</p>")
+    assert fast == ref == [{"kind": "text", "text": "keep", "media_ref": ""}]
+
+
+def test_unquoted_trailing_slash_is_not_selfclosing():
+    """<a href=/x/> — HTML5 keeps the '/' in the unquoted value; treating it
+    as self-closing un-anchored the link text and defeated the density strip."""
+    links = "".join(f"<a href=/p{i}/>rel {i}</a> " for i in range(4))
+    prose = "<p>" + " ".join(f"w{i}" for i in range(30)) + "</p>"
+    fast, ref = _both(f"<div class='x'>{links}</div>{prose}")
+    assert fast == ref
+    assert len(fast) == 1  # link list dropped, prose kept
+
+
+def test_media_nested_in_inline_wrapper_surfaces_in_order():
+    fast, ref = _both("<p>text <span><img src='x.png'></span> more</p>")
+    assert fast == ref == [
+        {"kind": "text", "text": "text", "media_ref": ""},
+        {"kind": "media", "text": "", "media_ref": "x.png"},
+        {"kind": "text", "text": "more", "media_ref": ""},
+    ]
+    fast, ref = _both(
+        "<figure><a href='#'><img src='z'></a><figcaption>cap</figcaption></figure>"
+    )
+    assert fast == ref
+    assert [s["kind"] for s in fast] == ["media", "text"]
+
+
+def test_header_alignment_without_rowspan():
+    """Row-2 header cells fill the column slots not occupied by rowspan≥2
+    cells — a blind zip grafted the wrong children under a colspan group."""
+    t = parse_html(
+        "<table><tr><th>A</th><th colspan='2'>G</th></tr>"
+        "<tr><th>a</th><th>b</th><th>c</th></tr>"
+        "<tr><td>1</td><td>2</td><td>3</td></tr></table>"
+    ).children[0]
+    got = json.loads(table_to_json(t))
+    assert got["columns"] == ["A/a", "G/b", "G/c"]
+    assert got["records"] == [["1", "2", "3"]]
+
+
+def test_three_header_rows_demote_not_drop():
+    t = parse_html(
+        "<table><tr><th>A</th></tr><tr><th>B</th></tr>"
+        "<tr><th>C</th></tr><tr><td>x</td></tr></table>"
+    ).children[0]
+    got = json.loads(table_to_json(t))
+    assert got["columns"] == ["A/B"]
+    assert got["records"] == [["C"], ["x"]]  # row 3 demoted, data kept
+
+
+def test_null_src_offset_isolated_per_row():
+    import pandas as pd
+
+    from tableextraction_spark.operators.html_extract import _parse_batches
+
+    pdf = pd.DataFrame(
+        {"doc_id": ["d1"], "src_offset": [float("nan")], "html": ["<p>x</p>"]}
+    )
+    out = pd.concat(list(_parse_batches([pdf])))
+    assert list(out["text"]) == ["x"] and list(out["src_offset"]) == [-1]
