@@ -203,6 +203,9 @@ _RAWTEXT_TAGS = frozenset(("script", "style", "textarea", "title"))
 _RAWTEXT_CLOSE = {
     t: re.compile(rf"</{t}(?=[\s/>])", re.IGNORECASE) for t in _RAWTEXT_TAGS
 }
+# attrs tail that is "= then an unquoted value run": the only position where
+# a trailing '/' belongs to the value instead of self-closing the tag
+_UNQUOTED_VALUE_TAIL = re.compile(r"=\s*[^\s\"'>=]*$")
 
 
 def _unescape(text: str) -> str:
@@ -247,10 +250,12 @@ def parse_html(html: str) -> Node:
                     del stack[-1]
             attrs_raw = m.group("attrs")
             selfclose = m.group("selfclose")
-            if selfclose and attrs_raw and attrs_raw[-1] not in " \t\n\r\"'":
+            if selfclose and attrs_raw and _UNQUOTED_VALUE_TAIL.search(attrs_raw):
                 # HTML5: a '/' at the end of an UNQUOTED attribute value is
-                # part of the value (<a href=/x/> is NOT self-closing) —
-                # only after whitespace or a closing quote does '/>' close
+                # part of the value (<a href=/x/> is NOT self-closing), but
+                # after a BARE attribute name (<a rel/>) or a quoted value
+                # the '/' does self-close — demote only when the attrs tail
+                # is an '=' followed by a quote-free value run
                 attrs_raw += "/"
                 selfclose = ""
             node = Node(tag, _parse_attrs(attrs_raw), [])
@@ -403,8 +408,8 @@ def table_to_json(table: Node) -> str | None:
         _text, cs, rs, _is_th = cell
         idxs = list(range(col, col + cs))
         row1_cols.append((cell, idxs))
-        if rs >= 2 and cs == 1:
-            occupied.update(idxs)
+        if rs >= 2:
+            occupied.update(idxs)  # ALL of a rowspan≥2 cell's columns
         col += cs
     row2_map: dict[int, str] = {}
     it2 = iter(row2)
@@ -450,10 +455,13 @@ def table_to_json(table: Node) -> str | None:
 # ------------------------------------------------------------ main extraction
 
 
-def _emit(node, out: list[dict], buf: list):
+def _emit(node, out: list[dict], buf: list, mcache: dict):
     """Recursive walk.  ``buf`` accumulates the current implicit inline run
     (bare text / inline tags directly under a container); it flushes into a
-    text span whenever a block-level child or subtree end is reached."""
+    text span whenever a block-level child or subtree end is reached.
+    ``mcache`` memoizes _has_media per node so the walk stays O(n) (an
+    uncached check re-scans each subtree once per enclosing level —
+    quadratic on deeply nested inline markup)."""
 
     def flush():
         if not buf:
@@ -496,11 +504,11 @@ def _emit(node, out: list[dict], buf: list):
                 out.append({"kind": "text", "text": t, "media_ref": ""})
 
         for ch in node.children:
-            if isinstance(ch, str) or not _has_media(ch):
+            if isinstance(ch, str) or not _has_media(ch, mcache):
                 lbuf.append(ch)
             else:
                 lflush()
-                _emit(ch, out, lbuf)
+                _emit(ch, out, lbuf, mcache)
         lflush()
         return
     # containers and unknown elements alike: recurse, folding bare inline
@@ -509,13 +517,13 @@ def _emit(node, out: list[dict], buf: list):
     # not vanish inside a text run)
     for ch in node.children:
         is_inline = isinstance(ch, str) or (
-            ch.tag in _INLINE_TAGS and not _has_media(ch)
+            ch.tag in _INLINE_TAGS and not _has_media(ch, mcache)
         )
         if is_inline:
             buf.append(ch)
         else:
             flush()
-            _emit(ch, out, buf)
+            _emit(ch, out, buf, mcache)
     flush()  # a block element is a block boundary: no inline run crosses it
 
 
@@ -525,15 +533,22 @@ _INLINE_TAGS = frozenset(
 )
 
 
-def _has_media(node) -> bool:
-    """True when a non-boilerplate img/table exists anywhere in the subtree."""
+def _has_media(node, cache: dict) -> bool:
+    """True when a non-boilerplate img/table exists anywhere in the subtree.
+    Memoized by node identity (nodes outlive the cache — same extract call)."""
     if isinstance(node, str):
         return False
-    if _is_boiler_node(node):
-        return False
-    if node.tag in ("img", "table"):
-        return True
-    return any(_has_media(c) for c in node.children)
+    key = id(node)
+    v = cache.get(key)
+    if v is None:
+        if _is_boiler_node(node):
+            v = False
+        elif node.tag in ("img", "table"):
+            v = True
+        else:
+            v = any(_has_media(c, cache) for c in node.children)
+        cache[key] = v
+    return v
 
 
 def extract_main_spans(html: str) -> list[dict]:
@@ -543,5 +558,5 @@ def extract_main_spans(html: str) -> list[dict]:
     assembly renumbers the whole document anyway)."""
     root = parse_html(html)
     out: list[dict] = []
-    _emit(root, out, [])
+    _emit(root, out, [], {})
     return out

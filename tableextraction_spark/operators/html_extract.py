@@ -58,8 +58,15 @@ def _parse_batches(batches):
         rows = []
         for doc_id, off, markup in zip(pdf["doc_id"], pdf["src_offset"], pdf["html"]):
             # a null offset arrives as NaN — int(NaN) raises OUTSIDE any
-            # per-row guard and would kill the task, not the row
-            off = -1 if off is None or pd.isna(off) else int(off)
+            # per-row guard and would kill the task, not the row; and a
+            # sentinel offset could never match the assembly splice, so the
+            # loss must be an OBSERVABLE error row, not silence
+            if off is None or pd.isna(off):
+                rows.append(
+                    (doc_id, -1, -1, "error", "", "", "null src_offset")
+                )
+                continue
+            off = int(off)
             try:
                 spans = extract_main_spans(markup or "")
             except Exception as exc:  # noqa: BLE001 — per-row isolation

@@ -51,6 +51,15 @@ def run_incremental(
 
     ``html=True`` routes each batch-doc's markup spans through the DOM
     main-content extractor, exactly like the batch pipeline.
+
+    Streaming semantic for html-extracted ``media`` spans: they are external
+    back-pointers only — they neither gate emission nor receive detected
+    tables here.  A doc whose ONLY media refs come from markup is emitted by
+    the batch-side no-media write below (dangling <img> refs are the normal
+    web case; waiting on blob rows that may never arrive would drop the doc
+    forever, and the stream side cannot know which refs will materialize).
+    Use the BATCH pipeline when blob-backed <img> refs should get their
+    detected tables attached.
     """
     from pyspark.sql import functions as F
 
@@ -63,7 +72,12 @@ def run_incremental(
     # appear in any micro-batch — emit NEW ones batch-side each run (the
     # same device as stateful_assembly; without it a markup-only or
     # text-only doc is silently dropped forever)
-    no_media = docs.where(F.expr("size(filter(spans, s -> s.kind = 'media')) = 0"))
+    # null-safe: a NULL spans array sizes to -1/NULL, never 0 — such docs
+    # must still be emitted (batch outputs them with NULL spans)
+    no_media = docs.where(
+        F.col("spans").isNull()
+        | F.expr("size(filter(spans, s -> s.kind = 'media')) = 0")
+    )
     if sink.committed is not None:
         no_media = no_media.join(sink.committed, "doc_id", "left_anti")
     if html:

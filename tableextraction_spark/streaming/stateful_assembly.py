@@ -21,8 +21,12 @@ the docs table is rewritten ONCE per run (in-place span replacement,
 feeds both the text-only batch write and the stream-static join, so state
 carries already-clean spans and the state schema is unchanged.  The
 completeness check still counts ORIGINAL media spans (the rewrite's
-``n_pages`` column), never html-extracted ``<img>`` spans — those have no
-blob pages behind them and would deadlock the doc in state.
+``n_pages`` column), never html-extracted ``<img>`` spans — a dangling
+<img> ref (the normal web case) would deadlock the doc in state.  The
+streaming semantic is therefore: html-extracted media spans are external
+back-pointers only — never table-attached, never completeness-gating; a doc
+with no NATIVE media spans emits batch-side.  Use the BATCH pipeline when
+blob-backed <img> refs should get detected tables attached.
 """
 
 from __future__ import annotations
@@ -133,7 +137,12 @@ def run_stateful(
         base = docs.select(
             "doc_id",
             "spans",
-            F.expr("size(filter(spans, s -> s.kind = 'media'))").alias("n_pages"),
+            # null-safe: NULL spans size to -1/NULL and would match neither
+            # the ==0 (text-only emit) nor the >0 (state) branch — the doc
+            # would silently vanish; batch emits it with NULL spans
+            F.when(F.col("spans").isNull(), F.lit(0))
+            .otherwise(F.expr("size(filter(spans, s -> s.kind = 'media'))"))
+            .alias("n_pages"),
         )
     # the static side of a stream-static join is re-evaluated every
     # micro-batch — cache it so the DOM parse runs once per run, not per batch

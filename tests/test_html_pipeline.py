@@ -368,3 +368,29 @@ def test_incremental_emits_blobless_docs(spark, tmp_path):
     # rerun = no duplicates
     run_incremental(spark, blobs_dir, docs_df, out, str(tmp_path / "ckpt"), html=True)
     assert spark.read.parquet(out).count() == 4
+
+
+def test_streaming_emits_null_spans_docs(spark, tmp_path):
+    """A NULL-spans doc (batch emits it) must also come out of both
+    streaming modes instead of vanishing in the media-count filters."""
+    from tableextraction_spark.streaming.incremental import run_incremental
+    from tableextraction_spark.streaming.stateful_assembly import run_stateful
+
+    rdocs, blobs, _ = gen_corpus(1)
+    docs_df = spark.createDataFrame(
+        rdocs + [{"doc_id": "nullguy", "spans": None}], DOCS_SCHEMA
+    )
+    blobs_dir = str(tmp_path / "blobs_in")
+    spark.createDataFrame(blobs, BLOBS_SCHEMA).coalesce(1).write.parquet(blobs_dir)
+
+    out1 = str(tmp_path / "out_inc")
+    run_incremental(spark, blobs_dir, docs_df, out1, str(tmp_path / "ck1"), html=True)
+    assert "nullguy" in {r.doc_id for r in spark.read.parquet(out1).collect()}
+
+    out2 = str(tmp_path / "out_st")
+    run_stateful(spark, blobs_dir, docs_df, out2, str(tmp_path / "ck2"), html=True)
+    assert "nullguy" in {r.doc_id for r in spark.read.parquet(out2).collect()}
+    # html=False branch too (the non-rewrite n_pages expression)
+    out3 = str(tmp_path / "out_st2")
+    run_stateful(spark, blobs_dir, docs_df, out3, str(tmp_path / "ck3"))
+    assert "nullguy" in {r.doc_id for r in spark.read.parquet(out3).collect()}

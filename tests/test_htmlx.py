@@ -270,12 +270,42 @@ def test_three_header_rows_demote_not_drop():
 
 
 def test_null_src_offset_isolated_per_row():
+    """NaN offset: no task kill, and the loss is an OBSERVABLE error row —
+    a sentinel offset would silently never match the assembly splice."""
     import pandas as pd
 
     from tableextraction_spark.operators.html_extract import _parse_batches
 
     pdf = pd.DataFrame(
-        {"doc_id": ["d1"], "src_offset": [float("nan")], "html": ["<p>x</p>"]}
+        {"doc_id": ["d1", "d2"], "src_offset": [float("nan"), 0],
+         "html": ["<p>x</p>", "<p>y</p>"]}
     )
     out = pd.concat(list(_parse_batches([pdf])))
-    assert list(out["text"]) == ["x"] and list(out["src_offset"]) == [-1]
+    errs = out[out["error"].notna()]
+    assert list(errs["doc_id"]) == ["d1"] and list(errs["obj_no"]) == [-1]
+    ok = out[out["error"].isna()]
+    assert list(ok["text"]) == ["y"]
+
+
+def test_bare_attribute_before_selfclose_still_selfcloses():
+    """<a rel/> IS self-closing (bare attribute name) while <a href=/x/> is
+    not (unquoted value) — both must match the stdlib oracle."""
+    fast, ref = _both(
+        "<div><a rel/>short nav link</a></div>"
+        "<p>" + " ".join(f"w{i}" for i in range(30)) + "</p>"
+    )
+    assert fast == ref
+    assert any("short nav link" in s["text"] for s in fast)  # plain text, kept
+    fast, ref = _both("<p><a href= />v</a> " + " ".join(f"w{i}" for i in range(30)) + "</p>")
+    assert fast == ref
+
+
+def test_rowspan_colspan_header_occupies_all_its_columns():
+    t = parse_html(
+        "<table><tr><th rowspan='2' colspan='2'>A</th><th colspan='2'>G</th></tr>"
+        "<tr><th>b</th><th>c</th></tr>"
+        "<tr><td>1</td><td>2</td><td>3</td><td>4</td></tr></table>"
+    ).children[0]
+    got = json.loads(table_to_json(t))
+    assert got["columns"] == ["A/", "A/", "G/b", "G/c"]
+    assert got["records"] == [["1", "2", "3", "4"]]
