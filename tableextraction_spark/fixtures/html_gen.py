@@ -108,9 +108,11 @@ def _esc(text: str) -> str:
     return _html.escape(text, quote=False)
 
 
-def _jitter_join(words: list[str], rng) -> str:
+def _jitter_join(words: list[str], rng, links: list | None = None) -> str:
     """Escape + join with whitespace noise and inline-markup noise; the
-    normalized text is exactly ``" ".join(words)``."""
+    normalized text is exactly ``" ".join(words)``.  When ``links`` is
+    given, every anchor rendered is RECORDED into it (href, text) — pure
+    recording, the rng draw stream is untouched."""
     seps = [" ", "  ", "\n", "\n    ", " \t "]
     # at most ONE in-prose link, and only in long blocks (≥12 words): the
     # linked block must stay far below the 0.5 density / 25-word strip rule
@@ -122,6 +124,8 @@ def _jitter_join(words: list[str], rng) -> str:
         e = _esc(w)
         r = rng.random()
         if i == link_at:
+            if links is not None:
+                links.append((f"/w/{i}", w))
             e = f'<a href="/w/{i}">{e}</a>'
         elif r < 0.06:
             e = f"<b>{e}</b>"
@@ -167,11 +171,17 @@ def _render_table(tp: dict, rng) -> str:
     return "\n".join(out)
 
 
-def _boiler_chrome(rng) -> tuple[str, str, list[str]]:
-    """(prefix, suffix, mid-content interrupts) — all sentinel-bearing."""
-    nav_links = "".join(
-        f'<li><a href="/{i}">{SENTINEL} {_word(rng)}</a></li>' for i in range(int(rng.integers(3, 7)))
-    )
+def _boiler_chrome(rng) -> tuple[str, str, list, list, list]:
+    """(prefix, suffix, mid-content interrupts, prefix links, suffix links)
+    — all sentinel-bearing; interrupts are (html, links) pairs so link
+    goldens preserve document order after splicing."""
+    pre_links: list = []
+    nav_parts = []
+    for i in range(int(rng.integers(3, 7))):
+        w = _word(rng)
+        pre_links.append((f"/{i}", f"{SENTINEL} {w}"))
+        nav_parts.append(f'<li><a href="/{i}">{SENTINEL} {w}</a></li>')
+    nav_links = "".join(nav_parts)
     nav = (
         f'<nav><ul>{nav_links}</ul></nav>'
         if rng.random() < 0.6
@@ -188,12 +198,13 @@ def _boiler_chrome(rng) -> tuple[str, str, list[str]]:
         if rng.random() < 0.5
         else ""
     )
-    crumbs = (
-        f'<div class="breadcrumbs"><a href="/">{SENTINEL}</a> &gt; '
-        f'<a href="/x">{SENTINEL}</a></div>'
-        if rng.random() < 0.5
-        else ""
-    )
+    crumbs = ""
+    if rng.random() < 0.5:
+        crumbs = (
+            f'<div class="breadcrumbs"><a href="/">{SENTINEL}</a> &gt; '
+            f'<a href="/x">{SENTINEL}</a></div>'
+        )
+        pre_links.extend([("/", SENTINEL), ("/x", SENTINEL)])
     header = f'<header class="site-header"><h1>{SENTINEL} site</h1>{nav}</header>'
     prefix = f"<html>{head}<body>{header}{cookie}{crumbs}"
     aside = (
@@ -205,53 +216,82 @@ def _boiler_chrome(rng) -> tuple[str, str, list[str]]:
         + "".join(f'<li><a href="/f{i}">{SENTINEL}</a></li>' for i in range(3))
         + "</ul></footer>"
     )
+    suf_links = [(f"/f{i}", SENTINEL) for i in range(3)]
     suffix = f"{aside}{footer}</body></html>"
-    interrupts = []
+    interrupts: list = []
     if rng.random() < 0.6:  # in-flow ad block: class-vocabulary strip
-        interrupts.append(f'<div class="advert-box">{SENTINEL} {_word(rng)}</div>')
-    if rng.random() < 0.6:  # neutral class, pure link list: density strip
-        links = " · ".join(
-            f'<a href="/r{i}">{SENTINEL} {_word(rng)}</a>' for i in range(int(rng.integers(2, 5)))
+        interrupts.append(
+            (f'<div class="advert-box">{SENTINEL} {_word(rng)}</div>', [])
         )
-        interrupts.append(f'<div class="extra">{links}</div>')
-    return prefix, suffix, interrupts
+    if rng.random() < 0.6:  # neutral class, pure link list: density strip
+        lparts, llinks = [], []
+        for i in range(int(rng.integers(2, 5))):
+            w = _word(rng)
+            llinks.append((f"/r{i}", f"{SENTINEL} {w}"))
+            lparts.append(f'<a href="/r{i}">{SENTINEL} {w}</a>')
+        interrupts.append((f'<div class="extra">{" · ".join(lparts)}</div>', llinks))
+    return prefix, suffix, interrupts, pre_links, suf_links
 
 
-def render_html_doc(plan: dict, doc_num: int) -> str:
-    """Plan → full HTML page (separate jitter stream, like generate.py)."""
+def render_html_doc(plan: dict, doc_num: int, links_out: list | None = None) -> str:
+    """Plan → full HTML page (separate jitter stream, like generate.py).
+
+    ``links_out`` (when given) receives every rendered anchor as
+    ``(href, normalized text)`` in document order — the golden for
+    :func:`tableextraction_spark.htmlx.extract_links`.  Recording only:
+    the rng stream and the rendered bytes are identical either way."""
     rng = _rng(doc_num, 1)
-    prefix, suffix, interrupts = _boiler_chrome(rng)
-    body = []
+    prefix, suffix, interrupts, pre_links, suf_links = _boiler_chrome(rng)
+    body: list = []  # (html, links) per block
     hl = int(rng.integers(2, 5))
     for blk in plan["blocks"]:
         k = blk["kind"]
+        blinks: list = []
         if k == "p":
-            body.append(f"<p>{_jitter_join(blk['words'], rng)}</p>")
+            body.append((f"<p>{_jitter_join(blk['words'], rng, blinks)}</p>", blinks))
         elif k == "h":
-            body.append(f"<h{hl}>{_jitter_join(blk['words'], rng)}</h{hl}>")
+            body.append(
+                (f"<h{hl}>{_jitter_join(blk['words'], rng, blinks)}</h{hl}>", blinks)
+            )
         elif k == "list":
             tag = "ul" if rng.random() < 0.7 else "ol"
-            lis = "".join(f"<li>{_jitter_join(it, rng)}</li>" for it in blk["items"])
-            body.append(f"<{tag}>{lis}</{tag}>")
+            lis = "".join(
+                f"<li>{_jitter_join(it, rng, blinks)}</li>" for it in blk["items"]
+            )
+            body.append((f"<{tag}>{lis}</{tag}>", blinks))
         elif k == "table":
-            body.append(_render_table(blk["tp"], rng))
+            body.append((_render_table(blk["tp"], rng), []))
         elif k == "img":
-            body.append(f'<img src="{blk["ref"]}" alt="figure">')
+            body.append((f'<img src="{blk["ref"]}" alt="figure">', []))
         elif k == "bare":
-            body.append(_jitter_join(blk["words"], rng))
+            body.append((_jitter_join(blk["words"], rng, blinks), blinks))
     # splice boilerplate interrupts between blocks (never inside one)
     for chunk in interrupts:
         pos = int(rng.integers(0, len(body) + 1))
         body.insert(pos, chunk)
     wrap = rng.random()
-    content = "\n".join(body)
+    content = "\n".join(h for h, _l in body)
     if wrap < 0.5:
         content = f'<main id="content">{content}</main>'
     elif wrap < 0.8:
         content = f'<article class="post">{content}</article>'
     else:
         content = f'<div id="story-body">{content}</div>'
+    if links_out is not None:
+        links_out.extend(pre_links)
+        for _h, blinks in body:
+            links_out.extend(blinks)
+        links_out.extend(suf_links)
     return f"{prefix}{content}{suffix}"
+
+
+def expected_links(doc_num: int) -> list[dict]:
+    """Golden outlinks for one fixture doc: every rendered anchor, in
+    document order, as ``{href, text}`` (renderer-derived; the parser under
+    test never sees this path)."""
+    links: list = []
+    render_html_doc(plan_html_doc(doc_num), doc_num, links_out=links)
+    return [{"href": h, "text": t} for h, t in links]
 
 
 # ---------------------------------------------------------------- corpus

@@ -560,3 +560,36 @@ def extract_main_spans(html: str) -> list[dict]:
     out: list[dict] = []
     _emit(root, out, [], {})
     return out
+
+
+# ------------------------------------------------------------ link harvest
+
+
+def extract_links(html: str) -> list[dict]:
+    """ALL anchors in document order → ``[{href, text}]`` (outlink / link-
+    graph harvesting — the crawl-frontier view of a page).
+
+    Unlike :func:`extract_main_spans` this deliberately KEEPS boilerplate
+    regions: nav/footer/related links are exactly what a link graph wants.
+    Only never-rendered machinery (``DROP_TAGS`` subtrees: script, style,
+    forms, head …) is skipped.  Anchors without an ``href`` attribute are
+    not links; text is whitespace-normalized inner text."""
+    out: list[dict] = []
+
+    def walk(node):
+        if isinstance(node, str):
+            return
+        if node.tag in DROP_TAGS:
+            return
+        if node.tag == "a" and "href" in node.attrs:
+            parts: list[str] = []
+            link_chars = [0]
+            for ch in node.children:
+                _inline_text(ch, parts, link_chars, False)
+            out.append({"href": node.attrs["href"], "text": _norm("".join(parts))})
+            return  # nested <a> is invalid html; parser never nests them
+        for ch in node.children:
+            walk(ch)
+
+    walk(parse_html(html))
+    return out

@@ -174,3 +174,55 @@ def rewrite_html_spans(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "spans").mapInPandas(
         _rewrite_batches, REWRITE_SCHEMA
     ).withColumn("partition_id", F.spark_partition_id())
+
+
+OUTLINKS_SCHEMA = (
+    "doc_id string, src_offset int, link_no int, href string, anchor string, "
+    "error string"
+)
+
+
+def _link_batches(batches):
+    from ..htmlx import extract_links
+
+    for pdf in batches:
+        rows = []
+        for doc_id, off, markup in zip(pdf["doc_id"], pdf["src_offset"], pdf["html"]):
+            if off is None or pd.isna(off):
+                rows.append((doc_id, -1, -1, "", "", "null src_offset"))
+                continue
+            off = int(off)
+            try:
+                links = extract_links(markup or "")
+            except Exception as exc:  # noqa: BLE001 — per-row isolation
+                rows.append((doc_id, off, -1, "", "", repr(exc)[:500]))
+                continue
+            for i, ln in enumerate(links):
+                rows.append((doc_id, off, i, ln["href"], ln["text"], None))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "src_offset", "link_no", "href", "anchor", "error"],
+        )
+
+
+def extract_outlinks(docs: DataFrame) -> DataFrame:
+    """docs (doc_id, spans) → one row per anchor in each kind='html' span,
+    in document order: (doc_id, src_offset, link_no, href, anchor).
+
+    The link-graph / crawl-frontier view: unlike the main-content rewrite
+    this KEEPS boilerplate anchors (nav/footer/related links are exactly
+    what a link graph wants — `htmlx.extract_links`).  Narrow plan: explode
+    → filter → mapInPandas, no shuffle; feeds URL-frontier dedup, host
+    aggregation, or PageRank-style link tables downstream."""
+    htmls = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "html")
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("src_offset"),
+            F.col("s.text").alias("html"),
+        )
+    )
+    return htmls.mapInPandas(_link_batches, OUTLINKS_SCHEMA).withColumn(
+        "partition_id", F.spark_partition_id()
+    )

@@ -2,7 +2,7 @@
 
 The north rule names "HTML boilerplate strip … DOM heuristics" as part of
 the main-content pipeline; like the raster flagship (extraction.py), DOM
-parsing is not ANSI-SQL-expressible, so all three checks are stated
+parsing is not ANSI-SQL-expressible, so every check is stated
 **empty-on-success** with a ``WHERE 1=0`` oracle — rows/schema/hash match
 exactly when extraction is perfect, any regression emits rows and flips the
 driver's hard gate red:
@@ -13,7 +13,10 @@ driver's hard gate red:
 * q38 — per-(doc, kind) span-count invariant (the weaker structural check,
   mirroring q30 for the raster path);
 * q39 — boilerplate no-leak: output spans containing the fixture sentinel
-  token that occurs in every boilerplate chunk and no content word.
+  token that occurs in every boilerplate chunk and no content word;
+* q41 — object-row `<table>` harvest vs plan goldens (the relational form);
+* q42 — outlink harvest (every anchor, boilerplate included, in document
+  order) vs renderer-derived goldens — the link-graph / crawl-frontier op.
 """
 
 from __future__ import annotations
@@ -141,3 +144,47 @@ QUERIES = {
     "q39_html_boilerplate_leak": (q39_html_boilerplate_leak, Q39_SQL),
     "q41_html_table_harvest_verify": (q41_html_table_harvest_verify, Q41_SQL),
 }
+
+
+def q42_html_outlinks_verify(spark, sf_dir):
+    """Outlink harvest (link-graph / crawl-frontier view: EVERY anchor,
+    boilerplate included, in document order) must equal the renderer-derived
+    goldens — multiset difference over (doc_id, link_no, href, anchor-md5),
+    both directions, empty-on-success."""
+    import pandas as pd
+
+    from ..fixtures.html_gen import expected_links
+    from ..operators.html_extract import extract_outlinks
+
+    n = _n_docs_for(sf_dir)
+    harvested = (
+        extract_outlinks(html_docs_dataframe(spark, n))
+        .where(F.col("error").isNull())
+        .select("doc_id", "link_no", "href", F.md5("anchor").alias("anchor_md5"))
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                doc_id = f"hdoc-{int(i):06d}"
+                for j, ln in enumerate(expected_links(int(i))):
+                    rows.append((doc_id, j, ln["href"], ln["text"]))
+            yield pd.DataFrame(rows, columns=["doc_id", "link_no", "href", "text"])
+
+    expected = (
+        spark.range(n)
+        .repartition(min(n, spark.sparkContext.defaultParallelism))
+        .mapInPandas(gen, "doc_id string, link_no int, href string, text string")
+        .select("doc_id", "link_no", "href", F.md5("text").alias("anchor_md5"))
+    )
+    return harvested.exceptAll(expected).unionAll(expected.exceptAll(harvested))
+
+
+Q42_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS doc_id, CAST(NULL AS INT) AS link_no,
+       CAST(NULL AS VARCHAR) AS href, CAST(NULL AS VARCHAR) AS anchor_md5
+WHERE 1 = 0
+"""
+
+QUERIES["q42_html_outlinks_verify"] = (q42_html_outlinks_verify, Q42_SQL)

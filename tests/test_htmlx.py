@@ -309,3 +309,46 @@ def test_rowspan_colspan_header_occupies_all_its_columns():
     got = json.loads(table_to_json(t))
     assert got["columns"] == ["A/", "A/", "G/b", "G/c"]
     assert got["records"] == [["1", "2", "3", "4"]]
+
+
+# --- outlink harvesting ---
+
+
+def test_extract_links_all_anchors_in_order():
+    from tableextraction_spark.htmlx import extract_links
+
+    links = extract_links(
+        "<nav><a href='/a'>Home</a></nav><p>x <a href='/b'><b>two  words</b></a></p>"
+        "<script>var s = \"<a href='/no'>never</a>\";</script>"
+        "<a name='anchor'>no href</a><footer><a href='/c'></a></footer>"
+    )
+    assert links == [
+        {"href": "/a", "text": "Home"},
+        {"href": "/b", "text": "two words"},
+        {"href": "/c", "text": ""},
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000))
+def test_extract_links_matches_renderer_goldens(doc_num):
+    from tableextraction_spark.fixtures.html_gen import expected_links
+    from tableextraction_spark.htmlx import extract_links
+
+    html = render_html_doc(plan_html_doc(doc_num), doc_num)
+    assert extract_links(html) == expected_links(doc_num)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000))
+def test_extract_links_fast_matches_stdlib(doc_num):
+    import tableextraction_spark.htmlx as hx
+
+    html = render_html_doc(plan_html_doc(doc_num), doc_num)
+    fast = hx.extract_links(html)
+    real = hx.parse_html
+    hx.parse_html = hx.parse_html_stdlib
+    try:
+        assert fast == hx.extract_links(html)
+    finally:
+        hx.parse_html = real
