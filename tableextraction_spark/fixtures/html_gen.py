@@ -357,3 +357,23 @@ def html_expected_dataframe(spark, n_docs: int, parts: int | None = None):
             )
 
     return spark.range(n_docs).repartition(parts).mapInPandas(gen, DOCS_SCHEMA)
+
+
+def html_expected_links_dataframe(spark, n_docs: int, parts: int | None = None):
+    """Golden outlinks table (doc_id, link_no, href, text), renderer-derived
+    and materialized inside Spark tasks — sibling of html_expected_dataframe;
+    doc ids come from the plan, never rebuilt by hand."""
+    parts = parts or min(n_docs, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                doc_id = plan_html_doc(int(i))["doc_id"]
+                for j, ln in enumerate(expected_links(int(i))):
+                    rows.append((doc_id, j, ln["href"], ln["text"]))
+            yield pd.DataFrame(rows, columns=["doc_id", "link_no", "href", "text"])
+
+    return spark.range(n_docs).repartition(parts).mapInPandas(
+        gen, "doc_id string, link_no int, href string, text string"
+    )

@@ -102,6 +102,7 @@ _IMPLIES_CLOSE = {
     "tbody": {"tr", "td", "th", "thead"},
     "tfoot": {"tr", "td", "th", "tbody"},
     "option": {"option"},
+    "a": {"a"},  # HTML5: a new <a> closes an open <a> (anchors never nest)
 }
 # any block-ish start tag closes an open <p> (HTML5 "closing a p element")
 _P_CLOSERS = (
@@ -583,11 +584,23 @@ def extract_links(html: str) -> list[dict]:
             return
         if node.tag == "a" and "href" in node.attrs:
             parts: list[str] = []
-            link_chars = [0]
+
+            def text_of(ch):
+                # DROP_TAGS only — the boilerplate class filter must NOT
+                # eat visible anchor text (a nav anchor wrapping a classed
+                # span is still a rendered label)
+                if isinstance(ch, str):
+                    parts.append(ch)
+                    return
+                if ch.tag in DROP_TAGS:
+                    return
+                for c in ch.children:
+                    text_of(c)
+
             for ch in node.children:
-                _inline_text(ch, parts, link_chars, False)
+                text_of(ch)
             out.append({"href": node.attrs["href"], "text": _norm("".join(parts))})
-            return  # nested <a> is invalid html; parser never nests them
+            return  # the parser implies </a> before a new <a>: never nested
         for ch in node.children:
             walk(ch)
 

@@ -41,6 +41,26 @@ HTML_OBJS_SCHEMA = (
 
 _COLS = ["doc_id", "src_offset", "obj_no", "kind", "text", "media_ref", "error"]
 
+
+def _html_spans(docs: DataFrame) -> DataFrame:
+    """Shared projection: one (doc_id, src_offset, html) row per markup span."""
+    return (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "html")
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("src_offset"),
+            F.col("s.text").alias("html"),
+        )
+    )
+
+
+def _null_offset(off) -> bool:
+    """Shared guard: a null src_offset arrives as None/NaN; int() on it would
+    kill the task, and a sentinel could never match the assembly splice —
+    callers emit an observable error row instead."""
+    return off is None or pd.isna(off)
+
 # DOCS_SCHEMA + per-doc lineage counters (+ n_pages: the ORIGINAL media-span
 # count, needed by the stateful-streaming completeness check, which must not
 # count html-extracted <img> media spans — no blob pages back them)
@@ -57,11 +77,7 @@ def _parse_batches(batches):
     for pdf in batches:
         rows = []
         for doc_id, off, markup in zip(pdf["doc_id"], pdf["src_offset"], pdf["html"]):
-            # a null offset arrives as NaN — int(NaN) raises OUTSIDE any
-            # per-row guard and would kill the task, not the row; and a
-            # sentinel offset could never match the assembly splice, so the
-            # loss must be an OBSERVABLE error row, not silence
-            if off is None or pd.isna(off):
+            if _null_offset(off):  # see _null_offset
                 rows.append(
                     (doc_id, -1, -1, "error", "", "", "null src_offset")
                 )
@@ -83,16 +99,7 @@ def extract_html_objects(docs: DataFrame) -> DataFrame:
     """docs (doc_id, spans) → one row per main-content span extracted from
     each kind='html' input span: (doc_id, src_offset, obj_no, kind, text,
     media_ref, error)."""
-    htmls = (
-        docs.select("doc_id", F.explode("spans").alias("s"))
-        .where(F.col("s.kind") == "html")
-        .select(
-            "doc_id",
-            F.col("s.offset").alias("src_offset"),
-            F.col("s.text").alias("html"),
-        )
-    )
-    return htmls.mapInPandas(_parse_batches, HTML_OBJS_SCHEMA).withColumn(
+    return _html_spans(docs).mapInPandas(_parse_batches, HTML_OBJS_SCHEMA).withColumn(
         "partition_id", F.spark_partition_id()
     )
 
@@ -188,7 +195,7 @@ def _link_batches(batches):
     for pdf in batches:
         rows = []
         for doc_id, off, markup in zip(pdf["doc_id"], pdf["src_offset"], pdf["html"]):
-            if off is None or pd.isna(off):
+            if _null_offset(off):
                 rows.append((doc_id, -1, -1, "", "", "null src_offset"))
                 continue
             off = int(off)
@@ -214,15 +221,6 @@ def extract_outlinks(docs: DataFrame) -> DataFrame:
     what a link graph wants — `htmlx.extract_links`).  Narrow plan: explode
     → filter → mapInPandas, no shuffle; feeds URL-frontier dedup, host
     aggregation, or PageRank-style link tables downstream."""
-    htmls = (
-        docs.select("doc_id", F.explode("spans").alias("s"))
-        .where(F.col("s.kind") == "html")
-        .select(
-            "doc_id",
-            F.col("s.offset").alias("src_offset"),
-            F.col("s.text").alias("html"),
-        )
-    )
-    return htmls.mapInPandas(_link_batches, OUTLINKS_SCHEMA).withColumn(
+    return _html_spans(docs).mapInPandas(_link_batches, OUTLINKS_SCHEMA).withColumn(
         "partition_id", F.spark_partition_id()
     )

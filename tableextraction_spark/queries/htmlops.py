@@ -151,9 +151,7 @@ def q42_html_outlinks_verify(spark, sf_dir):
     boilerplate included, in document order) must equal the renderer-derived
     goldens — multiset difference over (doc_id, link_no, href, anchor-md5),
     both directions, empty-on-success."""
-    import pandas as pd
-
-    from ..fixtures.html_gen import expected_links
+    from ..fixtures.html_gen import html_expected_links_dataframe
     from ..operators.html_extract import extract_outlinks
 
     n = _n_docs_for(sf_dir)
@@ -162,21 +160,8 @@ def q42_html_outlinks_verify(spark, sf_dir):
         .where(F.col("error").isNull())
         .select("doc_id", "link_no", "href", F.md5("anchor").alias("anchor_md5"))
     )
-
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                doc_id = f"hdoc-{int(i):06d}"
-                for j, ln in enumerate(expected_links(int(i))):
-                    rows.append((doc_id, j, ln["href"], ln["text"]))
-            yield pd.DataFrame(rows, columns=["doc_id", "link_no", "href", "text"])
-
-    expected = (
-        spark.range(n)
-        .repartition(min(n, spark.sparkContext.defaultParallelism))
-        .mapInPandas(gen, "doc_id string, link_no int, href string, text string")
-        .select("doc_id", "link_no", "href", F.md5("text").alias("anchor_md5"))
+    expected = html_expected_links_dataframe(spark, n).select(
+        "doc_id", "link_no", "href", F.md5("text").alias("anchor_md5")
     )
     return harvested.exceptAll(expected).unionAll(expected.exceptAll(harvested))
 

@@ -352,3 +352,33 @@ def test_extract_links_fast_matches_stdlib(doc_num):
         assert fast == hx.extract_links(html)
     finally:
         hx.parse_html = real
+
+
+def test_unclosed_anchor_implies_close():
+    """HTML5: a new <a> closes an open <a> — a mis-nested anchor must not
+    swallow the following link (both parsers agree)."""
+    from tableextraction_spark.htmlx import extract_links
+
+    fast, ref = _both('<p><a href="/1">one <a href="/2">two</a></p>')
+    assert fast == ref  # span level
+    links = extract_links('<p><a href="/1">one <a href="/2">two</a></p>')
+    assert links == [
+        {"href": "/1", "text": "one"},
+        {"href": "/2", "text": "two"},
+    ]
+
+
+def test_anchor_text_keeps_boiler_classed_spans():
+    """Visible anchor text survives even when wrapped in a boilerplate-
+    classed span — only never-rendered DROP_TAGS are skipped inside <a>."""
+    from tableextraction_spark.htmlx import extract_links
+
+    links = extract_links(
+        '<a href="/x"><span class="social-share">Share</span></a>'
+        '<a href="/y"><span class="promo">Sale</span> now'
+        "<script>junk()</script></a>"
+    )
+    assert links == [
+        {"href": "/x", "text": "Share"},
+        {"href": "/y", "text": "Sale now"},
+    ]
