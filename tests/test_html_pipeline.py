@@ -394,3 +394,22 @@ def test_streaming_emits_null_spans_docs(spark, tmp_path):
     out3 = str(tmp_path / "out_st2")
     run_stateful(spark, blobs_dir, docs_df, out3, str(tmp_path / "ck3"))
     assert "nullguy" in {r.doc_id for r in spark.read.parquet(out3).collect()}
+
+
+def test_harvest_operators_plan_is_narrow(spark):
+    """Plan audit: the object-row and outlink harvest operators are
+    explode→filter→mapInPandas — zero exchanges, zero joins, zero
+    aggregates (the shuffle, if any, belongs to the CONSUMER)."""
+    from tableextraction_spark.operators.html_extract import (
+        extract_html_objects,
+        extract_outlinks,
+    )
+
+    hdocs, _ = zip(*(gen_html_doc(i) for i in range(2)))
+    docs_df = spark.createDataFrame(list(hdocs), DOCS_SCHEMA)
+    for op in (extract_html_objects, extract_outlinks):
+        plan = op(docs_df)._jdf.queryExecution().executedPlan().toString()
+        for bad in ("Exchange", "SortMergeJoin", "BroadcastHashJoin",
+                    "HashAggregate", "ObjectHashAggregate", "CartesianProduct"):
+            assert bad not in plan, f"{bad} in {op.__name__} plan:\n{plan}"
+        assert "MapInPandas" in plan
