@@ -75,6 +75,17 @@ _CONTAINER_TAGS = frozenset(
 LINK_DENSITY_MAX = 0.5
 LINK_BLOCK_MAX_WORDS = 25
 
+# HTML-spec clamps (https://html.spec.whatwg.org/#attr-tdth-colspan): colspan
+# is limited to 1000, rowspan to 65534.  Untrusted markup like
+# colspan="99999999" must not drive the column-slot loops in table_to_json —
+# one hostile page would stall the whole Spark task (the per-row error capture
+# in operators/html_extract.py only catches exceptions, not unbounded loops).
+COLSPAN_MAX = 1000
+ROWSPAN_MAX = 65534
+# total column slots a single table may occupy; beyond this the row is
+# truncated (bounds the per-record padding work at records × TABLE_COLS_MAX)
+TABLE_COLS_MAX = 2000
+
 
 class Node:
     """Minimal DOM node; children are Node | str (text runs)."""
@@ -345,13 +356,18 @@ def _is_link_list(text: str, density: float, words: int) -> bool:
 def _cell_spec(cell: Node) -> tuple[str, int, int, bool]:
     text, _d, _w = _gather_inline(cell.children)
 
-    def _ival(name: str) -> int:
+    def _ival(name: str, cap: int) -> int:
         try:
-            return max(1, int(cell.attrs.get(name, "1")))
+            return min(cap, max(1, int(cell.attrs.get(name, "1"))))
         except ValueError:
             return 1
 
-    return text, _ival("colspan"), _ival("rowspan"), cell.tag == "th"
+    return (
+        text,
+        _ival("colspan", COLSPAN_MAX),
+        _ival("rowspan", ROWSPAN_MAX),
+        cell.tag == "th",
+    )
 
 
 def _table_rows(table: Node) -> list[list[tuple[str, int, int, bool]]]:
@@ -406,9 +422,12 @@ def table_to_json(table: Node) -> str | None:
     occupied: set[int] = set()
     col = 0
     for cell in row1:
+        if col >= TABLE_COLS_MAX:
+            break  # hostile/degenerate width: truncate, don't burn
         _text, cs, rs, _is_th = cell
+        cs = min(cs, TABLE_COLS_MAX - col)
         idxs = list(range(col, col + cs))
-        row1_cols.append((cell, idxs))
+        row1_cols.append((cell, cs, idxs))
         if rs >= 2:
             occupied.update(idxs)  # ALL of a rowspan≥2 cell's columns
         col += cs
@@ -421,9 +440,16 @@ def table_to_json(table: Node) -> str | None:
             row2_map[c] = next(it2)[0]
         except StopIteration:
             break
-    for (text, colspan, _rowspan, _is_th), idxs in row1_cols:
+    for (text, _colspan, rowspan, _is_th), colspan, idxs in row1_cols:
         subs = [row2_map[c] for c in idxs if c in row2_map]
-        if colspan > 1 and row2:
+        if colspan > 1 and row2 and rowspan >= 2:
+            # colspan>1 AND rowspan≥2: the cell spans both header rows, so it
+            # has no row2 children (its columns are in `occupied`); emit it as
+            # a flat multi-column header — one path per column it covers —
+            # instead of fabricating empty-named children
+            headers.append({"text": text, "children": []})
+            col_paths.extend([text] * colspan)
+        elif colspan > 1 and row2:
             children = subs + [""] * (colspan - len(subs))  # malformed: pad
             headers.append(
                 {"text": text, "children": [{"text": c, "children": []} for c in children]}

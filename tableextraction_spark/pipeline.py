@@ -168,6 +168,13 @@ def extract_spans(
     # rewritten frame — doc ids are unchanged by the html rewrite, and Spark
     # cannot prune columns through mapInPandas, so id-scanning the rewritten
     # frame would DOM-parse the whole corpus once per prune
+    pinned: list[DataFrame] = []  # persisted deps; see unpersist_pipeline_cache
+
+    def _done(result: DataFrame) -> DataFrame:
+        if pinned:
+            result._persisted_deps = pinned  # type: ignore[attr-defined]
+        return result
+
     raw_todo = todo = filter_unprocessed(docs, committed)
     rewritten = None
     if html:
@@ -188,10 +195,10 @@ def extract_spans(
                 from .operators.metrics import html_stage_metrics
                 from .sources import write_table
 
-                rewritten.persist()
+                pinned.append(rewritten.persist())
                 run_id = run_id or uuid.uuid4().hex[:12]
                 write_table(html_stage_metrics(rewritten, run_id), metrics_path)
-            return todo
+            return _done(todo)
         tables = spark.createDataFrame([], TABLES_SCHEMA).withColumn(
             "partition_id", F.spark_partition_id()
         )
@@ -220,16 +227,32 @@ def extract_spans(
         from .sources import write_table
 
         tables = tables.persist()
+        pinned.append(tables)
         run_id = run_id or uuid.uuid4().hex[:12]
         write_table(stage_metrics(tables, run_id), metrics_path)
         if rewritten is not None:
             from .operators.metrics import html_stage_metrics
 
             # persist so the metrics write and the assembly share ONE parse
-            rewritten.persist()
+            pinned.append(rewritten.persist())
             write_table(html_stage_metrics(rewritten, run_id), metrics_path)
     assemble = assemble_spans_pandas if use_pandas_assembly else assemble_spans_sql
-    return assemble(todo, tables)
+    return _done(assemble(todo, tables))
+
+
+def unpersist_pipeline_cache(result: DataFrame) -> None:
+    """Release the intermediates :func:`extract_spans` persisted to share one
+    computation between the metrics write and the final assembly (the tables
+    frame, and under ``html=True`` the full rewritten-span frame — the larger
+    of the two).  Call after the returned DataFrame's consuming action;
+    :func:`run_to_parquet` does this in a ``finally``.  Without it the cached
+    span payloads stay pinned in executor storage for the session lifetime.
+    """
+    for dep in getattr(result, "_persisted_deps", ()):
+        try:
+            dep.unpersist()
+        except Exception:
+            pass  # session already stopped
 
 
 def run_to_parquet(
@@ -269,4 +292,7 @@ def run_to_parquet(
     out = extract_spans(
         spark, docs, blobs, committed=committed, metrics_path=metrics_path, **kw
     )
-    write_table(out, out_path)
+    try:
+        write_table(out, out_path)
+    finally:
+        unpersist_pipeline_cache(out)

@@ -52,14 +52,20 @@ def run_incremental(
     ``html=True`` routes each batch-doc's markup spans through the DOM
     main-content extractor, exactly like the batch pipeline.
 
-    Streaming semantic for html-extracted ``media`` spans: they are external
-    back-pointers only — they neither gate emission nor receive detected
-    tables here.  A doc whose ONLY media refs come from markup is emitted by
+    Streaming semantic for html-extracted ``media`` spans: they never GATE
+    emission — a doc whose ONLY media refs come from markup is emitted by
     the batch-side no-media write below (dangling <img> refs are the normal
     web case; waiting on blob rows that may never arrive would drop the doc
     forever, and the stream side cannot know which refs will materialize).
-    Use the BATCH pipeline when blob-backed <img> refs should get their
-    detected tables attached.
+    Attachment, however, is opportunistic: ``assemble_spans_sql`` attaches
+    detected tables to ANY kind='media' span whose ``media_ref`` matches, so
+    an extracted <img> whose src names a blob arriving in the SAME
+    micro-batch as the doc's native pages DOES get its tables — but an <img>
+    blob arriving later (or for a doc with no native pages) is missed, since
+    the doc was already emitted/deduped.  For deterministic attachment of
+    blob-backed <img> refs use the BATCH pipeline, or
+    ``run_stateful(attach_html_media=True)`` when every ref is guaranteed to
+    arrive.
     """
     from pyspark.sql import functions as F
 

@@ -19,14 +19,19 @@ identical to the batch path, which drops error rows at assembly.
 the docs table is rewritten ONCE per run (in-place span replacement,
 `operators/html_extract.py::rewrite_html_spans` — zero-shuffle) before it
 feeds both the text-only batch write and the stream-static join, so state
-carries already-clean spans and the state schema is unchanged.  The
-completeness check still counts ORIGINAL media spans (the rewrite's
+carries already-clean spans and the state schema is unchanged.  By default
+the completeness check counts ORIGINAL media spans (the rewrite's
 ``n_pages`` column), never html-extracted ``<img>`` spans — a dangling
 <img> ref (the normal web case) would deadlock the doc in state.  The
-streaming semantic is therefore: html-extracted media spans are external
-back-pointers only — never table-attached, never completeness-gating; a doc
-with no NATIVE media spans emits batch-side.  Use the BATCH pipeline when
-blob-backed <img> refs should get detected tables attached.
+default streaming semantic is therefore: html-extracted media spans do not
+gate completeness, and a doc with no NATIVE media spans emits batch-side
+(un-attached).  Opt in with ``attach_html_media=True`` when the corpus
+guarantees every ``<img src>`` resolves to a blob that WILL arrive on the
+stream: completeness then counts media spans of the REWRITTEN document
+(native + html-extracted), those blobs' detected tables attach exactly like
+native pages, and the output matches the batch pipeline's for the same doc.
+Blob rows backing html refs must carry doc_id and a page_no distinct within
+the doc, like native pages.
 """
 
 from __future__ import annotations
@@ -98,6 +103,7 @@ def run_stateful(
     classify: bool = False,
     max_files_per_trigger: int = 16,
     html: bool = False,
+    attach_html_media: bool = False,
 ) -> None:
     """Drain blob files → exactly one (doc_id, spans) row per COMPLETE doc.
 
@@ -129,7 +135,21 @@ def run_stateful(
     # ``base``: docs with html spans already replaced (zero-shuffle rewrite)
     # and n_pages = ORIGINAL media-span count (completeness must not count
     # html-extracted <img> spans — no blob pages back them)
-    if html:
+    if html and attach_html_media:
+        from ..operators.html_extract import rewrite_html_spans
+
+        # opt-in (see module docstring): completeness counts the REWRITTEN
+        # doc's media spans — html-extracted <img> refs gate like native
+        # pages and their blobs' detected tables attach.  A dangling ref
+        # holds the doc in state forever; the caller opted into that trade.
+        base = rewrite_html_spans(docs).select(
+            "doc_id",
+            "spans",
+            F.when(F.col("spans").isNull(), F.lit(0))
+            .otherwise(F.expr("size(filter(spans, s -> s.kind = 'media'))"))
+            .alias("n_pages"),
+        )
+    elif html:
         from ..operators.html_extract import rewrite_html_spans
 
         base = rewrite_html_spans(docs).select("doc_id", "spans", "n_pages")

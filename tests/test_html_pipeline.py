@@ -180,6 +180,61 @@ def test_interleaved_doc_with_both_html_and_media(spark):
     assert offsets == list(range(len(offsets)))
 
 
+def test_stateful_attach_html_media_matches_batch(spark, tmp_path):
+    """attach_html_media=True: an html doc whose <img src> names a corpus
+    blob gets that blob's detected tables attached in STREAMING mode, and the
+    row matches the batch pipeline's output for the same doc byte-for-byte.
+    Default mode (attach off) must emit the doc batch-side without tables."""
+    from tableextraction_spark.streaming.stateful_assembly import run_stateful
+
+    rdocs, blobs, _ = gen_corpus(1)
+    ref = blobs[0]["media_ref"]
+    doc = {
+        "doc_id": "html-img-doc",
+        "spans": [
+            {
+                "kind": "html",
+                "text": (
+                    "<p>intro words about the scanned figure below</p>"
+                    f"<img src='{ref}'>"
+                    "<p>closing remarks after the figure</p>"
+                ),
+                "media_ref": "",
+                "offset": 0,
+            }
+        ],
+    }
+    # only the first page's blob, re-keyed to the html doc
+    blob = {**blobs[0], "doc_id": "html-img-doc"}
+    docs_df = spark.createDataFrame([doc], DOCS_SCHEMA)
+    blobs_df = spark.createDataFrame([blob], BLOBS_SCHEMA)
+
+    batch = _tuples(extract_spans(spark, docs_df, blobs_df, html=True).collect())
+    assert any(k == "table" for (k, _t, _m, _o) in batch["html-img-doc"]), (
+        "fixture broken: batch attached no table"
+    )
+
+    blobs_dir = str(tmp_path / "blobs_in")
+    spark.createDataFrame([blob], BLOBS_SCHEMA).coalesce(1).write.parquet(blobs_dir)
+    out = str(tmp_path / "out_attach")
+    run_stateful(
+        spark, blobs_dir, docs_df, out, str(tmp_path / "ckpt_attach"),
+        html=True, attach_html_media=True,
+    )
+    rows = spark.read.parquet(out).collect()
+    assert _tuples([r.asDict(recursive=True) for r in rows]) == batch
+
+    # default semantics unchanged: doc emits batch-side, no tables attached
+    out2 = str(tmp_path / "out_default")
+    run_stateful(
+        spark, blobs_dir, docs_df, out2, str(tmp_path / "ckpt_default"), html=True
+    )
+    rows2 = _tuples(
+        [r.asDict(recursive=True) for r in spark.read.parquet(out2).collect()]
+    )
+    assert not any(k == "table" for (k, _t, _m, _o) in rows2["html-img-doc"])
+
+
 def test_stateful_streaming_html_split_pages(spark, tmp_path):
     """Streaming parity: a paged doc carrying an html span, pages split
     across micro-batches, plus a text-only html doc — run_stateful(html=True)

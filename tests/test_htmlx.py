@@ -301,14 +301,62 @@ def test_bare_attribute_before_selfclose_still_selfcloses():
 
 
 def test_rowspan_colspan_header_occupies_all_its_columns():
+    """A row1 cell with colspan>1 AND rowspan≥2 spans both header rows: it has
+    no row2 children, so it's a flat multi-column header (one path per column),
+    never a group with fabricated empty-named children."""
     t = parse_html(
         "<table><tr><th rowspan='2' colspan='2'>A</th><th colspan='2'>G</th></tr>"
         "<tr><th>b</th><th>c</th></tr>"
         "<tr><td>1</td><td>2</td><td>3</td><td>4</td></tr></table>"
     ).children[0]
     got = json.loads(table_to_json(t))
-    assert got["columns"] == ["A/", "A/", "G/b", "G/c"]
+    assert got["columns"] == ["A", "A", "G/b", "G/c"]
+    assert got["headers"][0] == {"text": "A", "children": []}
     assert got["records"] == [["1", "2", "3", "4"]]
+
+
+def test_hostile_colspan_is_clamped():
+    """colspan='99999999' must not drive the column-slot loops into an
+    unbounded burn (HTML-spec clamp: colspan ≤ 1000, rowspan ≤ 65534) — one
+    hostile page must never stall a whole Spark task."""
+    import time
+
+    html = (
+        "<table><tr><th colspan='99999999'>Big</th></tr>"
+        "<tr><th>Sub</th></tr><tr><td>x</td></tr></table>"
+    )
+    t0 = time.monotonic()
+    got = json.loads(table_to_json(parse_html(html).children[0]))
+    assert time.monotonic() - t0 < 10
+    from tableextraction_spark.htmlx import TABLE_COLS_MAX
+
+    assert len(got["columns"]) <= TABLE_COLS_MAX
+    assert got["columns"][0] == "Big/Sub"
+
+    # hostile rowspan too
+    html = (
+        "<table><tr><th rowspan='99999999'>R</th><th>B</th></tr>"
+        "<tr><th>S</th></tr><tr><td>1</td><td>2</td></tr></table>"
+    )
+    got = json.loads(table_to_json(parse_html(html).children[0]))
+    assert got["columns"][0] == "R"
+
+
+def test_hostile_many_wide_cells_truncated():
+    """Total column slots are capped at TABLE_COLS_MAX even when each cell's
+    colspan is individually legal (e.g. 500 cells × 1000 colspan)."""
+    import time
+
+    from tableextraction_spark.htmlx import TABLE_COLS_MAX
+
+    head = "".join(f"<th colspan='1000'>h{i}</th>" for i in range(500))
+    body = "".join("<td>v</td>" for _ in range(10))
+    html = f"<table><tr>{head}</tr><tr><th>s</th></tr><tr>{body}</tr></table>"
+    t0 = time.monotonic()
+    got = json.loads(table_to_json(parse_html(html).children[0]))
+    assert time.monotonic() - t0 < 10
+    assert len(got["columns"]) == TABLE_COLS_MAX
+    assert got["records"][0][:10] == ["v"] * 10
 
 
 # --- outlink harvesting ---

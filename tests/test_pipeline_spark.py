@@ -90,6 +90,27 @@ def test_metrics_lineage(spark, corpus, tmp_path):
     assert m.count() >= 1  # per-partition rows exist
 
 
+def test_metrics_persist_released_after_consume(spark, corpus, tmp_path):
+    """The frames extract_spans pins to share one computation between the
+    metrics write and the assembly must be releasable — and run_to_parquet's
+    finally must actually release them (no session-lifetime storage leak)."""
+    from tableextraction_spark.pipeline import run_to_parquet
+
+    docs_df, blobs_df, _ = corpus
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    run_to_parquet(
+        spark,
+        docs_df,
+        blobs_df,
+        str(tmp_path / "out"),
+        metrics_path=str(tmp_path / "metrics"),
+        resume=False,
+    )
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, "pipeline persist leaked past run_to_parquet"
+
+
 def test_corrupt_blob_isolated_not_fatal(spark, corpus):
     docs_df, blobs_df, expected = corpus
     from pyspark.sql import functions as F
