@@ -26,10 +26,11 @@ from .textops import (
 # Min-label propagation over the pair graph: every doc starts labeled with
 # itself; each pass takes the min label over {self} ∪ neighbors.  LP_ITERS
 # fixed passes make it oracle-expressible (diameter ≤ LP_ITERS covered —
-# near-dup clusters are cliques-ish, diameter 1-2 in practice).  At 100 TB
-# production scale the same step iterates to fixpoint (driver loop over
-# label-change counts, or Kiveris large-star/small-star); each pass here is
-# one shuffle keyed on doc_id with map-side partial mins.
+# near-dup clusters are cliques-ish, diameter 1-2 in practice).  The
+# PRODUCTION dedup decision is `neardup_clusters_fixpoint` below (iterate to
+# convergence with pointer jumping, loud abort at the round cap); this
+# bounded form survives as the cross-engine oracle, and q43 pins the two
+# paths equal wherever both are correct.
 
 J_MIN = 0.8     # exact-Jaccard near-dup threshold on verified pairs
 LP_ITERS = 3
@@ -78,6 +79,108 @@ edges AS (SELECT a_id AS v, b_id AS u FROM pairs
 l0 AS (SELECT DISTINCT v, v AS lab FROM edges),
 {",".join(_lp_iter_cte(i) for i in range(LP_ITERS))}
 SELECT v AS doc_id, lab AS canon_id FROM l{LP_ITERS}
+"""
+
+
+# --- fixpoint clustering (the PRODUCTION dedup decision) + q43 verify ---
+#
+# q33's LP_ITERS=3 bounded passes are oracle-expressible but under-merge any
+# duplication CHAIN of diameter > 3 (a-b-c-d-e with adjacent pairs ≥ J_MIN:
+# 3 passes leave two clusters where there is one — a silent wrong answer at
+# 100 TB).  The production path iterates to convergence: min-label
+# propagation PLUS pointer jumping (lab ← lab[lab], the classic shortcut
+# from PRAM connectivity, same contraction idea as Kiveris et al.'s
+# large-star — "Connected Components in MapReduce and Beyond", SoCC'14), so
+# rounds grow as O(log diameter), not O(diameter); each round is one shuffle
+# keyed on doc_id with map-side partial mins plus one label-table self-join.
+# The driver loop stops at zero label changes and aborts LOUDLY at the
+# round cap — never silently emitting half-merged clusters.
+
+LP_MAX_ROUNDS = 25  # 2^25 ≫ any real chain; hitting this means a bug/attack
+
+
+def cluster_pairs_fixpoint(pairs, max_rounds: int = LP_MAX_ROUNDS):
+    """(a_id, b_id) near-dup pairs → (doc_id, canon_id) connected components,
+    iterated to convergence.
+
+    Per-round lineage is truncated with an eager ``localCheckpoint`` —
+    iterative DataFrame algorithms otherwise grow an exponential plan (at
+    deployment prefer ``spark.sparkContext.setCheckpointDir`` + reliable
+    ``checkpoint()`` so a lost executor can't force a full recompute).
+    Labels only ever decrease and every label is itself a vertex, so
+    convergence ⇔ zero decreases in a round.
+    """
+    edges = (
+        pairs.selectExpr("a_id AS v", "b_id AS u")
+        .unionByName(pairs.selectExpr("b_id AS v", "a_id AS u"))
+        .localCheckpoint()
+    )
+    lab = edges.select("v").distinct().selectExpr("v", "v AS lab").localCheckpoint()
+    for _ in range(max_rounds):
+        neighbor = edges.join(lab.selectExpr("v AS u", "lab"), "u").select("v", "lab")
+        stepped = (
+            lab.unionByName(neighbor).groupBy("v").agg(F.min("lab").alias("lab"))
+        )
+        # pointer jumping: lab[v] ← lab[lab[v]].  min-label keeps lab[x] ≤ x,
+        # so the jump only shrinks; coalesce guards the (impossible) miss.
+        jumped = (
+            stepped.join(
+                stepped.selectExpr("v AS lab", "lab AS lab2"), "lab", "left"
+            )
+            .selectExpr("v", "coalesce(lab2, lab) AS lab")
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(lab.selectExpr("v", "lab AS prev"), "v")
+            .where(F.col("lab") != F.col("prev"))
+            .count()
+        )
+        lab = jumped
+        if changed == 0:
+            return lab.selectExpr("v AS doc_id", "lab AS canon_id")
+    raise RuntimeError(
+        f"near-dup clustering did not converge in {max_rounds} rounds — "
+        "pair graph is pathological (adversarial chain or data bug); "
+        "refusing to emit half-merged clusters"
+    )
+
+
+def neardup_clusters_fixpoint(spark, sf_dir):
+    """Production near-dup clusters: same pair graph as q33, iterated to
+    fixpoint.  Not ANSI-SQL-expressible (unbounded iteration); verified by
+    q43 (≡ q33 on corpora whose clusters have diameter ≤ LP_ITERS) and by
+    the chain fixture in tests/test_neardup_fixpoint.py (merges what the
+    bounded form provably cannot)."""
+    pairs = (
+        q14_minhash_band_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= J_MIN)
+        .select("a_id", "b_id")
+    )
+    return cluster_pairs_fixpoint(pairs)
+
+
+def q43_neardup_fixpoint_verify(spark, sf_dir):
+    """Empty-on-success: the fixpoint clustering must agree with the bounded
+    3-pass oracle query on the test corpus (whose near-dup clusters are
+    cliquish, diameter ≤ 3 — exactly the regime where both are correct).
+    Any row = a doc the two paths assign different canonical ids."""
+    fix = neardup_clusters_fixpoint(spark, sf_dir).withColumnRenamed(
+        "canon_id", "canon_fix"
+    )
+    lp3 = q33_neardup_clusters(spark, sf_dir).withColumnRenamed(
+        "canon_id", "canon_lp3"
+    )
+    return (
+        fix.join(lp3, "doc_id", "full")
+        .where(~F.col("canon_fix").eqNullSafe(F.col("canon_lp3")))
+        .select("doc_id", "canon_fix", "canon_lp3")
+    )
+
+
+Q43_SQL = """
+SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS canon_fix,
+       CAST(NULL AS BIGINT) AS canon_lp3
+WHERE 1 = 0
 """
 
 
@@ -202,6 +305,7 @@ HAVING COUNT(*) >= {CONTAM_T}
 
 QUERIES = {
     "q33_neardup_clusters": (q33_neardup_clusters, Q33_SQL),
+    "q43_neardup_fixpoint_verify": (q43_neardup_fixpoint_verify, Q43_SQL),
     "q34_stratified_sample": (q34_stratified_sample, Q34_SQL),
     "q35_length_histogram": (q35_length_histogram, Q35_SQL),
     "q36_benchmark_contamination": (q36_benchmark_contamination, Q36_SQL),
