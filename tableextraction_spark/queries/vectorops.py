@@ -279,11 +279,14 @@ WHERE {_cos_duck('a.v', 'b.v')} >= {NEAR_DUP_TAU}
 # engines; the reported cos_sim is the full cosine, rounded like q20.
 
 # Probe width scales with the centroid count: nprobe = max(2, ceil(K /
-# NPROBE_DIV)), i.e. ~1/8 of the inverted lists — a fixed probe COUNT
-# shrinks to a vanishing probe FRACTION as the corpus (and K) grows,
-# collapsing recall; a fixed fraction keeps the recall/cost point stable at
-# any scale.  Derived in-plan from size(cents) — no collect.
-NPROBE_DIV = 8
+# NPROBE_DIV)) — a fixed probe COUNT shrinks to a vanishing probe FRACTION
+# as the corpus (and K) grows, collapsing recall; a fixed fraction keeps
+# the recall/cost point stable at any scale.  Derived in-plan from
+# size(cents) — no collect.  Tuned on the measured sf0.1 frontier
+# (BASELINE.md): K_MULT=2 × DIV=4 → recall@10 0.78 at 1.12× the r2
+# config's same-window wall (r2's 1×/8 gave 0.58); candidate work per
+# query is N/DIV independent of K, so K is the cheap recall lever.
+NPROBE_DIV = 4
 # Deterministic Lloyd refinement: KMEANS_ITERS fixed iterations of
 # assign-to-nearest + per-dimension mean, trained on the deterministic
 # 1/KMEANS_SAMPLE_MOD corpus half-sample (vec_id % MOD == 1) — at 100 TB
@@ -297,7 +300,22 @@ NPROBE_DIV = 8
 # centroid losing every sample member drops out on both engines identically.
 KMEANS_ITERS = 2
 KMEANS_SAMPLE_MOD = 2
+# K = K_MULT·√N: finer inverted lists raise recall at a FIXED probe
+# fraction (candidate work per query is fraction·N regardless of K, while
+# Lloyd build cost grows only linearly in K) — the cheaper recall lever
+# than widening the probe fraction.  Recall/cost frontier in BASELINE.md.
+K_MULT = 2
 DIM = 64  # embeddings table vector width (TESTDATA.md)
+# The whole centroid set travels as ONE broadcast row of K structs —
+# K·DIM·8 bytes of doubles (plus norms): K = K_MULT·√N, so ~32 MB at
+# N=10⁹ (K_MULT=2, DIM=64) but ~1 GB at N=10¹².  Guarded in-plan by an
+# assert_true filter on size(cents): blowing the cap aborts LOUDLY instead
+# of silently stalling every executor on a giant broadcast.  Beyond the
+# cap, shard the centroids: split the 1-row frame into ⌈bytes/cap⌉ rows of
+# centroid sub-arrays, broadcast-join each shard and take the per-vector
+# argmax across shards (same semantics, bounded broadcast) — or train a
+# coarse quantizer first (IVF-HNSW style two-level assignment).
+CENT_BCAST_MAX = 64 * 2**20
 
 
 def _dot2(a: str, b: str) -> str:
@@ -322,9 +340,11 @@ def q26_ivf_ann(spark, sf_dir):
         .selectExpr("vec_id", f"{_TO_D} AS ev")
         .selectExpr("vec_id", "ev", f"{_NORM.format(v='ev')} AS en")
     )
-    # K ≈ √N: seed modulus from a 1-row count aggregate, broadcast in-plan
+    # K ≈ K_MULT·√N: seed modulus from a 1-row count aggregate, in-plan
     cmf = e.groupBy().agg(
-        F.expr("CAST(CEIL(SQRT(COUNT(*))) AS INT)").alias("cm")
+        F.expr(
+            f"GREATEST(1, CAST(CEIL(SQRT(COUNT(*)) / {K_MULT}) AS INT))"
+        ).alias("cm")
     )
     cents = (
         e.crossJoin(F.broadcast(cmf))
@@ -336,7 +356,9 @@ def q26_ivf_ann(spark, sf_dir):
         .agg(F.expr("sort_array(collect_list(c))").alias("cents"))
     )
     score_c = f"{_dot2('c.cv', 'ev')} / c.cn"  # argmax-equivalent to cosine
-    sample = e.where(F.col("vec_id") % KMEANS_SAMPLE_MOD == 1)
+    # residue MOD-1, not 1: with MOD=1 (train on the FULL corpus) the residue
+    # 1 matches nothing and Lloyd would silently train on an empty sample
+    sample = e.where(F.col("vec_id") % KMEANS_SAMPLE_MOD == KMEANS_SAMPLE_MOD - 1)
     for _ in range(KMEANS_ITERS):
         assign_it = (
             sample.crossJoin(F.broadcast(cents))
@@ -365,7 +387,17 @@ def q26_ivf_ann(spark, sf_dir):
     # 1-row frame, but its lineage is the whole refinement chain and BOTH
     # the full-corpus assignment and the probe branch consume it — cache so
     # the chain runs once (measured 3× q26 wall without it)
-    cents = cents.cache()
+    # size guard as a FILTER (a dropped projection column would be pruned):
+    # assert_true yields NULL on success so the predicate keeps the row;
+    # over-cap K aborts loudly (see CENT_BCAST_MAX note for the fallback)
+    cents = cents.where(
+        F.expr(
+            f"assert_true(size(cents) * {DIM * 8} < {CENT_BCAST_MAX}, "
+            f"'IVF centroid broadcast exceeds {CENT_BCAST_MAX} B "
+            f"(K*DIM*8); shard the centroid set — see CENT_BCAST_MAX') "
+            "IS NULL"
+        )
+    ).cache()
     # score each centroid ONCE, then argmax via array_position(max): ties
     # resolve to the first (lowest-cid) occurrence, matching the oracle's
     # ORDER BY score DESC, cid ASC
@@ -433,7 +465,7 @@ a{i} AS (
              ORDER BY ({_DOT_DUCK.format(a='c.cv', b='n.ev')} / c.cn) DESC,
                       c.cid ASC) AS rn
     FROM en n CROSS JOIN cents{i} c
-    WHERE n.vec_id % {KMEANS_SAMPLE_MOD} = 1) WHERE rn = 1),
+    WHERE n.vec_id % {KMEANS_SAMPLE_MOD} = {KMEANS_SAMPLE_MOD - 1}) WHERE rn = 1),
 m{i} AS (
   SELECT cid, p.pos AS pos, ROUND(AVG(ev[CAST(p.pos AS INT)]), 6) AS val
   FROM a{i}, range(1, {DIM + 1}) p(pos) GROUP BY cid, p.pos),
@@ -446,7 +478,8 @@ cents{i + 1} AS (
 Q26_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
      en AS (SELECT vec_id, ev, {_NORM_DUCK.format(v='ev')} AS en FROM e),
-     cm AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS INT) AS cm FROM embeddings),
+     cm AS (SELECT GREATEST(1, CAST(CEIL(SQRT(COUNT(*)) / {K_MULT}) AS INT)) AS cm
+            FROM embeddings),
      cents0 AS (SELECT vec_id AS cid, ev AS cv, en AS cn
                 FROM en, cm WHERE vec_id % cm.cm = 0),
      {_q26_kmeans_ctes()},

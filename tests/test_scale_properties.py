@@ -103,6 +103,30 @@ def test_lsh_bucket_sizes_bounded_at_sf01(spark):
     assert total_pairs < n * (n - 1) / 2 / 50
 
 
+def test_ivf_centroid_broadcast_guard_aborts_loudly(spark, monkeypatch):
+    """The 1-row centroid broadcast grows as K·DIM·8 bytes; over the cap the
+    plan must abort with the sharding message, never silently broadcast."""
+    import pytest
+
+    from tableextraction_spark.queries import vectorops as v
+
+    monkeypatch.setattr(v, "CENT_BCAST_MAX", 1024)
+    with pytest.raises(Exception, match="centroid broadcast exceeds"):
+        v.q26_ivf_ann(spark, "/root/testdata/sf0.001").count()
+
+
+def test_ivf_recall_regression_canary(spark):
+    """Recall canary at sf0.001 (N=600 → only ~50 centroids, so recall sits
+    below the sf0.1 figure by nature; measured 0.70 with the tuned config vs
+    0.48 with r2's).  The real ≥0.75 gate is the sf0.1 `ivf_recall_at10`
+    the bench records each round — this pins against silent config decay."""
+    from tableextraction_spark.queries.vectorops import q32_ivf_recall_at10
+
+    rows = q32_ivf_recall_at10(spark, "/root/testdata/sf0.001").collect()
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean >= 0.65, f"recall fell to {mean:.3f}"
+
+
 def test_lsh_bits_scale_with_corpus(spark):
     from tableextraction_spark.queries import vectorops as v
 
