@@ -9,11 +9,15 @@ Deterministic container codecs (this container has no PIL/ffmpeg/librosa):
 - ``AUD1`` — magic + uint32 sample_rate + int16 LE PCM samples
 - ``VID1`` — magic + uint32 n_frames + concatenated length-prefixed IMG1 frames
 
-The *Spark-side plumbing is real* — schemas, 1→N frame explode, Arrow batch
-shapes, per-row error capture — and fully tested; only the decode of real
-formats (JPEG/WAV/MP4...) is stubbed: payloads whose magic is not one of the
-deterministic codecs raise ``NotImplementedError`` naming the deploy-time
-library (mirrors ``media.decode_page``'s ``%PDF`` stub).
+Real formats, no library excuse (same standard that brought PNG/JPEG to the
+image path): **WAV** (RIFF/WAVE, PCM 8/16-bit, mono or multi-channel —
+stdlib ``wave``) decodes natively; stereo downmixes to mono by channel mean
+(the conventional feature-extraction reduction).  The *Spark-side plumbing
+is real* — schemas, 1→N frame explode, Arrow batch shapes, per-row error
+capture — and fully tested; only genuinely-library-bound formats (MP3/OGG/
+FLAC audio, MP4/any real video) remain stubbed: such payloads raise
+``NotImplementedError`` naming the deploy-time library (mirrors
+``media.decode_page``'s ``%PDF`` stub).
 
 Reference parity note: the reference handles images only
 (``table_extraction/preprocessing.py:10-62``); audio/video are engine-side
@@ -47,13 +51,68 @@ def encode_audio(pcm: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """AUD1 or real WAV bytes → (mono int16 PCM, sample_rate)."""
     magic, rate = _AUD_HEADER.unpack_from(payload, 0)
+    if magic == b"RIFF":
+        return _decode_wav(payload)
     if magic != AUD_MAGIC:
-        _raise_real_format(payload, "audio", "soundfile/librosa")
+        _raise_real_format(payload, "audio", "soundfile/librosa (MP3/OGG/FLAC)")
     if rate <= 0:
         raise ValueError(f"corrupt AUD1 header: sample_rate={rate}")
     pcm = np.frombuffer(payload, dtype=np.int16, offset=_AUD_HEADER.size)
     return pcm, rate
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM via stdlib ``wave``: 16-bit passes through, 8-bit
+    (unsigned per spec) rescales to int16, multi-channel downmixes to mono
+    by channel mean.  Compressed chunks (``wave`` raises) and exotic sample
+    widths surface as ValueError → a per-row error row, never a task kill."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"corrupt/unsupported WAV: {exc}") from exc
+    if rate <= 0:
+        raise ValueError(f"corrupt WAV header: sample_rate={rate}")
+    if sw == 2:
+        pcm = np.frombuffer(raw, dtype="<i2")
+    elif sw == 1:  # 8-bit WAV is unsigned; center then scale to int16 range
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw * 8}-bit (PCM 8/16)")
+    if nch > 1:
+        frames = len(pcm) // nch
+        pcm = (
+            pcm[: frames * nch]
+            .reshape(frames, nch)
+            .mean(axis=1)
+            .astype(np.int16)
+        )
+    return pcm, rate
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:
+    """int16 PCM → real RIFF/WAVE bytes (fixture generator for the WAV path;
+    interleaved input for n_channels > 1)."""
+    import io
+    import wave
+
+    if pcm.dtype != np.int16 or pcm.ndim != 1:
+        raise ValueError(f"expected int16 1-D PCM, got {pcm.dtype} {pcm.shape}")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
 
 
 def encode_video(frames: list[np.ndarray]) -> bytes:

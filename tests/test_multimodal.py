@@ -32,13 +32,86 @@ def test_video_codec_roundtrip():
 @pytest.mark.parametrize(
     "fn,payload",
     [
-        (mm.decode_audio, b"RIFF" + b"\0" * 64),   # real WAV magic
-        (mm.decode_video, b"\x00\x00\x00\x18ftyp"), # real MP4 box
+        (mm.decode_audio, b"ID3\x04" + b"\0" * 64),  # MP3 (ID3 tag) magic
+        (mm.decode_video, b"\x00\x00\x00\x18ftyp"),  # real MP4 box
     ],
 )
 def test_real_formats_are_stubbed(fn, payload):
     with pytest.raises(NotImplementedError, match="requires"):
         fn(payload)
+
+
+# --- real WAV (RIFF/WAVE via stdlib wave — no longer a stub) ---
+
+def test_wav_roundtrip_mono16():
+    pcm = (np.sin(np.linspace(0, 100, 16000)) * 20000).astype(np.int16)
+    out, rate = mm.decode_audio(mm.encode_wav(pcm, 8000))
+    assert rate == 8000 and np.array_equal(out, pcm)
+
+
+def test_wav_stereo_downmixes_to_channel_mean():
+    left = np.array([1000, 2000, -3000, 0], dtype=np.int16)
+    right = np.array([3000, 0, -1000, 0], dtype=np.int16)
+    interleaved = np.empty(8, dtype=np.int16)
+    interleaved[0::2], interleaved[1::2] = left, right
+    out, rate = mm.decode_audio(mm.encode_wav(interleaved, 44100, n_channels=2))
+    assert rate == 44100
+    assert np.array_equal(out, ((left.astype(np.int32) + right) // 2).astype(np.int16))
+
+
+def test_wav_8bit_rescales_to_int16():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128, 255, 0, 128]))  # 8-bit WAV is unsigned
+    out, rate = mm.decode_audio(buf.getvalue())
+    assert rate == 8000
+    assert list(out) == [0, 127 << 8, -128 << 8, 0]
+
+
+def test_wav_garbage_riff_is_value_error():
+    with pytest.raises(ValueError, match="WAV"):
+        mm.decode_audio(b"RIFF" + b"\0" * 64)
+
+
+def test_wav_unsupported_width_is_value_error():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)  # 24-bit: out of the PCM 8/16 contract
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 12)
+    with pytest.raises(ValueError, match="sample width"):
+        mm.decode_audio(buf.getvalue())
+
+
+def test_audio_features_over_real_wav_end_to_end(spark):
+    """The Spark audio-feature stage over REAL WAV payloads: values match the
+    AUD1 path exactly for identical PCM; garbage RIFF is a per-row error."""
+    pcm = np.full(8000, 16384, dtype=np.int16)  # DC: rms 0.5, zcr 0, 1 s
+    df = _media_df(
+        spark,
+        [
+            ("wav", mm.encode_wav(pcm, 8000)),
+            ("aud1", mm.encode_audio(pcm, 8000)),
+            ("badriff", b"RIFF" + b"\0" * 16),
+        ],
+    )
+    rows = {r.media_ref: r for r in mm.audio_features(df).collect()}
+    for ref in ("wav", "aud1"):
+        r = rows[ref]
+        assert r.error is None and r.sample_rate == 8000
+        assert r.duration_s == pytest.approx(1.0)
+        assert r.rms == pytest.approx(0.5) and r.zero_crossing_rate == 0.0
+    assert rows["badriff"].error.startswith("ValueError")
 
 
 # --- Spark stages ---
@@ -76,7 +149,7 @@ def test_audio_features_and_error_isolation(spark):
     pcm = np.full(8000, 16384, dtype=np.int16)  # DC: rms 0.5, zcr 0, 1 s
     df = _media_df(
         spark,
-        [("a1", mm.encode_audio(pcm, 8000)), ("bad", b"RIFF" + b"\0" * 16)],
+        [("a1", mm.encode_audio(pcm, 8000)), ("bad", b"ID3\x04" + b"\0" * 16)],
     )
     rows = {r.media_ref: r for r in mm.audio_features(df).collect()}
     ok = rows["a1"]
