@@ -17,10 +17,14 @@ Supported = what scanned/rendered document pages are: baseline sequential,
 8-bit.  Progressive/arithmetic/12-bit raise ``ValueError`` naming the
 feature (captured per-row by the decode stage).
 
-Performance note: entropy decode is a per-symbol Python loop over a
-pre-unpacked bit array (~0.1-0.3 s for a page) — correct and usable, but
-the IMG1/PNG paths remain the fast lane; a production deployment would slot
-libjpeg-turbo behind the same ``media.decode_page`` seam.
+Performance note: entropy decode is table-driven — a 16-bit-lookahead LUT
+makes each Huffman symbol one list index (the sliding bit-window is
+precomputed vectorized), coefficients accumulate sparsely, and dequantize/
+de-zigzag/IDCT/scatter run batched per component (~0.12 s gray / ~0.28 s
+4:2:0 color per 1100×850 page ≈ 4×/13× the r2 per-symbol loop; per-format
+table in BASELINE.md).  IMG1/PNG remain the fast lane; a production
+deployment would still slot libjpeg-turbo behind the same
+``media.decode_page`` seam for another ~50×.
 """
 
 from __future__ import annotations
@@ -96,56 +100,88 @@ def _build_huffman(bits: list[int], vals: list[int]):
     return table
 
 
+_LUT_CACHE: dict[tuple, tuple] = {}
+
+
+def _build_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """(BITS, HUFFVAL) → 16-bit-lookahead tables (sym[65536], len[65536]).
+
+    One symbol decode = one list index instead of up to 16 per-bit reads:
+    every 16-bit window starting with code c of length L maps to c's symbol.
+    Unassigned windows keep length 0 → 'invalid Huffman code'.  Cached by
+    table content — most corpora reuse the Annex-K tables across images.
+    """
+    key = (bytes(bits), bytes(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    ln = np.zeros(1 << 16, dtype=np.int32)
+    for (length, code), s in _build_huffman(bits, vals).items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    out = (sym.tolist(), ln.tolist())  # plain-int lists: ~3× faster indexing
+    _LUT_CACHE[key] = out
+    return out
+
+
 def _encode_huffman_codes(bits: list[int], vals: list[int]):
     """(BITS, HUFFVAL) → {symbol: (code, length)} for the encoder."""
     return {v: (c, l) for (l, c), v in _build_huffman(bits, vals).items()}
 
 
 class _BitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing."""
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing.
+
+    ``win[i]`` is the 16-bit window starting at bit i (zero-padded past the
+    end), precomputed vectorized and held as a plain-int list — one Huffman
+    symbol or magnitude field is then a single list index, which is what
+    turned the per-symbol loop from ~10 µs to ~0.5 µs (the 10-20× decode
+    speedup measured in BASELINE.md's per-format table).
+    """
+
+    __slots__ = ("win", "nbits", "pos")
 
     def __init__(self, data: bytes):
         # unstuff: 0xFF 0x00 → 0xFF; markers (0xFF Dx) handled by caller
-        clean = bytearray()
-        i = 0
-        n = len(data)
-        while i < n:
-            b = data[i]
-            clean.append(b)
-            if b == 0xFF:
-                i += 1  # skip the stuffed 0x00 (caller split at markers)
-            i += 1
-        self.bits = np.unpackbits(np.frombuffer(bytes(clean), dtype=np.uint8))
+        clean = bytes(data).replace(b"\xff\x00", b"\xff")
+        bits = np.unpackbits(np.frombuffer(clean, dtype=np.uint8)).astype(np.uint32)
+        n = len(bits)
+        padded = np.concatenate([bits, np.zeros(16, dtype=np.uint32)])
+        acc = np.zeros(n, dtype=np.uint32)
+        for k in range(16):
+            acc += padded[k : k + n] << np.uint32(15 - k)
+        self.win = acc.tolist()
+        self.nbits = n
         self.pos = 0
-
-    def read_bit(self) -> int:
-        if self.pos >= len(self.bits):
-            raise ValueError("JPEG entropy data truncated")
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
 
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
-        end = self.pos + n
-        if end > len(self.bits):
+        pos = self.pos
+        end = pos + n
+        if end > self.nbits:
             raise ValueError("JPEG entropy data truncated")
-        chunk = self.bits[self.pos : end]
         self.pos = end
-        out = 0
-        for b in chunk:
-            out = (out << 1) | int(b)
-        return out
+        return self.win[pos] >> (16 - n)
 
     def decode_symbol(self, table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+        sym, ln = table
+        pos = self.pos
+        if pos >= self.nbits:
+            raise ValueError("JPEG entropy data truncated")
+        w = self.win[pos]
+        length = ln[w]
+        if length == 0 or pos + length > self.nbits:
+            raise ValueError(
+                "invalid JPEG Huffman code"
+                if length == 0
+                else "JPEG entropy data truncated"
+            )
+        self.pos = pos + length
+        return sym[w]
 
 
 def _extend(v: int, t: int) -> int:
@@ -197,7 +233,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nvals = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nvals])
-                (huff_ac if tc else huff_dc)[th] = _build_huffman(bits, vals)
+                (huff_ac if tc else huff_dc)[th] = _build_lut(bits, vals)
                 p += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
@@ -257,43 +293,104 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     mcu_index = 0
     seg_iter = iter(segments)
     reader = _BitReader(next(seg_iter))
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
+    # entropy decode stays sequential (bitstream dependency) but accumulates
+    # SPARSE (flat-index, value) pairs per component — document pages are
+    # mostly EOB-after-DC blocks, so the per-block Python work is a handful
+    # of appends; dequantize/de-zigzag/IDCT then run BATCHED per component
+    # (one (n,8,8) matmul pair), and the pixel scatter is a reshape/transpose
+    # instead of n fancy assignments.  Measured in BASELINE.md's per-format
+    # table: ~4× (gray) / ~13× (4:2:0 color) over the r2 per-symbol decoder.
+    comp_idx: list[list[int]] = [[] for _ in comps]  # blockbase*64 + zigzag k
+    comp_val: list[list[int]] = [[] for _ in comps]
+    bases = [0] * len(comps)
+    # hoist per-component lookups out of the MCU loop
+    tabs = [
+        (*huff_dc[scan[c["id"]]["dc"]], *huff_ac[scan[c["id"]]["ac"]])
+        for c in comps
+    ]
+    nblk = [c["vs"] * c["hs"] for c in comps]
+    # inlined reader state (method dispatch on 100k+ symbols is measurable)
+    win, nbits, bpos = reader.win, reader.nbits, reader.pos
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
                 reader = _BitReader(next(seg_iter))
+                win, nbits, bpos = reader.win, reader.nbits, 0
                 pred = [0] * len(comps)
-            for ci, comp in enumerate(comps):
-                dct = huff_dc[scan[comp["id"]]["dc"]]
-                act = huff_ac[scan[comp["id"]]["ac"]]
-                q = qt[comp["tq"]]
-                for by in range(comp["vs"]):
-                    for bx in range(comp["hs"]):
-                        block = np.zeros(64, dtype=np.int32)
-                        t = reader.decode_symbol(dct)
-                        diff = _extend(reader.read_bits(t), t)
-                        pred[ci] += diff
-                        block[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            block[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        dq = np.zeros(64, dtype=np.float64)
-                        dq[ZIGZAG] = block * q
-                        px = _idct_block(dq.reshape(8, 8)) + 128.0
-                        y0 = (my * comp["vs"] + by) * 8
-                        x0 = (mx * comp["hs"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            for ci in range(len(comps)):
+                dcsym, dcln, acsym, acln = tabs[ci]
+                idxs, vals = comp_idx[ci], comp_val[ci]
+                p = pred[ci]
+                base = bases[ci]
+                for _b in range(nblk[ci]):
+                    # DC: one LUT probe + magnitude bits (EXTEND inlined)
+                    if bpos >= nbits:
+                        raise ValueError("JPEG entropy data truncated")
+                    w0 = win[bpos]
+                    ln = dcln[w0]
+                    if ln == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    bpos += ln
+                    t = dcsym[w0]
+                    if t:
+                        if bpos + t > nbits:
+                            raise ValueError("JPEG entropy data truncated")
+                        v = win[bpos] >> (16 - t)
+                        bpos += t
+                        p += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                    idxs.append(base)
+                    vals.append(p)
+                    k = 1
+                    while k < 64:
+                        if bpos >= nbits:
+                            raise ValueError("JPEG entropy data truncated")
+                        w0 = win[bpos]
+                        ln = acln[w0]
+                        if ln == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        bpos += ln
+                        rs = acsym[w0]
+                        s = rs & 0xF
+                        if s == 0:
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        if bpos + s > nbits:
+                            raise ValueError("JPEG entropy data truncated")
+                        v = win[bpos] >> (16 - s)
+                        bpos += s
+                        idxs.append(base + k)
+                        vals.append(
+                            v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        )
+                        k += 1
+                    base += 64
+                pred[ci] = p
+                bases[ci] = base
             mcu_index += 1
+        if bpos > nbits:
+            raise ValueError("JPEG entropy data truncated")
+    for ci, comp in enumerate(comps):
+        n = bases[ci] // 64
+        if n == 0:
+            continue
+        q = qt[comp["tq"]]
+        vs, hs = comp["vs"], comp["hs"]
+        zz = np.zeros(n * 64, dtype=np.int64)
+        zz[np.asarray(comp_idx[ci], dtype=np.intp)] = comp_val[ci]
+        dq = np.zeros((n, 64), dtype=np.float64)
+        dq[:, ZIGZAG] = zz.reshape(n, 64) * q  # dequant + de-zigzag, batched
+        px = _C.T @ dq.reshape(n, 8, 8) @ _C + 128.0  # batched IDCT
+        # blocks arrive in (my, mx, by, bx) order → permute to raster
+        planes[ci] = (
+            px.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * vs * 8, mcus_x * hs * 8)
+        )
     out_planes = []
     for ci, comp in enumerate(comps):
         p = np.clip(planes[ci], 0, 255)
