@@ -22,6 +22,7 @@ it with the extracted main-content spans, renumbering offsets.
 from __future__ import annotations
 
 import html as _html
+import re
 
 import numpy as np
 import pandas as pd
@@ -171,7 +172,60 @@ def _render_table(tp: dict, rng) -> str:
     return "\n".join(out)
 
 
-def _boiler_chrome(rng) -> tuple[str, str, list, list, list]:
+def page_base(doc_num: int) -> str | None:
+    """Deterministic messy ``<base href>`` for 2 of 3 docs — mixed-case
+    scheme/host plus the explicit default port, so normalization has real
+    work to do.  ``None`` for the rest: relative hrefs must also survive
+    un-resolved (within-site dedup still works on them)."""
+    if doc_num % 3 == 0:
+        return None
+    return f"HTTPS://Ex{doc_num:06d}.Example.COM:443/sub/dir/index.html"
+
+
+# Fixed (rng-free) footer anchors exercising the normalization surface: the
+# first two are DISTINCT raw hrefs with the SAME normalized URL (frontier
+# dedup must collapse them), the third resolves ../ against <base>, the
+# fourth is a non-http scheme that passes through.
+_NORM_PROBE_LINKS = [
+    ("HTTP://Other.Example.ORG:80/path/?q=1#frag", f"{SENTINEL} ext"),
+    ("http://other.example.org/path/?q=1", f"{SENTINEL} ext2"),
+    ("../up/page.html#sec", f"{SENTINEL} rel"),
+    ("mailto:Contact@Example.com", f"{SENTINEL} mail"),
+]
+
+
+def _expected_norm(href: str, base: str | None) -> str:
+    """Fixture-side normalization oracle — intentionally re-derived with
+    string partitioning rather than calling ``htmlx.normalize_url`` (whose
+    urlsplit/urlunsplit path this differentially checks).  Resolution itself
+    is stdlib ``urljoin`` on both sides: RFC 3986 reference, not under test."""
+    from urllib.parse import urljoin
+
+    u = urljoin(base, href.strip()) if base else href.strip()
+    u = u.split("#", 1)[0]
+    scheme, sep, rest = u.partition("://")
+    if sep and scheme.lower() in ("http", "https"):
+        slash = rest.find("/")
+        host, path = (rest, "") if slash < 0 else (rest[:slash], rest[slash:])
+        query = ""
+        if "?" in path:
+            path, _, q = path.partition("?")
+            query = "?" + q
+        elif "?" in host:
+            host, _, q = host.partition("?")
+            query = "?" + q
+        host = host.lower()
+        dflt = ":80" if scheme.lower() == "http" else ":443"
+        if host.endswith(dflt):
+            host = host[: -len(dflt)]
+        return f"{scheme.lower()}://{host}{path or '/'}{query}"
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):", u)
+    if m:
+        return m.group(1).lower() + ":" + u[m.end():]
+    return u
+
+
+def _boiler_chrome(rng, base_tag: str = "") -> tuple[str, str, list, list, list]:
     """(prefix, suffix, mid-content interrupts, prefix links, suffix links)
     — all sentinel-bearing; interrupts are (html, links) pairs so link
     goldens preserve document order after splicing."""
@@ -188,7 +242,7 @@ def _boiler_chrome(rng) -> tuple[str, str, list, list, list]:
         else f'<div role="navigation"><ul>{nav_links}</ul></div>'
     )
     head = (
-        f"<head><title>{SENTINEL} title</title>"
+        f"<head><title>{SENTINEL} title</title>{base_tag}"
         f"<style>p {{ margin: 0 }} /* {SENTINEL} */</style>"
         f'<script>var t = "{SENTINEL}";</script></head>'
     )
@@ -214,9 +268,10 @@ def _boiler_chrome(rng) -> tuple[str, str, list, list, list]:
     footer = (
         f'<footer><p>{SENTINEL} © 2026</p><ul>'
         + "".join(f'<li><a href="/f{i}">{SENTINEL}</a></li>' for i in range(3))
+        + "".join(f'<li><a href="{h}">{_esc(t)}</a></li>' for h, t in _NORM_PROBE_LINKS)
         + "</ul></footer>"
     )
-    suf_links = [(f"/f{i}", SENTINEL) for i in range(3)]
+    suf_links = [(f"/f{i}", SENTINEL) for i in range(3)] + list(_NORM_PROBE_LINKS)
     suffix = f"{aside}{footer}</body></html>"
     interrupts: list = []
     if rng.random() < 0.6:  # in-flow ad block: class-vocabulary strip
@@ -241,7 +296,9 @@ def render_html_doc(plan: dict, doc_num: int, links_out: list | None = None) -> 
     :func:`tableextraction_spark.htmlx.extract_links`.  Recording only:
     the rng stream and the rendered bytes are identical either way."""
     rng = _rng(doc_num, 1)
-    prefix, suffix, interrupts, pre_links, suf_links = _boiler_chrome(rng)
+    base = page_base(doc_num)
+    base_tag = f'<base href="{base}">' if base else ""
+    prefix, suffix, interrupts, pre_links, suf_links = _boiler_chrome(rng, base_tag)
     body: list = []  # (html, links) per block
     hl = int(rng.integers(2, 5))
     for blk in plan["blocks"]:
@@ -287,11 +344,15 @@ def render_html_doc(plan: dict, doc_num: int, links_out: list | None = None) -> 
 
 def expected_links(doc_num: int) -> list[dict]:
     """Golden outlinks for one fixture doc: every rendered anchor, in
-    document order, as ``{href, text}`` (renderer-derived; the parser under
-    test never sees this path)."""
+    document order, as ``{href, text, norm}`` (renderer-derived; the parser
+    under test never sees this path — ``norm`` comes from the independent
+    :func:`_expected_norm` oracle, not from ``htmlx.normalize_url``)."""
     links: list = []
     render_html_doc(plan_html_doc(doc_num), doc_num, links_out=links)
-    return [{"href": h, "text": t} for h, t in links]
+    base = page_base(doc_num)
+    return [
+        {"href": h, "text": t, "norm": _expected_norm(h, base)} for h, t in links
+    ]
 
 
 # ---------------------------------------------------------------- corpus
@@ -370,10 +431,16 @@ def html_expected_links_dataframe(spark, n_docs: int, parts: int | None = None):
             rows = []
             for i in pdf["id"]:
                 doc_id = plan_html_doc(int(i))["doc_id"]
+                base = page_base(int(i))
                 for j, ln in enumerate(expected_links(int(i))):
-                    rows.append((doc_id, j, ln["href"], ln["text"]))
-            yield pd.DataFrame(rows, columns=["doc_id", "link_no", "href", "text"])
+                    rows.append(
+                        (doc_id, j, ln["href"],
+                         _expected_norm(ln["href"], base), ln["text"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "link_no", "href", "norm", "text"]
+            )
 
     return spark.range(n_docs).repartition(parts).mapInPandas(
-        gen, "doc_id string, link_no int, href string, text string"
+        gen, "doc_id string, link_no int, href string, norm string, text string"
     )

@@ -591,10 +591,55 @@ def extract_main_spans(html: str) -> list[dict]:
 
 # ------------------------------------------------------------ link harvest
 
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def normalize_url(href: str, base: str | None = None) -> str:
+    """Crawl-frontier URL normalization: resolve ``href`` against ``base``
+    (RFC 3986 via stdlib ``urljoin``), lowercase scheme and host, strip the
+    scheme's default port and the fragment, default an empty path to ``/``.
+    Non-http(s) schemes (mailto:, javascript:, data:) pass through with only
+    scheme-lowering + fragment strip; a relative href with no base stays
+    relative (fragment-stripped) so callers can still dedup within a site."""
+    from urllib.parse import urljoin, urlsplit, urlunsplit
+
+    raw = href.strip()
+    joined = urljoin(base, raw) if base else raw
+    parts = urlsplit(joined)
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc
+    path = parts.path
+    if scheme in ("http", "https") and netloc:
+        netloc = netloc.lower()
+        dflt = _DEFAULT_PORTS[scheme]
+        if netloc.endswith(dflt):
+            netloc = netloc[: -len(dflt)]
+        if not path:
+            path = "/"
+    return urlunsplit((scheme, netloc, path, parts.query, ""))
+
+
+def find_base_href(root) -> str | None:
+    """First ``<base href>`` in the document (the only place the walk must
+    enter DROP_TAGS: ``<base>`` lives in ``<head>``)."""
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, str):
+            continue
+        if node.tag == "base":
+            href = node.attrs.get("href")
+            if href:
+                return href
+        stack.extend(reversed(node.children))
+    return None
+
 
 def extract_links(html: str) -> list[dict]:
-    """ALL anchors in document order → ``[{href, text}]`` (outlink / link-
-    graph harvesting — the crawl-frontier view of a page).
+    """ALL anchors in document order → ``[{href, text, norm}]`` (outlink /
+    link-graph harvesting — the crawl-frontier view of a page).  ``norm`` is
+    the crawl-ready URL: resolved against the page's ``<base href>`` (when
+    present) and normalized by :func:`normalize_url`; ``href`` stays raw.
 
     Unlike :func:`extract_main_spans` this deliberately KEEPS boilerplate
     regions: nav/footer/related links are exactly what a link graph wants.
@@ -602,6 +647,16 @@ def extract_links(html: str) -> list[dict]:
     forms, head …) is skipped.  Anchors without an ``href`` attribute are
     not links; text is whitespace-normalized inner text."""
     out: list[dict] = []
+    root = parse_html(html)
+    base = find_base_href(root)
+
+    def norm_of(href: str) -> str:
+        # a single unparseable href (e.g. "http://[::") must not poison the
+        # page's other links — degrade to the raw value, still crawl-usable
+        try:
+            return normalize_url(href, base)
+        except ValueError:
+            return href
 
     def walk(node):
         if isinstance(node, str):
@@ -625,10 +680,13 @@ def extract_links(html: str) -> list[dict]:
 
             for ch in node.children:
                 text_of(ch)
-            out.append({"href": node.attrs["href"], "text": _norm("".join(parts))})
+            href = node.attrs["href"]
+            out.append(
+                {"href": href, "text": _norm("".join(parts)), "norm": norm_of(href)}
+            )
             return  # the parser implies </a> before a new <a>: never nested
         for ch in node.children:
             walk(ch)
 
-    walk(parse_html(html))
+    walk(root)
     return out

@@ -184,8 +184,8 @@ def rewrite_html_spans(docs: DataFrame) -> DataFrame:
 
 
 OUTLINKS_SCHEMA = (
-    "doc_id string, src_offset int, link_no int, href string, anchor string, "
-    "error string"
+    "doc_id string, src_offset int, link_no int, href string, norm string, "
+    "anchor string, error string"
 )
 
 
@@ -196,25 +196,32 @@ def _link_batches(batches):
         rows = []
         for doc_id, off, markup in zip(pdf["doc_id"], pdf["src_offset"], pdf["html"]):
             if _null_offset(off):
-                rows.append((doc_id, -1, -1, "", "", "null src_offset"))
+                rows.append((doc_id, -1, -1, "", "", "", "null src_offset"))
                 continue
             off = int(off)
             try:
                 links = extract_links(markup or "")
             except Exception as exc:  # noqa: BLE001 — per-row isolation
-                rows.append((doc_id, off, -1, "", "", repr(exc)[:500]))
+                rows.append((doc_id, off, -1, "", "", "", repr(exc)[:500]))
                 continue
             for i, ln in enumerate(links):
-                rows.append((doc_id, off, i, ln["href"], ln["text"], None))
+                rows.append(
+                    (doc_id, off, i, ln["href"], ln["norm"], ln["text"], None)
+                )
         yield pd.DataFrame(
             rows,
-            columns=["doc_id", "src_offset", "link_no", "href", "anchor", "error"],
+            columns=[
+                "doc_id", "src_offset", "link_no", "href", "norm", "anchor", "error",
+            ],
         )
 
 
 def extract_outlinks(docs: DataFrame) -> DataFrame:
     """docs (doc_id, spans) → one row per anchor in each kind='html' span,
-    in document order: (doc_id, src_offset, link_no, href, anchor).
+    in document order: (doc_id, src_offset, link_no, href, norm, anchor).
+    ``href`` is the raw attribute; ``norm`` is the crawl-ready URL (resolved
+    against the page's ``<base href>``, normalized by `htmlx.normalize_url`)
+    — dedup the frontier on ``norm``, never on ``href``.
 
     The link-graph / crawl-frontier view: unlike the main-content rewrite
     this KEEPS boilerplate anchors (nav/footer/related links are exactly

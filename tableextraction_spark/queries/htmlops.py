@@ -173,3 +173,47 @@ WHERE 1 = 0
 """
 
 QUERIES["q42_html_outlinks_verify"] = (q42_html_outlinks_verify, Q42_SQL)
+
+
+def q43_html_outlink_norm_verify(spark, sf_dir):
+    """Crawl-frontier URL normalization, empty-on-success, two checks
+    union'd: (a) multiset diff of (doc_id, link_no, norm) between the
+    harvest and the fixture-side normalization oracle (an independent
+    string-partition reimplementation — differential, not self-checking);
+    (b) frontier-dedup witness: every fixture doc carries two raw-distinct /
+    norm-equal footer links, so per doc ``countDistinct(norm)`` must be
+    strictly below ``countDistinct(href)`` — if normalization degraded to
+    identity, every doc emits a row here."""
+    from ..fixtures.html_gen import html_expected_links_dataframe
+    from ..operators.html_extract import extract_outlinks
+
+    n = _n_docs_for(sf_dir)
+    harvested = extract_outlinks(html_docs_dataframe(spark, n)).where(
+        F.col("error").isNull()
+    )
+    got = harvested.select("doc_id", "link_no", "norm")
+    exp = html_expected_links_dataframe(spark, n).select("doc_id", "link_no", "norm")
+    mismatch = got.exceptAll(exp).unionAll(exp.exceptAll(got))
+    undeduped = (
+        harvested.groupBy("doc_id")
+        .agg(
+            F.countDistinct("href").alias("n_href"),
+            F.countDistinct("norm").alias("n_norm"),
+        )
+        .where(F.col("n_norm") >= F.col("n_href"))
+        .select(
+            "doc_id",
+            F.lit(-1).alias("link_no"),
+            F.lit("frontier dedup on norm did not collapse").alias("norm"),
+        )
+    )
+    return mismatch.unionAll(undeduped)
+
+
+Q43_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS doc_id, CAST(NULL AS INT) AS link_no,
+       CAST(NULL AS VARCHAR) AS norm
+WHERE 1 = 0
+"""
+
+QUERIES["q43_html_outlink_norm_verify"] = (q43_html_outlink_norm_verify, Q43_SQL)

@@ -371,9 +371,9 @@ def test_extract_links_all_anchors_in_order():
         "<a name='anchor'>no href</a><footer><a href='/c'></a></footer>"
     )
     assert links == [
-        {"href": "/a", "text": "Home"},
-        {"href": "/b", "text": "two words"},
-        {"href": "/c", "text": ""},
+        {"href": "/a", "text": "Home", "norm": "/a"},
+        {"href": "/b", "text": "two words", "norm": "/b"},
+        {"href": "/c", "text": "", "norm": "/c"},
     ]
 
 
@@ -411,8 +411,8 @@ def test_unclosed_anchor_implies_close():
     assert fast == ref  # span level
     links = extract_links('<p><a href="/1">one <a href="/2">two</a></p>')
     assert links == [
-        {"href": "/1", "text": "one"},
-        {"href": "/2", "text": "two"},
+        {"href": "/1", "text": "one", "norm": "/1"},
+        {"href": "/2", "text": "two", "norm": "/2"},
     ]
 
 
@@ -427,6 +427,57 @@ def test_anchor_text_keeps_boiler_classed_spans():
         "<script>junk()</script></a>"
     )
     assert links == [
-        {"href": "/x", "text": "Share"},
-        {"href": "/y", "text": "Sale now"},
+        {"href": "/x", "text": "Share", "norm": "/x"},
+        {"href": "/y", "text": "Sale now", "norm": "/y"},
     ]
+
+
+# --- crawl-frontier URL normalization ---
+
+
+def test_normalize_url_cases():
+    from tableextraction_spark.htmlx import normalize_url as nu
+
+    base = "HTTPS://Ex.Example.COM:443/sub/dir/index.html"
+    assert nu("/0", base) == "https://ex.example.com/0"
+    assert nu("../up/page.html#sec", base) == "https://ex.example.com/sub/up/page.html"
+    assert nu("other.html?a=1#x", base) == "https://ex.example.com/sub/dir/other.html?a=1"
+    assert nu("HTTP://Other.Example.ORG:80/p/?q=1#f") == "http://other.example.org/p/?q=1"
+    assert nu("http://other.example.org/p/?q=1") == "http://other.example.org/p/?q=1"
+    assert nu("https://Host.COM") == "https://host.com/"  # empty path -> /
+    assert nu("https://host.com:8080/x") == "https://host.com:8080/x"  # non-default port kept
+    assert nu("mailto:Contact@Example.com", base) == "mailto:Contact@Example.com"
+    assert nu("  /sp  ", base) == "https://ex.example.com/sp"
+    assert nu("/rel#frag") == "/rel"  # no base: relative survives, frag stripped
+
+
+def test_extract_links_resolves_base_href():
+    from tableextraction_spark.htmlx import extract_links
+
+    links = extract_links(
+        '<html><head><base href="HTTPS://S.Example.COM:443/d/x.html"></head>'
+        '<body><a href="/a">A</a> <a href="b#f">B</a></body></html>'
+    )
+    assert [ln["norm"] for ln in links] == [
+        "https://s.example.com/a",
+        "https://s.example.com/d/b",
+    ]
+
+
+def test_extract_links_bad_href_degrades_not_poisons():
+    from tableextraction_spark.htmlx import extract_links
+
+    links = extract_links('<a href="http://[::bad">x</a><a href="/ok">y</a>')
+    assert links[0]["norm"] == "http://[::bad"  # raw fallback, no raise
+    assert links[1]["norm"] == "/ok"
+
+
+def test_fixture_norm_probe_pair_collapses_under_norm_dedup():
+    """Every fixture doc footer carries two raw-distinct anchors with one
+    normalized URL: frontier dedup on `norm` must beat dedup on `href`,
+    with and without a <base> (doc 0 has none; 1 and 2 do)."""
+    from tableextraction_spark.fixtures.html_gen import expected_links
+
+    for doc_num in (0, 1, 2):
+        links = expected_links(doc_num)
+        assert len({ln["norm"] for ln in links}) < len({ln["href"] for ln in links})
