@@ -16,7 +16,10 @@ driver's hard gate red:
   token that occurs in every boilerplate chunk and no content word;
 * q41 — object-row `<table>` harvest vs plan goldens (the relational form);
 * q42 — outlink harvest (every anchor, boilerplate included, in document
-  order) vs renderer-derived goldens — the link-graph / crawl-frontier op.
+  order) vs renderer-derived goldens — the link-graph / crawl-frontier op;
+* q44 — crawl-frontier URL normalization (resolve `<base href>`, lowercase
+  scheme/host, strip default port + fragment) vs an independent fixture-side
+  oracle, plus a per-doc dedup-on-norm witness.
 """
 
 from __future__ import annotations
@@ -175,7 +178,7 @@ WHERE 1 = 0
 QUERIES["q42_html_outlinks_verify"] = (q42_html_outlinks_verify, Q42_SQL)
 
 
-def q43_html_outlink_norm_verify(spark, sf_dir):
+def q44_html_outlink_norm_verify(spark, sf_dir):
     """Crawl-frontier URL normalization, empty-on-success, two checks
     union'd: (a) multiset diff of (doc_id, link_no, norm) between the
     harvest and the fixture-side normalization oracle (an independent
@@ -210,10 +213,10 @@ def q43_html_outlink_norm_verify(spark, sf_dir):
     return mismatch.unionAll(undeduped)
 
 
-Q43_SQL = """
+Q44_SQL = """
 SELECT CAST(NULL AS VARCHAR) AS doc_id, CAST(NULL AS INT) AS link_no,
        CAST(NULL AS VARCHAR) AS norm
 WHERE 1 = 0
 """
 
-QUERIES["q43_html_outlink_norm_verify"] = (q43_html_outlink_norm_verify, Q43_SQL)
+QUERIES["q44_html_outlink_norm_verify"] = (q44_html_outlink_norm_verify, Q44_SQL)
