@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 from .common import load
 from .textops import (
     _DUCK_SH_SUB,
+    _SH_FROM_WORDS,
+    _WORDS,
+    _WORDS_DUCK,
     Q14_SQL,
     _with_shingles,
     q14_minhash_band_pairs,
@@ -277,20 +280,27 @@ EVAL_MOD, EVAL_REM = 100, 7
 CONTAM_T = 5
 
 
-def q36_benchmark_contamination(spark, sf_dir):
-    grams = _with_shingles(spark, sf_dir).selectExpr(
-        "doc_id", "explode(array_distinct(sh)) AS g"
+def verbatim_contamination_pairs(docs, eval_mod=EVAL_MOD, eval_rem=EVAL_REM):
+    """(doc_id, text) frame → verbatim-tier contamination pairs (q36's body,
+    factored so the paraphrase fixture tests can run it on a tiny frame)."""
+    sh = docs.selectExpr("doc_id", f"{_WORDS} AS words").selectExpr(
+        "doc_id", f"{_SH_FROM_WORDS} AS sh"
     )
-    ev = grams.where(F.col("doc_id") % EVAL_MOD == EVAL_REM).selectExpr(
+    grams = sh.selectExpr("doc_id", "explode(array_distinct(sh)) AS g")
+    ev = grams.where(F.col("doc_id") % eval_mod == eval_rem).selectExpr(
         "doc_id AS eval_id", "g"
     )
-    corpus = grams.where(F.col("doc_id") % EVAL_MOD != EVAL_REM)
+    corpus = grams.where(F.col("doc_id") % eval_mod != eval_rem)
     return (
         corpus.join(F.broadcast(ev), "g")
         .groupBy("doc_id", "eval_id")
         .agg(F.count("*").alias("n_shared"))  # grams pre-distinct per doc
         .where(F.col("n_shared") >= CONTAM_T)
     )
+
+
+def q36_benchmark_contamination(spark, sf_dir):
+    return verbatim_contamination_pairs(load(spark, sf_dir, "documents"))
 
 
 Q36_SQL = f"""
@@ -303,10 +313,113 @@ HAVING COUNT(*) >= {CONTAM_T}
 """
 
 
+# --- q45: fuzzy-tier decontamination (MinHash-banded, paraphrase-robust) ---
+#
+# q36 demands ≥ CONTAM_T shared VERBATIM word-3-grams, so a paraphrased eval
+# doc (scattered word substitutions — every 3rd word swapped leaves ZERO
+# intact 3-grams) sails through.  The fuzzy tier works on word BIGRAMS —
+# period-k substitution still leaves ~(k-2)/k of bigrams intact — and uses
+# q14's MinHash-band machinery against the eval set: r=1 bands (band key =
+# one seeded minhash of the bigram set), FUZZY_BANDS-way OR construction, so
+# a candidate surfaces with prob 1-(1-J)^16 (0.97 at J=0.2, >0.999 at 0.4);
+# banded candidates are then verified with EXACT bigram Jaccard ≥ FUZZY_J.
+# Unigrams are deliberately NOT used: on small-vocab corpora their background
+# Jaccard is huge (measured 0.60 mean here) — bigram background is 0.027
+# mean / 0.10 p99.9 vs ≥ 0.35 for true near-dups, so FUZZY_J = 0.2 separates.
+#
+# Scale shape (the reason for banding instead of q36's inverted index): the
+# eval side is a benchmark suite → its 16 band rows/doc broadcast; the corpus
+# side explodes to 16 band rows per doc — constant, vs one row per SHINGLE
+# (~doc length) for the inverted-index shape — then broadcast-joins with no
+# shuffle; only the O(candidates) dedup aggregates.  At 1000-word real-world
+# docs that is ~60× less join traffic per corpus doc.
+
+FUZZY_J = 0.2
+FUZZY_BANDS = 16
+
+_BG_FROM_WORDS = """
+CASE WHEN size(words) >= 2
+     THEN transform(sequence(0, size(words) - 2),
+                    i -> concat_ws(' ', words[i], words[i+1]))
+     ELSE array(array_join(words, ' ')) END
+"""
+_BG_FROM_WORDS_DUCK = """
+CASE WHEN len(words) >= 2
+     THEN list_transform(range(1, len(words)),
+                         i -> words[i] || ' ' || words[i+1])
+     ELSE [array_to_string(words, ' ')] END
+"""
+
+
+def fuzzy_contamination_pairs(docs, eval_mod=EVAL_MOD, eval_rem=EVAL_REM):
+    """(doc_id, text) frame → (doc_id, eval_id, bg_jaccard) fuzzy-tier
+    contamination pairs.  See the block comment above for the design."""
+    base = (
+        docs.selectExpr("doc_id", f"{_WORDS} AS words")
+        .selectExpr("doc_id", f"{_BG_FROM_WORDS} AS bg")
+        .selectExpr("doc_id", "array_distinct(bg) AS bgd")
+    )
+    bands = ",".join(
+        f"concat('{k}:', array_min(transform(bgd, s -> md5(concat('f{k}', s)))))"
+        for k in range(FUZZY_BANDS)
+    )
+    banded = base.selectExpr("doc_id", "bgd", f"explode(array({bands})) AS band")
+    ev = banded.where(F.col("doc_id") % eval_mod == eval_rem).selectExpr(
+        "doc_id AS eval_id", "bgd AS ev_bgd", "band"
+    )
+    co = banded.where(F.col("doc_id") % eval_mod != eval_rem)
+    return (
+        co.join(F.broadcast(ev), "band")
+        .selectExpr(
+            "doc_id",
+            "eval_id",
+            "size(array_intersect(bgd, ev_bgd)) AS inter",
+            "size(bgd) AS nc",
+            "size(ev_bgd) AS ne",
+        )
+        .selectExpr(
+            "doc_id",
+            "eval_id",
+            "ROUND(CAST(inter AS DOUBLE) / (nc + ne - inter), 4) AS bg_jaccard",
+        )
+        .where(F.col("bg_jaccard") >= FUZZY_J)
+        .distinct()  # one row per (doc, eval) pair however many bands hit
+    )
+
+
+def q45_fuzzy_contamination(spark, sf_dir):
+    return fuzzy_contamination_pairs(load(spark, sf_dir, "documents"))
+
+
+_Q45_BANDS_DUCK = ",".join(
+    f"'{k}:' || list_aggregate(list_transform(bgd, s -> md5('f{k}' || s)), 'min')"
+    for k in range(FUZZY_BANDS)
+)
+
+Q45_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS_DUCK} AS words FROM documents),
+bg AS (SELECT doc_id, list_distinct({_BG_FROM_WORDS_DUCK}) AS bgd FROM w),
+banded AS (SELECT doc_id, bgd, UNNEST([{_Q45_BANDS_DUCK}]) AS band FROM bg),
+ev AS (SELECT doc_id AS eval_id, bgd AS ev_bgd, band FROM banded
+       WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+co AS (SELECT doc_id, bgd, band FROM banded WHERE doc_id % {EVAL_MOD} != {EVAL_REM}),
+cand AS (SELECT co.doc_id, ev.eval_id,
+                len(list_filter(co.bgd, x -> list_contains(ev.ev_bgd, x))) AS inter,
+                len(co.bgd) AS nc, len(ev.ev_bgd) AS ne
+         FROM co JOIN ev ON co.band = ev.band)
+SELECT DISTINCT doc_id, eval_id, bg_jaccard FROM (
+  SELECT doc_id, eval_id,
+         ROUND(CAST(inter AS DOUBLE) / (nc + ne - inter), 4) AS bg_jaccard
+  FROM cand)
+WHERE bg_jaccard >= {FUZZY_J}
+"""
+
+
 QUERIES = {
     "q33_neardup_clusters": (q33_neardup_clusters, Q33_SQL),
     "q43_neardup_fixpoint_verify": (q43_neardup_fixpoint_verify, Q43_SQL),
     "q34_stratified_sample": (q34_stratified_sample, Q34_SQL),
     "q35_length_histogram": (q35_length_histogram, Q35_SQL),
     "q36_benchmark_contamination": (q36_benchmark_contamination, Q36_SQL),
+    "q45_fuzzy_contamination": (q45_fuzzy_contamination, Q45_SQL),
 }
