@@ -311,9 +311,10 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
     blob_rows: [{media_ref, doc_id, page_no, content}]
 
     ``codec`` picks the blob payload format: the deterministic ``img1``
-    container (default), real ``png`` (stdlib encoder, ``png.py``), or real
-    near-lossless ``jpeg`` (from-scratch baseline codec, ``jpeg.py``) — same
-    expected spans, so end-to-end tests pin format routing.
+    container (default), real ``png`` (stdlib encoder, ``png.py``), real
+    near-lossless ``jpeg`` (from-scratch baseline codec, ``jpeg.py``), or
+    ``jpeg_prog`` (SOF2 progressive, multi-scan) — same expected spans, so
+    end-to-end tests pin format routing.
     """
     if codec == "img1":
         encode = encode_image
@@ -324,6 +325,12 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
 
         # near-lossless quant (scanner-grade): 1-px glyph ink must survive
         encode = lambda img: encode_jpeg_gray(img, quality_div=8)  # noqa: E731
+    elif codec == "jpeg_prog":
+        from ..jpeg import encode_jpeg_gray_progressive
+
+        encode = lambda img: encode_jpeg_gray_progressive(  # noqa: E731
+            img, quality_div=8
+        )
     else:
         raise ValueError(f"unknown blob codec {codec!r}")
     plan = plan_doc(doc_num)

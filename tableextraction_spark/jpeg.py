@@ -13,9 +13,15 @@ implements baseline DCT JPEG (ITU-T T.81) directly in NumPy + stdlib:
   and Huffman tables (Annex K) — used by fixtures/tests so the real-format
   path is exercised end-to-end without any library.
 
-Supported = what scanned/rendered document pages are: baseline sequential,
-8-bit.  Progressive/arithmetic/12-bit raise ``ValueError`` naming the
-feature (captured per-row by the decode stage).
+Supported = what scanned/rendered document pages and web images are:
+baseline sequential (SOF0) and progressive (SOF2, T.81 Annex G.1.2 —
+DC first/refine scans, AC spectral-selection bands with EOB-run coding,
+successive-approximation correction bits), 8-bit.  Arithmetic-coded/
+lossless/12-bit raise ``ValueError`` naming the feature (captured per-row
+by the decode stage).  Progressive decode accumulates a dense coefficient
+array across scans, then reuses the batched dequant/IDCT finalizer — the
+entropy passes are the slow path (multiple sequential scans by design);
+baseline stays the fast lane.
 
 Performance note: entropy decode is table-driven — a 16-bit-lookahead LUT
 makes each Huffman symbol one list index (the sliding bit-window is
@@ -195,8 +201,63 @@ def _idct_block(coeffs: np.ndarray) -> np.ndarray:
     return _C.T @ coeffs @ _C
 
 
+def _grid(frame):
+    comps = frame["comps"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _comp_block_grid(frame, comp):
+    """Non-interleaved data-unit grid (T.81 A.2.2): ceil over the
+    component's OWN sampled dimensions, not the padded MCU grid."""
+    hmax, vmax, _, _ = _grid(frame)
+    cw = -(-frame["w"] * comp["hs"] // hmax)
+    ch = -(-frame["h"] * comp["vs"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _find_scan_end(buf, pos):
+    """Offset of the first real marker after entropy data (skips stuffed
+    0xFF00 and RSTn)."""
+    end = pos
+    n = len(buf)
+    while end < n - 1:
+        if buf[end] == 0xFF and buf[end + 1] != 0x00 and not (
+            0xD0 <= buf[end + 1] <= 0xD7
+        ):
+            break
+        end += 1
+    return end
+
+
+def _color_assemble(frame, planes, hmax, vmax):
+    """Per-component pixel planes (full block grids) → final uint8 image:
+    clip, chroma upsample (nearest), crop, gray/BT.601 conversion."""
+    h, w = frame["h"], frame["w"]
+    out_planes = []
+    for ci, comp in enumerate(frame["comps"]):
+        p = np.clip(planes[ci], 0, 255)
+        ry, rx = vmax // comp["vs"], hmax // comp["hs"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return np.rint(out_planes[0]).astype(np.uint8)
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.rint(np.clip(rgb, 0, 255)).astype(np.uint8)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 H×W (gray) or H×W×3 (RGB)."""
+    """Baseline or progressive JPEG bytes → uint8 H×W (gray) or H×W×3 (RGB)."""
     buf = bytes(payload)
     if buf[:2] != MAGIC:
         raise ValueError(f"not a JPEG: magic {buf[:2]!r}")
@@ -205,6 +266,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
+    coef = None  # progressive: per-comp dense (bY, bX, 64) zigzag coeff arrays
     restart_interval = 0
     while pos < len(buf):
         if buf[pos] != 0xFF:
@@ -212,6 +275,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if coef is not None:
+                return _finalize_progressive(frame, coef, qt)
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
@@ -235,7 +300,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nvals])
                 (huff_ac if tc else huff_dc)[th] = _build_lut(bits, vals)
                 p += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -244,24 +310,55 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0) supported, got "
-                f"SOF marker 0x{marker:02X} (progressive/extended)"
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported, "
+                f"got SOF marker 0x{marker:02X} (extended/lossless/arithmetic)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             scan = {}
+            order = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = {"dc": tables >> 4, "ac": tables & 0xF}
+                order.append(cs)
             data_start = pos + seg_len
-            return _decode_scan(
-                buf, data_start, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    buf, data_start, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if ss == 0 and se != 0:
+                raise ValueError(
+                    "invalid progressive scan: DC scan must have Se=0 "
+                    "(baseline entropy data under an SOF2 marker?)"
+                )
+            if ss > 0 and ns != 1:
+                raise ValueError(
+                    "invalid progressive scan: AC scans are single-component"
+                )
+            if se > 63 or (ss > se):
+                raise ValueError("invalid progressive spectral range")
+            if coef is None:
+                _, _, mcus_x, mcus_y = _grid(frame)
+                coef = [
+                    np.zeros(
+                        (mcus_y * c["vs"], mcus_x * c["hs"], 64), dtype=np.int32
+                    )
+                    for c in frame["comps"]
+                ]
+            pos = _decode_prog_scan(
+                buf, data_start, frame, order, scan, ss, se,
+                ahal >> 4, ahal & 0xF, huff_dc, huff_ac, restart_interval, coef,
             )
+            continue
         pos += seg_len
     raise ValueError("JPEG has no SOS scan")
 
@@ -280,15 +377,7 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
         np.zeros((mcus_y * c["vs"] * 8, mcus_x * c["hs"] * 8), dtype=np.float64)
         for c in comps
     ]
-    # find scan end (next marker that is not RSTn and not stuffed 0x00)
-    end = pos
-    while end < len(buf) - 1:
-        if buf[end] == 0xFF and buf[end + 1] not in (0x00,) and not (
-            0xD0 <= buf[end + 1] <= 0xD7
-        ):
-            break
-        end += 1
-    segments = _split_restarts(buf[pos:end])
+    segments = _split_restarts(buf[pos:_find_scan_end(buf, pos)])
     pred = [0] * len(comps)
     mcu_index = 0
     seg_iter = iter(segments)
@@ -391,24 +480,183 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
             .transpose(0, 2, 4, 1, 3, 5)
             .reshape(mcus_y * vs * 8, mcus_x * hs * 8)
         )
-    out_planes = []
-    for ci, comp in enumerate(comps):
-        p = np.clip(planes[ci], 0, 255)
-        # upsample subsampled chroma to full resolution (nearest)
-        ry, rx = vmax // comp["vs"], hmax // comp["hs"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out_planes.append(p[:h, :w])
-    if len(out_planes) == 1:
-        return np.rint(out_planes[0]).astype(np.uint8)
-    if len(out_planes) != 3:
-        raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128)
-    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-    b = y + 1.772 * (cb - 128)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.rint(np.clip(rgb, 0, 255)).astype(np.uint8)
+    return _color_assemble(frame, planes, hmax, vmax)
+
+
+# ------------------------------------------------- progressive (SOF2) decode
+#
+# T.81 Annex G.1.2, implemented from the spec: each SOS carries a spectral
+# band [Ss, Se] at successive-approximation precision (Ah → Al).  DC scans
+# may interleave all components (MCU order); AC scans are single-component
+# in the component's own data-unit raster (A.2.2).  Coefficients accumulate
+# in dense per-component zigzag arrays; the batched dequant/IDCT finalizer
+# is shared with the baseline path.
+
+
+def _ac_first_block(reader, blk, ss, se, al, ac_tab, eobrun):
+    """First AC scan for one block (G.1.2.2): EOB-run + run/size coding.
+    Returns the remaining EOB-run (this block included when one starts)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                eb = (1 << r) - 1
+                if r:
+                    eb += reader.read_bits(r)
+                return eb
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG progressive AC index overflow")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine_block(reader, blk, ss, se, al, ac_tab, eobrun):
+    """AC successive-approximation refinement for one block (G.1.2.3):
+    newly-nonzero coefficients arrive as ±1<<Al; every already-nonzero
+    coefficient crossed (including the EOB-run tail) consumes one
+    correction bit.  Every stored value is a multiple of 1<<Al, so the
+    'already corrected this pass' test is bit Al of the magnitude."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid JPEG refinement magnitude")
+                val = p1 if reader.read_bits(1) else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.read_bits(1) and not (abs(v) & p1):
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("JPEG progressive AC index overflow")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and reader.read_bits(1) and not (abs(v) & p1):
+                blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(buf, pos, frame, order, scan, ss, se, ah, al,
+                      huff_dc, huff_ac, restart_interval, coef):
+    """Decode ONE progressive scan into ``coef``; returns the offset just
+    past its entropy data.  Restart markers reset DC predictors and the
+    EOB run, exactly as in the baseline path."""
+    comps = frame["comps"]
+    _, _, mcus_x, mcus_y = _grid(frame)
+    end = _find_scan_end(buf, pos)
+    seg_iter = iter(_split_restarts(buf[pos:end]))
+    reader = _BitReader(next(seg_iter))
+    cidx = {c["id"]: i for i, c in enumerate(comps)}
+
+    if ss == 0 and len(order) > 1:
+        # interleaved DC scan over MCUs
+        pred = dict.fromkeys(order, 0)
+        units = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and units and units % restart_interval == 0:
+                    reader = _BitReader(next(seg_iter))
+                    pred = dict.fromkeys(order, 0)
+                for cs in order:
+                    ci = cidx[cs]
+                    c = comps[ci]
+                    plane = coef[ci]
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            r_, c_ = my * c["vs"] + by, mx * c["hs"] + bx
+                            if ah == 0:
+                                t = reader.decode_symbol(
+                                    huff_dc[scan[cs]["dc"]]
+                                )
+                                pred[cs] += _extend(reader.read_bits(t), t)
+                                plane[r_, c_, 0] = pred[cs] << al
+                            elif reader.read_bits(1):
+                                plane[r_, c_, 0] |= 1 << al
+                units += 1
+        return end
+
+    # single-component scan (DC or AC) over the component's own grid
+    cs = order[0]
+    ci = cidx[cs]
+    comp = comps[ci]
+    plane = coef[ci]
+    bh, bw = _comp_block_grid(frame, comp)
+    pred0 = 0
+    eobrun = 0
+    units = 0
+    for r_ in range(bh):
+        for c_ in range(bw):
+            if restart_interval and units and units % restart_interval == 0:
+                reader = _BitReader(next(seg_iter))
+                pred0 = 0
+                eobrun = 0
+            if ss == 0:
+                if ah == 0:
+                    t = reader.decode_symbol(huff_dc[scan[cs]["dc"]])
+                    pred0 += _extend(reader.read_bits(t), t)
+                    plane[r_, c_, 0] = pred0 << al
+                elif reader.read_bits(1):
+                    plane[r_, c_, 0] |= 1 << al
+            else:
+                blk = plane[r_, c_]
+                ac_tab = huff_ac[scan[cs]["ac"]]
+                if ah == 0:
+                    eobrun = _ac_first_block(reader, blk, ss, se, al, ac_tab, eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, blk, ss, se, al, ac_tab, eobrun)
+            units += 1
+    return end
+
+
+def _finalize_progressive(frame, coef, qt):
+    """Accumulated zigzag coefficients → image (batched dequant + IDCT,
+    same math as the baseline finalizer, raster block order)."""
+    hmax, vmax, _, _ = _grid(frame)
+    planes = []
+    for ci, comp in enumerate(frame["comps"]):
+        q = qt[comp["tq"]]
+        arr = coef[ci]
+        b_y, b_x, _ = arr.shape
+        n = b_y * b_x
+        dq = np.zeros((n, 64), dtype=np.float64)
+        dq[:, ZIGZAG] = arr.reshape(n, 64).astype(np.float64) * q
+        px = _C.T @ dq.reshape(n, 8, 8) @ _C + 128.0
+        planes.append(
+            px.reshape(b_y, b_x, 8, 8).transpose(0, 2, 1, 3).reshape(b_y * 8, b_x * 8)
+        )
+    return _color_assemble(frame, planes, hmax, vmax)
 
 
 def _split_restarts(data: bytes) -> list[bytes]:
@@ -538,14 +786,10 @@ def encode_jpeg_gray(img: np.ndarray, quality_div: int = 1) -> bytes:
     return MAGIC + _tables_segments(q) + sof + sos + bytes(bw.out) + b"\xff\xd9"
 
 
-def encode_jpeg_rgb(img: np.ndarray, quality_div: int = 1) -> bytes:
-    """uint8 H×W×3 RGB → baseline JPEG, YCbCr **4:2:0** (the common scan
-    subsampling) — exercises the decoder's interleaved-MCU + chroma-upsample
-    path.  One shared Annex-K table for all components (legal; table id 0).
-    """
-    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
-        raise ValueError(f"expected uint8 H×W×3 RGB, got {img.dtype} {img.shape}")
-    h, w = img.shape[:2]
+def _rgb_planes_420(img: np.ndarray):
+    """RGB uint8 → (padded Y, 2×2-averaged Cb, Cr) float planes for 4:2:0.
+    Shared by the baseline and progressive encoders so both produce the
+    same quantized coefficients."""
     r = img[:, :, 0].astype(np.float64)
     g = img[:, :, 1].astype(np.float64)
     b = img[:, :, 2].astype(np.float64)
@@ -558,6 +802,18 @@ def encode_jpeg_rgb(img: np.ndarray, quality_div: int = 1) -> bytes:
     crp = _pad_to(cr, 16)
     cb2 = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
     cr2 = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+    return yp, cb2, cr2
+
+
+def encode_jpeg_rgb(img: np.ndarray, quality_div: int = 1) -> bytes:
+    """uint8 H×W×3 RGB → baseline JPEG, YCbCr **4:2:0** (the common scan
+    subsampling) — exercises the decoder's interleaved-MCU + chroma-upsample
+    path.  One shared Annex-K table for all components (legal; table id 0).
+    """
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected uint8 H×W×3 RGB, got {img.dtype} {img.shape}")
+    h, w = img.shape[:2]
+    yp, cb2, cr2 = _rgb_planes_420(img)
     q = np.maximum(1, QUANT_LUMA[ZIGZAG] // quality_div)
     dc_codes = _encode_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_codes = _encode_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -580,3 +836,232 @@ def encode_jpeg_rgb(img: np.ndarray, quality_div: int = 1) -> bytes:
     )
     sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return MAGIC + _tables_segments(q) + sof + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+# ------------------------------------------------- progressive encoder
+#
+# Fixture/test counterpart of the SOF2 decoder.  Scan script exercises every
+# progressive decode path: interleaved DC first (Al=1), DC refinement, one
+# full AC band first pass (Al=1, EOB-run coded), AC refinement (correction
+# bits).  Quantized coefficients are byte-identical to the baseline
+# encoder's (shared quantization + padding), so progressive decode must
+# reproduce the baseline decode EXACTLY — the round-trip equality test.
+# EOB runs are flushed per block (EOBRUN=1) — legal, marginally larger
+# output, much simpler than cross-block run buffering.
+
+
+def _quant_coeff_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Padded float plane (multiple-of-8 dims) → (bY, bX, 64) quantized
+    ZIGZAG-order coefficient blocks (batched DCT, baseline-identical)."""
+    hp, wp = plane.shape
+    b_y, b_x = hp // 8, wp // 8
+    blocks = (plane - 128.0).reshape(b_y, 8, b_x, 8).transpose(0, 2, 1, 3)
+    coeffs = _C @ blocks @ _C.T
+    return np.rint(coeffs.reshape(b_y, b_x, 64)[:, :, ZIGZAG] / q).astype(np.int32)
+
+
+def _emit_dc_first(bw, comps_zz, al, dc_codes):
+    """Interleaved DC first scan (point transform = arithmetic >> Al),
+    MCU order (my, mx, component, by, bx) — must mirror the decoder."""
+    preds = [0] * len(comps_zz)
+    arr0, vs0, hs0 = comps_zz[0]
+    mcus_y, mcus_x = arr0.shape[0] // vs0, arr0.shape[1] // hs0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for i, (arr, vs, hs) in enumerate(comps_zz):
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(arr[my * vs + by, mx * hs + bx, 0]) >> al
+                        diff = v - preds[i]
+                        preds[i] = v
+                        t = abs(diff).bit_length()
+                        code, ln = dc_codes[t]
+                        bw.write(code, ln)
+                        if t:
+                            mag = diff if diff > 0 else diff + (1 << t) - 1
+                            bw.write(mag, t)
+
+
+def _emit_dc_refine(bw, comps_zz, al):
+    """DC refinement: one raw bit per block (bit Al of the DC value)."""
+    arr0, vs0, hs0 = comps_zz[0]
+    mcus_y, mcus_x = arr0.shape[0] // vs0, arr0.shape[1] // hs0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for arr, vs, hs in comps_zz:
+                for by in range(vs):
+                    for bx in range(hs):
+                        bw.write((int(arr[my * vs + by, mx * hs + bx, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(bw, arr, bh, bwid, ss, se, al, ac_codes):
+    """First AC scan over the component's data-unit grid: run/size coding
+    with magnitude truncation toward zero (G.1.2.2); EOB per block."""
+    for r_ in range(bh):
+        for c_ in range(bwid):
+            blk = arr[r_, c_]
+            vals = []
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al
+                vals.append(t if v >= 0 else -t)
+            last = -1
+            for i, v in enumerate(vals):
+                if v:
+                    last = i
+            run = 0
+            for i in range(last + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                mag = v if v > 0 else v + (1 << s) - 1
+                bw.write(mag, s)
+                run = 0
+            if last < se - ss:
+                code, ln = ac_codes[0x00]  # EOB (run of 1)
+                bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, arr, bh, bwid, ss, se, al, ac_codes):
+    """AC refinement scan (G.1.2.3): newly-nonzero coefficients emit
+    (run<<4)|1 + sign; already-nonzero ones buffer a correction bit that is
+    flushed after the next symbol (ZRL emission happens on ARRIVAL at any
+    nonzero while the pending zero run exceeds 15 and we are not yet past
+    the last newly-nonzero coefficient — ordering the decoder relies on)."""
+    for r_ in range(bh):
+        for c_ in range(bwid):
+            blk = arr[r_, c_]
+            ts = []
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                ts.append((abs(v) >> al, v > 0))
+            eobpos = -1
+            for i, (t, _pos) in enumerate(ts):
+                if t == 1:
+                    eobpos = i
+            run = 0
+            br: list[int] = []
+            for i, (t, positive) in enumerate(ts):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eobpos:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                    run -= 16
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                code, ln = ac_codes[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if positive else 0, 1)
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                code, ln = ac_codes[0x00]  # EOB (run of 1) + trailing corrections
+                bw.write(code, ln)
+                for b in br:
+                    bw.write(b, 1)
+
+
+def _prog_scan_bytes(emit, sos_body: bytes) -> bytes:
+    bwr = _BitWriter()
+    emit(bwr)
+    bwr.flush()
+    return _seg(0xDA, sos_body) + bytes(bwr.out)
+
+
+def encode_jpeg_gray_progressive(img: np.ndarray, quality_div: int = 1) -> bytes:
+    """uint8 H×W grayscale → progressive JPEG (SOF2), 4-scan script:
+    DC(Al=1) → DC refine → AC 1-63(Al=1) → AC refine."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError(f"expected uint8 H×W gray, got {img.dtype} {img.shape}")
+    h, w = img.shape
+    q = np.maximum(1, QUANT_LUMA[ZIGZAG] // quality_div)
+    dc_codes = _encode_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _encode_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    zz = _quant_coeff_blocks(_pad_to(img.astype(np.float64), 8), q)
+    bh, bwid = zz.shape[:2]
+    sof = _seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out = bytearray(MAGIC + _tables_segments(q) + sof)
+    out += _prog_scan_bytes(
+        lambda b: _emit_dc_first(b, [(zz, 1, 1)], 1, dc_codes),
+        bytes([1, 1, 0x00, 0, 0, 0x01]),
+    )
+    out += _prog_scan_bytes(
+        lambda b: _emit_dc_refine(b, [(zz, 1, 1)], 0),
+        bytes([1, 1, 0x00, 0, 0, 0x10]),
+    )
+    out += _prog_scan_bytes(
+        lambda b: _emit_ac_first(b, zz, bh, bwid, 1, 63, 1, ac_codes),
+        bytes([1, 1, 0x00, 1, 63, 0x01]),
+    )
+    out += _prog_scan_bytes(
+        lambda b: _emit_ac_refine(b, zz, bh, bwid, 1, 63, 0, ac_codes),
+        bytes([1, 1, 0x00, 1, 63, 0x10]),
+    )
+    return bytes(out) + b"\xff\xd9"
+
+
+def encode_jpeg_rgb_progressive(img: np.ndarray, quality_div: int = 1) -> bytes:
+    """uint8 H×W×3 RGB → progressive JPEG, YCbCr 4:2:0: interleaved DC
+    first/refine over all three components, then per-component AC
+    first/refine — exercises the decoder's interleaved-DC and
+    non-interleaved component-grid paths together."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected uint8 H×W×3 RGB, got {img.dtype} {img.shape}")
+    h, w = img.shape[:2]
+    yp, cb2, cr2 = _rgb_planes_420(img)
+    q = np.maximum(1, QUANT_LUMA[ZIGZAG] // quality_div)
+    dc_codes = _encode_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _encode_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    zzs = [
+        (_quant_coeff_blocks(yp, q), 2, 2),
+        (_quant_coeff_blocks(cb2, q), 1, 1),
+        (_quant_coeff_blocks(cr2, q), 1, 1),
+    ]
+    comps = [
+        {"id": 1, "hs": 2, "vs": 2, "tq": 0},
+        {"id": 2, "hs": 1, "vs": 1, "tq": 0},
+        {"id": 3, "hs": 1, "vs": 1, "tq": 0},
+    ]
+    frame = {"h": h, "w": w, "comps": comps}
+    sof = _seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out = bytearray(MAGIC + _tables_segments(q) + sof)
+    out += _prog_scan_bytes(
+        lambda b: _emit_dc_first(b, zzs, 1, dc_codes),
+        bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]),
+    )
+    out += _prog_scan_bytes(
+        lambda b: _emit_dc_refine(b, zzs, 0),
+        bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]),
+    )
+    for (zz, _vs, _hs), comp in zip(zzs, comps):
+        bh, bwid = _comp_block_grid(frame, comp)
+        cid = comp["id"]
+        out += _prog_scan_bytes(
+            lambda b, z=zz, r=bh, c=bwid: _emit_ac_first(b, z, r, c, 1, 63, 1, ac_codes),
+            bytes([1, cid, 0x00, 1, 63, 0x01]),
+        )
+        out += _prog_scan_bytes(
+            lambda b, z=zz, r=bh, c=bwid: _emit_ac_refine(b, z, r, c, 1, 63, 0, ac_codes),
+            bytes([1, cid, 0x00, 1, 63, 0x10]),
+        )
+    return bytes(out) + b"\xff\xd9"

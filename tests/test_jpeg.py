@@ -54,12 +54,22 @@ def test_not_a_jpeg():
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
 
 
-def test_progressive_rejected_by_name():
-    # swap SOF0 marker for SOF2 (progressive) in a valid stream
+def test_baseline_stream_marked_progressive_rejected():
+    # swap SOF0 for SOF2 in a BASELINE stream: its full-band SOS header is
+    # illegal for progressive (DC scan with Se=63) — a named error, not a
+    # silent mis-decode
     buf = bytearray(encode_jpeg_gray(np.full((8, 8), 128, dtype=np.uint8)))
     idx = bytes(buf).find(b"\xff\xc0")
     buf[idx + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(buf))
+
+
+def test_lossless_sof_rejected_by_name():
+    buf = bytearray(encode_jpeg_gray(np.full((8, 8), 128, dtype=np.uint8)))
+    idx = bytes(buf).find(b"\xff\xc0")
+    buf[idx + 1] = 0xC3  # SOF3 lossless
+    with pytest.raises(ValueError, match="lossless|arithmetic|extended"):
         decode_jpeg(bytes(buf))
 
 
@@ -114,3 +124,98 @@ def test_rgb_420_noise_bounded():
     out = decode_jpeg(encode_jpeg_rgb(img, quality_div=4))
     assert out.shape == (17, 19, 3)
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 20
+
+
+# --- progressive (SOF2) ---
+
+
+def test_progressive_gray_equals_baseline_exactly():
+    """The progressive scan script transmits the SAME quantized coefficients
+    as the baseline encoder (DC floor-shift + refine bit, AC magnitude
+    truncation + correction bit reconstruct exactly), so decode must be
+    byte-identical to the baseline decode — any coefficient mishandling in
+    DC/AC first/refine passes breaks equality."""
+    from tableextraction_spark.jpeg import encode_jpeg_gray_progressive
+
+    for seed, shape in [(0, (64, 64)), (1, (100, 120)), (2, (17, 33)), (3, (8, 8))]:
+        img = _img(*shape, seed=seed)
+        base = decode_jpeg(encode_jpeg_gray(img, 4))
+        prog = decode_jpeg(encode_jpeg_gray_progressive(img, 4))
+        assert np.array_equal(base, prog), (seed, shape)
+
+
+def test_progressive_color_420_equals_baseline_exactly():
+    from tableextraction_spark.jpeg import (
+        encode_jpeg_rgb,
+        encode_jpeg_rgb_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(64, 64, 3), (90, 110, 3)]:
+        img = (rng.random(shape) * 255).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg_rgb(img, 4))
+        prog = decode_jpeg(encode_jpeg_rgb_progressive(img, 4))
+        assert np.array_equal(base, prog), shape
+
+
+def test_progressive_smooth_page_eob_runs():
+    """A mostly-flat document-like page is EOB-run dominated — exercises
+    the EOB-run bookkeeping in AC first and refinement scans."""
+    from tableextraction_spark.jpeg import encode_jpeg_gray_progressive
+
+    img = np.full((96, 128), 230, dtype=np.uint8)
+    img[20:22, 10:100] = 20   # rule line
+    img[40:80, 30:32] = 20    # vertical line
+    base = decode_jpeg(encode_jpeg_gray(img, 8))
+    prog = decode_jpeg(encode_jpeg_gray_progressive(img, 8))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_all_flat():
+    from tableextraction_spark.jpeg import encode_jpeg_gray_progressive
+
+    img = np.full((32, 32), 128, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_gray_progressive(img, 1)),
+        decode_jpeg(encode_jpeg_gray(img, 1)),
+    )
+
+
+def test_progressive_truncated_raises():
+    from tableextraction_spark.jpeg import encode_jpeg_gray_progressive
+
+    buf = encode_jpeg_gray_progressive(_img(32, 32), 4)
+    with pytest.raises(ValueError):
+        decode_jpeg(buf[: len(buf) // 2])
+
+
+def test_decode_page_routes_progressive_jpeg():
+    from tableextraction_spark.jpeg import encode_jpeg_gray_progressive
+
+    img = _img(40, 56, seed=9)
+    arr = decode_page(encode_jpeg_gray_progressive(img, 4))
+    assert arr.shape[:2] == (40, 56)
+
+
+def test_extract_spans_equality_over_progressive_corpus(spark):
+    """Full pipeline over multi-scan progressive JPEG payloads matches the
+    golden spans — the SOF2 path is production, not a demo."""
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.pipeline import BLOBS_SCHEMA, DOCS_SCHEMA, extract_spans
+
+    docs, blobs, expected = gen_corpus(4, codec="jpeg_prog")
+    assert all(bytes(b["content"][:2]) == b"\xff\xd8" for b in blobs)
+    # really progressive: SOF2 marker present, SOF0 absent
+    for b in blobs[:2]:
+        raw = bytes(b["content"])
+        assert b"\xff\xc2" in raw and b"\xff\xc0" not in raw
+    docs_df = spark.createDataFrame(docs, DOCS_SCHEMA).repartition(4)
+    blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA).repartition(4)
+    out = {r.doc_id: r for r in extract_spans(spark, docs_df, blobs_df).collect()}
+    for e in expected:
+        got = [
+            (s.kind, s.text, s.media_ref, s.offset)
+            for s in sorted(out[e["doc_id"]].spans, key=lambda s: s.offset)
+        ]
+        exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in e["spans"]]
+        assert got == exp, f"span mismatch in {e['doc_id']}"

@@ -177,17 +177,21 @@ def test_extract_spans_equality_over_mixed_format_corpus(spark):
 
     from tableextraction_spark.fixtures.generate import gen_doc
 
-    codecs = ["img1", "png", "jpeg"]
+    codecs = ["img1", "png", "jpeg", "jpeg_prog"]
     docs, blobs, expected = [], [], []
-    for i, codec in enumerate(codecs * 2):  # 6 docs, formats interleaved
+    for i, codec in enumerate(codecs * 2):  # 8 docs, formats interleaved
         d, b, e = gen_doc(i, codec=codec)
         docs.append(d)
         blobs.extend(b)
         expected.append(e)
     magics = {bytes(b["content"][:2]) for b in blobs}
     assert len(magics) == 3  # IMG1, \x89PNG, \xff\xd8 all present
-    docs_df = spark.createDataFrame(docs, DOCS_SCHEMA).repartition(3)
-    blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA).repartition(3)
+    # and the JPEG population mixes baseline (SOF0) with progressive (SOF2)
+    sofs = {m for b in blobs for m in (b"\xff\xc0", b"\xff\xc2")
+            if bytes(b["content"][:2]) == b"\xff\xd8" and m in bytes(b["content"])}
+    assert sofs == {b"\xff\xc0", b"\xff\xc2"}
+    docs_df = spark.createDataFrame(docs, DOCS_SCHEMA).repartition(4)
+    blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA).repartition(4)
     out = {r.doc_id: r for r in extract_spans(spark, docs_df, blobs_df).collect()}
     for e in expected:
         got = [
