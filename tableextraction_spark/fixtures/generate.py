@@ -229,21 +229,57 @@ def _draw_plot(canvas: np.ndarray, pp: dict) -> None:
             canvas[cy - 1 : cy + 2, cx - 1 : cx + 2] = 0  # 3×3 marker
 
 
-def render_page(page_plan: dict, rng) -> tuple[np.ndarray, list[list[dict]]]:
-    """Page plan → (uint8 canvas, per-table ground-truth cell lists)."""
-    canvas = np.full((PAGE_H, PAGE_W), 255, dtype=np.uint8)
-    y = 50
+def page_primitives(page_plan: dict, rng) -> dict:
+    """Page plan → drawing primitives + ground truth.
+
+    Returns ``{"rects": [(x, y, w, h)], "texts": [(x, y, s)],
+    "truth": [cells]}`` in canvas coordinates (ink boxes / glyph anchors).
+    Consumes the SAME rng stream as the stamped path (one ``integers`` draw
+    per table), so the vector-PDF writer (``pdfx.build_page_pdf``) and the
+    raster codecs produce geometrically identical pages — pinned by
+    ``tests/test_pdfx.py`` bit-equality."""
+    rects: list[tuple] = []
+    texts: list[tuple] = []
     truth = []
+    t = LINE_T
+    y = 50
     for tp in page_plan["tables"]:
         geo = _table_geometry(tp, rng)
         x0 = 40 + int(rng.integers(0, max(1, PAGE_W - geo["width"] - 80)))
         cells = _emit_cells(tp, geo, x0, y)
-        _draw_cells(canvas, cells)
         truth.append(cells)
+        for cl in cells:
+            x1, y1, x2, y2 = cl["x1"], cl["y1"], cl["x2"], cl["y2"]
+            rects.append((x1, y1, x2 + t - x1, t))
+            rects.append((x1, y2, x2 + t - x1, t))
+            rects.append((x1, y1, t, y2 + t - y1))
+            rects.append((x2, y1, t, y2 + t - y1))
+            if cl["text"]:
+                texts.append((x1 + PAD, y1 + PAD, cl["text"]))
         y += geo["n_rows"] * ROW_H + 50
     for pp in page_plan.get("plots", []):
-        _draw_plot(canvas, pp)
-    return canvas, truth
+        rects.append((pp["x0"], pp["y0"], 2, pp["h"] + 2))
+        rects.append((pp["x0"], pp["y0"] + pp["h"], pp["w"] + 2, 2))
+        for pts in pp["clusters"]:
+            for cx, cy in pts:
+                rects.append((cx - 1, cy - 1, 3, 3))
+    return {"rects": rects, "texts": texts, "truth": truth}
+
+
+def stamp_primitives(prims: dict) -> np.ndarray:
+    """Primitives → uint8 canvas (ink=0 on 255), clipping at page bounds."""
+    canvas = np.full((PAGE_H, PAGE_W), 255, dtype=np.uint8)
+    for (x, y, w, h) in prims["rects"]:
+        canvas[max(0, y) : y + h, max(0, x) : x + w] = 0
+    for (x, y, s) in prims["texts"]:
+        render_text(canvas, x, y, s)
+    return canvas
+
+
+def render_page(page_plan: dict, rng) -> tuple[np.ndarray, list[list[dict]]]:
+    """Page plan → (uint8 canvas, per-table ground-truth cell lists)."""
+    prims = page_primitives(page_plan, rng)
+    return stamp_primitives(prims), prims["truth"]
 
 
 # ---------------------------------------------------------------- oracle
@@ -331,6 +367,8 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
         encode = lambda img: encode_jpeg_gray_progressive(  # noqa: E731
             img, quality_div=8
         )
+    elif codec == "pdf":
+        encode = None  # vector path: primitives → PDF, no canvas stamp
     else:
         raise ValueError(f"unknown blob codec {codec!r}")
     plan = plan_doc(doc_num)
@@ -355,13 +393,21 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
         for pp in page.get("plots", []):
             _push(out_spans, "plot", expected_plot_json(pp), media_ref)
         if with_blobs:
-            canvas, _ = render_page(page, rng)
+            prims = page_primitives(page, rng)
+            if codec == "pdf":
+                from ..pdfx import build_page_pdf
+
+                content = build_page_pdf(
+                    prims["rects"], prims["texts"], PAGE_W, PAGE_H
+                )
+            else:
+                content = encode(stamp_primitives(prims))
             blobs.append(
                 {
                     "media_ref": media_ref,
                     "doc_id": doc_id,
                     "page_no": page_no,
-                    "content": encode(canvas),
+                    "content": content,
                 }
             )
         else:

@@ -26,14 +26,19 @@ def docs_dataframe(spark: SparkSession, n_docs: int, parts: int | None = None) -
     return spark.range(n_docs).repartition(parts).mapInPandas(gen, DOCS_SCHEMA)
 
 
-def blobs_dataframe(spark: SparkSession, n_docs: int, parts: int | None = None) -> DataFrame:
+def blobs_dataframe(
+    spark: SparkSession,
+    n_docs: int,
+    parts: int | None = None,
+    codec: str = "img1",
+) -> DataFrame:
     parts = parts or min(n_docs, spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
             out = []
             for i in pdf["id"]:
-                _, blobs, _ = gen_doc(int(i), with_blobs=True)
+                _, blobs, _ = gen_doc(int(i), with_blobs=True, codec=codec)
                 out.extend(blobs)
             yield pd.DataFrame(
                 out, columns=["media_ref", "doc_id", "page_no", "content"]

@@ -68,12 +68,15 @@ def decode_page(payload: bytes) -> np.ndarray:
 
         if pdf_renderer_available():
             return rasterize_pdf(payload)
-        raise NotImplementedError(
-            "PDF rasterization requires pypdfium2/pdf2image (not present in "
-            "this container); install either and sources/pdf_adapter.py "
-            "renders at high DPI once and downscales for detection "
-            "(SURVEY.md §2.1 dual-DPI scan)"
-        )
+        # no renderer library: the from-scratch PDF subset (pdfx.py —
+        # vector paths, Type 3 glyph programs, Flate/DCT image XObjects)
+        # rasterizes natively at 72 dpi (1 pt = 1 px, matching the
+        # pixel-dimensioned MediaBox of vector document pages).  Features
+        # outside the subset (embedded-outline fonts, exotic codecs) raise
+        # named errors that the decode stage captures per-row.
+        from .pdfx import rasterize_pdf_page
+
+        return rasterize_pdf_page(payload)
     raise ValueError(f"unknown media payload magic {head!r}")
 
 

@@ -118,8 +118,36 @@ WHERE 1 = 0
 """
 
 
+def q46_pdf_extract_golden_verify(spark, sf_dir):
+    """q24's golden verify over VECTOR-PDF page payloads: every blob is a
+    ``%PDF`` built by the from-scratch writer (``pdfx.build_page_pdf`` —
+    Type 3 bitmap glyphs + rect fills), rasterized by the from-scratch
+    parser/interpreter (``pdfx.rasterize_pdf_page``), then detected/OCR'd by
+    the same kernel.  Empty-on-success: rows = documents whose spans differ
+    from the plan goldens.  This pins the reference's PRIMARY input format
+    (``preprocessing.py:10-46``) in the driver's hard correctness gate — no
+    renderer library involved."""
+    from ..fixtures.spark_gen import expected_dataframe
+
+    n = max(8, _n_docs_for(sf_dir) // 2)  # pure-python rasterize: bound wall
+    docs = docs_dataframe(spark, n)
+    blobs = blobs_dataframe(spark, n, codec="pdf")
+    out = extract_spans(spark, docs, blobs)
+    exp = expected_dataframe(spark, n).withColumnRenamed("spans", "expected")
+    return (
+        out.join(exp, "doc_id", "full")
+        .where(~F.col("spans").eqNullSafe(F.col("expected")))
+        .selectExpr(
+            "doc_id",
+            "size(spans) AS n_spans",
+            "size(expected) AS n_expected",
+        )
+    )
+
+
 QUERIES = {
     "q00_extract_spans": (q00_extract_spans, None),
     "q24_extract_golden_verify": (q24_extract_golden_verify, Q24_SQL),
     "q30_extract_count_invariant": (q30_extract_count_invariant, Q30_SQL),
+    "q46_pdf_extract_golden_verify": (q46_pdf_extract_golden_verify, Q24_SQL),
 }

@@ -32,10 +32,14 @@ def test_probe_is_consistent():
     assert pdf_adapter.pdf_renderer_available() == HAVE_RENDERER
 
 
-@pytest.mark.skipif(HAVE_RENDERER, reason="renderer installed: stub inactive")
-def test_decode_page_pdf_stub_names_adapter():
-    with pytest.raises(NotImplementedError, match="pdf_adapter"):
-        decode_page(MINIMAL_PDF)
+@pytest.mark.skipif(HAVE_RENDERER, reason="renderer installed: pdfx fallback inactive")
+def test_decode_page_pdf_falls_back_to_pdfx():
+    """Without a renderer lib, %PDF routes to the from-scratch pdfx subset:
+    a minimal blank page rasterizes to an all-white canvas (it used to be a
+    named error — the r3 no-library standard applied to PDF)."""
+    page = decode_page(MINIMAL_PDF)
+    assert page.shape == (72, 72)
+    assert (page == 255).all()
 
 
 @pytest.mark.skipif(HAVE_RENDERER, reason="renderer installed: stub inactive")
@@ -65,10 +69,31 @@ def test_pdf_payload_is_per_row_error_not_task_failure(spark):
     ok_rows = [r for r in out if r.doc_id != "pdfdoc"]
     assert ok_rows and all(r.error is None for r in ok_rows)
     assert len(pdf_rows) == 1
-    if HAVE_RENDERER:
-        assert pdf_rows[0].error is None  # blank page: no tables, no error
-    else:
-        assert pdf_rows[0].error.startswith("NotImplementedError")
+    # blank page decodes (renderer lib or pdfx subset): no tables, no error
+    assert pdf_rows[0].error is None
+
+
+def test_out_of_subset_pdf_is_per_row_error(spark):
+    """A PDF the from-scratch subset can't paint (embedded TrueType text)
+    yields a NAMED per-row error; sibling rows still extract."""
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.pipeline import BLOBS_SCHEMA, detect_tables
+
+    from tests.test_pdfx import _truetype_pdf
+
+    ttf_pdf = _truetype_pdf()
+    _, blobs, _ = gen_corpus(2)
+    blobs.append(
+        {"media_ref": "m-ttf-p000", "doc_id": "ttfdoc", "page_no": 0,
+         "content": ttf_pdf}
+    )
+    out = detect_tables(spark.createDataFrame(blobs, BLOBS_SCHEMA)).collect()
+    bad = [r for r in out if r.doc_id == "ttfdoc"]
+    good = [r for r in out if r.doc_id != "ttfdoc"]
+    assert good and all(r.error is None for r in good)
+    if not HAVE_RENDERER:
+        assert len(bad) == 1 and bad[0].error is not None
+        assert "TrueType" in bad[0].error
 
 
 @pytest.mark.skipif(not HAVE_RENDERER, reason="no PDF renderer in container")
