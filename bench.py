@@ -178,7 +178,10 @@ def main():
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
         best = float("inf")
-        for _ in range(2):  # best-of-2: first run pays scan/cache warmup
+        # best-of-3: first run pays scan/cache warmup; the extra repeat
+        # (vs r1/r2's best-of-2) filters host noise on the sub-second
+        # queries — min can only drop, so r2 comparisons stay conservative
+        for _ in range(3):
             t0 = time.time()
             _consume(fn(spark, sf_dir))
             best = min(best, time.time() - t0)

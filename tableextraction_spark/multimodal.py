@@ -12,12 +12,13 @@ Deterministic container codecs (this container has no PIL/ffmpeg/librosa):
 Real formats, no library excuse (same standard that brought PNG/JPEG to the
 image path): **WAV** (RIFF/WAVE, PCM 8/16-bit, mono or multi-channel —
 stdlib ``wave``) decodes natively; stereo downmixes to mono by channel mean
-(the conventional feature-extraction reduction).  The *Spark-side plumbing
-is real* — schemas, 1→N frame explode, Arrow batch shapes, per-row error
-capture — and fully tested; only genuinely-library-bound formats (MP3/OGG/
-FLAC audio, MP4/any real video) remain stubbed: such payloads raise
-``NotImplementedError`` naming the deploy-time library (mirrors
-``media.decode_page``'s ``%PDF`` stub).
+(the conventional feature-extraction reduction).  **AVI/MJPEG** video
+(``avi.py`` RIFF walk + the from-scratch JPEG codec) decodes natively too.
+The *Spark-side plumbing is real* — schemas, 1→N frame explode, Arrow batch
+shapes, per-row error capture — and fully tested; only genuinely-
+library-bound formats (MP3/OGG/FLAC audio, MP4/MKV/WebM video) remain
+stubbed: such payloads raise ``NotImplementedError`` naming the deploy-time
+library.
 
 Reference parity note: the reference handles images only
 (``table_extraction/preprocessing.py:10-62``); audio/video are engine-side
@@ -126,10 +127,22 @@ def encode_video(frames: list[np.ndarray]) -> bytes:
 
 def iter_video_frames(payload: bytes):
     """Lazily yield (frame_no, n_frames, frame) — one decoded frame live at
-    a time, so a 10k-frame video never materializes in memory."""
+    a time, so a 10k-frame video never materializes in memory.  Routes on
+    magic: VID1 (synthetic container) or real AVI/MJPEG (RIFF walk +
+    from-scratch JPEG codec, ``avi.py``); MP4/MKV/WebM stay library-bound."""
     magic, n = _VID_HEADER.unpack_from(payload, 0)
+    if magic == b"RIFF":
+        if bytes(payload[8:12]) != b"AVI ":
+            raise ValueError(
+                f"RIFF payload is not AVI (form {bytes(payload[8:12])!r}) — "
+                f"WAV goes to decode_audio, not the video path"
+            )
+        from .avi import iter_avi_mjpeg_frames
+
+        yield from iter_avi_mjpeg_frames(payload)
+        return
     if magic != VID_MAGIC:
-        _raise_real_format(payload, "video", "pyav/ffmpeg")
+        _raise_real_format(payload, "video", "pyav/ffmpeg (MP4/MKV/WebM)")
     off = _VID_HEADER.size
     for i in range(n):
         (ln,) = _LEN.unpack_from(payload, off)
