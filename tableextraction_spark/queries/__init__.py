@@ -14,9 +14,10 @@ from .vectorops import QUERIES as _VEC
 from .extraction import QUERIES as _EXTRACT
 from .pipelineops import QUERIES as _PIPE
 from .htmlops import QUERIES as _HTML
+from .multimodalops import QUERIES as _MM
 
 REGISTRY: dict = {}
-for part in (_REL, _TEXT, _VEC, _EXTRACT, _PIPE, _HTML):
+for part in (_REL, _TEXT, _VEC, _EXTRACT, _PIPE, _HTML, _MM):
     overlap = REGISTRY.keys() & part.keys()
     if overlap:  # pragma: no cover
         raise AssertionError(f"duplicate query names: {overlap}")

@@ -1,0 +1,168 @@
+"""Multimodal lane as a driver-contract query (empty-on-success).
+
+The frame-sample and audio-feature stages (``multimodal.py``) were pinned by
+pytest only; q47 puts them in the driver's hard rows+schema+hash gate the
+same way q24/q46 gate the raster/PDF lanes.  A deterministic clip corpus —
+real AVI/MJPEG containers (``avi.py`` + the from-scratch JPEG codec) and
+real RIFF/WAVE PCM clips — is synthesized DISTRIBUTED (mapInPandas over a
+range frame; no driver-side payload bytes), run through the real Spark
+stages, and compared against plan-derived expectations computed RELATIONALLY
+from the same index arithmetic.  Rows = failed checks; oracle = the same
+empty relation.
+
+Scale note: generation, decode, and verification are all per-clip map work
+plus one small groupBy — the shape survives any corpus size; the clip count
+here only needs to cover the arithmetic lattice (frame counts 3-7, three
+heights, two widths, four durations).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "media_ref string, kind string, content binary"
+EVERY_N = 2
+
+
+def _n_clips_for(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.001
+    # covers the full (i%5, i%3, i%2, i%4) lattice at every check scale;
+    # capped — q47 verifies semantics, bench owns throughput
+    return max(12, min(64, int(round(sf * 2000))))
+
+
+def _clip_batches(batches: Iterator) -> Iterator:
+    import numpy as np
+    import pandas as pd
+
+    from ..avi import encode_avi_mjpeg
+    from ..jpeg import encode_jpeg_gray
+    from ..multimodal import encode_wav
+
+    for pdf in batches:
+        rows = []
+        for i in pdf["i"]:
+            i = int(i)
+            nf, h, w = 3 + i % 5, 24 + 8 * (i % 3), 32 + 8 * (i % 2)
+            y, x = np.mgrid[0:h, 0:w]
+            frames = [
+                ((x * 2 + y + f * 16) % 256).astype(np.uint8) for f in range(nf)
+            ]
+            avi = encode_avi_mjpeg([encode_jpeg_gray(f) for f in frames], w, h)
+            ln = 4000 + 500 * (i % 4)
+            pcm = ((np.arange(ln) * 37) % 4096 - 2048).astype(np.int16)
+            rows.append((f"vid-{i:04d}", "video", avi))
+            rows.append((f"aud-{i:04d}", "audio", encode_wav(pcm, 8000)))
+        yield pd.DataFrame(rows, columns=["media_ref", "kind", "content"])
+
+
+def _mismatches(joined, checks: list[tuple[str, str, str]]):
+    """(name, got_col, want_col) triples → exploded rows where got ≠ want."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(got).cast("double").alias("got"),
+                F.col(want).cast("double").alias("want"),
+            )
+            for name, got, want in checks
+        ]
+    )
+    return (
+        joined.select("media_ref", F.explode(arr).alias("c"))
+        .where(~F.col("c.got").eqNullSafe(F.col("c.want")))
+        .select("media_ref", "c.check", "c.got", "c.want")
+    )
+
+
+def q47_multimodal_verify(spark, sf_dir):
+    from ..multimodal import audio_features, sample_frames
+
+    n = _n_clips_for(sf_dir)
+    idx = spark.range(n).select(F.col("id").cast("int").alias("i"))
+    media = idx.mapInPandas(_clip_batches, MEDIA_SCHEMA)
+
+    # --- video: sample every 2nd frame, verify counts/dims/ids per clip ---
+    nf = F.lit(3) + F.col("i") % 5
+    exp_v = idx.select(
+        F.format_string("vid-%04d", "i").alias("media_ref"),
+        nf.alias("want_nf"),
+        F.floor((nf + 1) / 2).alias("want_sampled"),
+        # sampled frame_nos are 0,2,4,…: max = 2*(ceil(nf/2)-1)
+        (F.floor((nf + 1) / 2) * 2 - 2).alias("want_max_no"),
+        (F.lit(32) + (F.col("i") % 2) * 8).alias("want_w"),
+        (F.lit(24) + (F.col("i") % 3) * 8).alias("want_h"),
+    )
+    got_v = (
+        sample_frames(media.where(F.col("kind") == "video"), every_n=EVERY_N)
+        .groupBy("media_ref")
+        .agg(
+            F.count("*").alias("got_sampled"),
+            F.max("frame_no").alias("got_max_no"),
+            F.min("n_frames").alias("got_nf_min"),
+            F.max("n_frames").alias("got_nf_max"),
+            F.min("width").alias("got_w_min"),
+            F.max("width").alias("got_w_max"),
+            F.min("height").alias("got_h_min"),
+            F.max("height").alias("got_h_max"),
+            F.count("error").alias("got_errors"),  # count skips nulls
+        )
+    )
+    vid_bad = _mismatches(
+        got_v.join(exp_v, "media_ref", "full").withColumn("zero", F.lit(0)),
+        [
+            ("video_sampled_count", "got_sampled", "want_sampled"),
+            ("video_max_frame_no", "got_max_no", "want_max_no"),
+            ("video_n_frames_min", "got_nf_min", "want_nf"),
+            ("video_n_frames_max", "got_nf_max", "want_nf"),
+            ("video_width_min", "got_w_min", "want_w"),
+            ("video_width_max", "got_w_max", "want_w"),
+            ("video_height_min", "got_h_min", "want_h"),
+            ("video_height_max", "got_h_max", "want_h"),
+            ("video_errors", "got_errors", "zero"),
+        ],
+    )
+
+    # --- audio: WAV features must be exact (duration = len/rate, both
+    # dyadic rationals here → exact doubles on both sides) ---
+    ln = F.lit(4000) + (F.col("i") % 4) * 500
+    exp_a = idx.select(
+        F.format_string("aud-%04d", "i").alias("media_ref"),
+        F.lit(8000).alias("want_rate"),
+        (ln / F.lit(8000)).alias("want_dur"),
+    )
+    got_a = audio_features(media.where(F.col("kind") == "audio")).select(
+        "media_ref",
+        F.col("sample_rate").alias("got_rate"),
+        F.col("duration_s").alias("got_dur"),
+        F.when(F.col("rms") > 0, 1).otherwise(0).alias("got_rms_pos"),
+        F.when(F.col("error").isNull(), 0).otherwise(1).alias("got_err"),
+    )
+    aud_bad = _mismatches(
+        got_a.join(exp_a, "media_ref", "full")
+        .withColumn("one", F.lit(1))
+        .withColumn("zero", F.lit(0)),
+        [
+            ("audio_sample_rate", "got_rate", "want_rate"),
+            ("audio_duration_s", "got_dur", "want_dur"),
+            ("audio_rms_positive", "got_rms_pos", "one"),
+            ("audio_error", "got_err", "zero"),
+        ],
+    )
+    return vid_bad.unionByName(aud_bad)
+
+
+Q47_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS media_ref, CAST(NULL AS VARCHAR) AS check,
+       CAST(NULL AS DOUBLE) AS got, CAST(NULL AS DOUBLE) AS want
+WHERE 1 = 0
+"""
+
+
+QUERIES = {
+    "q47_multimodal_verify": (q47_multimodal_verify, Q47_SQL),
+}
