@@ -43,11 +43,11 @@ AVIF_HASINDEX = 0x10
 
 def _luma(img: np.ndarray) -> np.ndarray:
     """H×W passes through; H×W×3 RGB reduces to BT.601 luma (the pipeline's
-    page arrays are grayscale)."""
-    if img.ndim == 2:
-        return img
-    r, g, b = img[..., 0].astype(np.uint32), img[..., 1], img[..., 2]
-    return ((77 * r + 150 * g + 29 * b + 128) >> 8).astype(np.uint8)
+    page arrays are grayscale) — the shared float conversion in media.py
+    (an earlier integer version here wrapped at uint8: 150·g overflows)."""
+    from .media import rgb_to_gray
+
+    return rgb_to_gray(img)
 
 
 # ------------------------------------------------------------------ decode
@@ -100,12 +100,23 @@ def iter_avi_mjpeg_frames(payload: bytes) -> Iterator[tuple[int, int, np.ndarray
     if movi is None:
         raise ValueError("AVI has no movi list")
 
-    frames = [
-        (body, stop)
-        for fcc, body, stop in _chunks(buf, movi[0], movi[1])
-        if _is_frame_chunk(fcc)
-    ]
+    # frame chunks sit directly in movi OR grouped inside 'rec ' LISTs (the
+    # spec's interleave grouping for streaming/CD layout) — descend one level
+    frames: list[tuple[int, int]] = []
+    for fcc, body, stop in _chunks(buf, movi[0], movi[1]):
+        if fcc == b"LIST" and buf[body : body + 4] == b"rec ":
+            frames.extend(
+                (b2, s2)
+                for fcc2, b2, s2 in _chunks(buf, body + 4, stop)
+                if _is_frame_chunk(fcc2)
+            )
+        elif _is_frame_chunk(fcc):
+            frames.append((body, stop))
     n = len(frames)
+    if n == 0:
+        # an all-audio or unrecognized-layout AVI must surface as a per-row
+        # error, not silently vanish from the frame-sample output
+        raise ValueError("AVI movi list contains no video frame chunks")
     from .jpeg import decode_jpeg
 
     for i, (body, stop) in enumerate(frames):

@@ -138,17 +138,25 @@ def _encode_huffman_codes(bits: list[int], vals: list[int]):
     return {v: (c, l) for (l, c), v in _build_huffman(bits, vals).items()}
 
 
+_WIN_CHUNK = 1 << 20  # window entries materialized at a time (see below)
+
+
 class _BitReader:
     """MSB-first reader over entropy-coded data with 0xFF00 unstuffing.
 
-    ``win[i]`` is the 16-bit window starting at bit i (zero-padded past the
-    end), precomputed vectorized and held as a plain-int list — one Huffman
-    symbol or magnitude field is then a single list index, which is what
-    turned the per-symbol loop from ~10 µs to ~0.5 µs (the 10-20× decode
-    speedup measured in BASELINE.md's per-format table).
+    ``acc[i]`` is the 16-bit window starting at bit i (zero-padded past the
+    end), precomputed vectorized — one Huffman symbol or magnitude field is
+    then a single index, which is what turned the per-symbol loop from
+    ~10 µs to ~0.5 µs (the 10-20× decode speedup in BASELINE.md's
+    per-format table).  Plain-int list indexing is the fast path, but a
+    full ``acc.tolist()`` is ~36 bytes of heap per input BIT (a 4 MB scan
+    would transiently hold >1 GB per task slot), so windows materialize in
+    bounded ``_WIN_CHUNK`` slices: access is sequential, each slice is
+    built exactly once (same total tolist cost, ~36 MB peak), and inputs
+    smaller than one chunk never refill at all.
     """
 
-    __slots__ = ("win", "nbits", "pos")
+    __slots__ = ("acc", "nbits", "pos", "_chunk", "_base")
 
     def __init__(self, data: bytes):
         # unstuff: 0xFF 0x00 → 0xFF; markers (0xFF Dx) handled by caller
@@ -159,9 +167,17 @@ class _BitReader:
         acc = np.zeros(n, dtype=np.uint32)
         for k in range(16):
             acc += padded[k : k + n] << np.uint32(15 - k)
-        self.win = acc.tolist()
+        self.acc = acc
         self.nbits = n
         self.pos = 0
+        self._base = 0
+        self._chunk = acc[:_WIN_CHUNK].tolist()
+
+    def _refill(self, pos: int) -> int:
+        base = pos - (pos % _WIN_CHUNK)
+        self._base = base
+        self._chunk = self.acc[base : base + _WIN_CHUNK].tolist()
+        return pos - base
 
     def read_bits(self, n: int) -> int:
         if n == 0:
@@ -171,14 +187,24 @@ class _BitReader:
         if end > self.nbits:
             raise ValueError("JPEG entropy data truncated")
         self.pos = end
-        return self.win[pos] >> (16 - n)
+        off = pos - self._base
+        chunk = self._chunk
+        if off < 0 or off >= len(chunk):
+            off = self._refill(pos)
+            chunk = self._chunk
+        return chunk[off] >> (16 - n)
 
     def decode_symbol(self, table) -> int:
         sym, ln = table
         pos = self.pos
         if pos >= self.nbits:
             raise ValueError("JPEG entropy data truncated")
-        w = self.win[pos]
+        off = pos - self._base
+        chunk = self._chunk
+        if off < 0 or off >= len(chunk):
+            off = self._refill(pos)
+            chunk = self._chunk
+        w = chunk[off]
         length = ln[w]
         if length == 0 or pos + length > self.nbits:
             raise ValueError(
@@ -398,14 +424,27 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
         for c in comps
     ]
     nblk = [c["vs"] * c["hs"] for c in comps]
-    # inlined reader state (method dispatch on 100k+ symbols is measurable)
-    win, nbits, bpos = reader.win, reader.nbits, reader.pos
+    # inlined reader state (method dispatch on 100k+ symbols is measurable);
+    # the window list slides in _WIN_CHUNK slices (see _BitReader) — win
+    # covers acc[cbase:cend], accesses subtract cbase.  An MCU consumes at
+    # most ~12.3k bits (6 blocks × 64 coeffs × 32 bits), so refilling with
+    # a 16k margin at MCU granularity keeps every inner access in-chunk.
+    acc_nd, nbits, bpos = reader.acc, reader.nbits, reader.pos
+    cbase, cend = 0, min(nbits, _WIN_CHUNK)
+    win = reader._chunk
+    _MCU_MARGIN = 16384
     for _my in range(mcus_y):
         for _mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
                 reader = _BitReader(next(seg_iter))
-                win, nbits, bpos = reader.win, reader.nbits, 0
+                acc_nd, nbits, bpos = reader.acc, reader.nbits, 0
+                cbase, cend = 0, min(nbits, _WIN_CHUNK)
+                win = reader._chunk
                 pred = [0] * len(comps)
+            if bpos + _MCU_MARGIN > cend and cend < nbits:
+                cbase = bpos
+                cend = min(nbits, cbase + _WIN_CHUNK)
+                win = acc_nd[cbase:cend].tolist()
             for ci in range(len(comps)):
                 dcsym, dcln, acsym, acln = tabs[ci]
                 idxs, vals = comp_idx[ci], comp_val[ci]
@@ -415,7 +454,7 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                     # DC: one LUT probe + magnitude bits (EXTEND inlined)
                     if bpos >= nbits:
                         raise ValueError("JPEG entropy data truncated")
-                    w0 = win[bpos]
+                    w0 = win[bpos - cbase]
                     ln = dcln[w0]
                     if ln == 0:
                         raise ValueError("invalid JPEG Huffman code")
@@ -424,7 +463,7 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                     if t:
                         if bpos + t > nbits:
                             raise ValueError("JPEG entropy data truncated")
-                        v = win[bpos] >> (16 - t)
+                        v = win[bpos - cbase] >> (16 - t)
                         bpos += t
                         p += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
                     idxs.append(base)
@@ -433,7 +472,7 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                     while k < 64:
                         if bpos >= nbits:
                             raise ValueError("JPEG entropy data truncated")
-                        w0 = win[bpos]
+                        w0 = win[bpos - cbase]
                         ln = acln[w0]
                         if ln == 0:
                             raise ValueError("invalid JPEG Huffman code")
@@ -450,7 +489,7 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                             raise ValueError("JPEG AC index overflow")
                         if bpos + s > nbits:
                             raise ValueError("JPEG entropy data truncated")
-                        v = win[bpos] >> (16 - s)
+                        v = win[bpos - cbase] >> (16 - s)
                         bpos += s
                         idxs.append(base + k)
                         vals.append(

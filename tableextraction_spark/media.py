@@ -27,6 +27,17 @@ MAGIC = b"IMG1"
 _HEADER = struct.Struct("<4sII")  # magic, width, height
 
 
+def rgb_to_gray(arr: np.ndarray) -> np.ndarray:
+    """H×W passes through; H×W×3 uint8 RGB reduces to BT.601 luma — the ONE
+    shared conversion (avi/pdfx lanes), float math so no integer wraparound."""
+    if arr.ndim == 2:
+        return arr
+    px = arr.astype(np.float64)
+    return (
+        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    ).astype(np.uint8)
+
+
 def encode_image(img: np.ndarray) -> bytes:
     """uint8 H×W grayscale → IMG1 bytes."""
     if img.dtype != np.uint8 or img.ndim != 2:
@@ -49,8 +60,10 @@ def decode_page(payload: bytes) -> np.ndarray:
 
     Mirrors ``preprocessing.bytes_file_to_array`` (reference
     ``table_extraction/preprocessing.py:10-28``): raw bytes in, uint8 page
-    array out.  PDF rasterization is deliberately stubbed — the geometry /
-    OCR pipeline after this point is format-agnostic.
+    array out.  ``%PDF`` payloads rasterize via a deployed renderer library
+    when present, else natively through the from-scratch subset in
+    ``pdfx.py`` — the geometry / OCR pipeline after this point is
+    format-agnostic.
     """
     head = bytes(payload[:4])
     if head == MAGIC:

@@ -400,17 +400,26 @@ class _Document:
                 pass
             if m is None:
                 raise ValueError("no startxref")
-            offset = int(m.group(1))
+            # worklist, depth-first: a hybrid-reference trailer yields BOTH
+            # /XRefStm and /Prev — the xref stream must be processed before
+            # the Prev chain (ISO 32000-1 §7.5.8.4), else objects living only
+            # in object streams never get indexed
+            offsets = [int(m.group(1))]
             seen = set()
-            while offset and offset not in seen and 0 <= offset < len(buf):
+            while offsets:
+                offset = offsets.pop(0)
+                if offset in seen or not (0 <= offset < len(buf)):
+                    continue
                 seen.add(offset)
-                offset = self._load_xref_section(offset)
+                offsets = self._load_xref_section(offset) + offsets
         except Exception:
             self.xref = {}
         if not self.xref or "Root" not in self.trailer:
             self._reconstruct()
 
-    def _load_xref_section(self, offset: int):
+    def _load_xref_section(self, offset: int) -> list[int]:
+        """Load one xref section; return follow-up offsets in processing
+        order (a hybrid trailer's /XRefStm before its /Prev)."""
         buf = self.buf
         p = _Parser(buf, self)
         p.pos = offset
@@ -424,24 +433,33 @@ class _Document:
                     trailer = p.parse()
                     for k, v in trailer.items():
                         self.trailer.setdefault(k, v)
+                    follows = []
+                    xs = trailer.get("XRefStm")
+                    if isinstance(xs, int):
+                        follows.append(xs)  # hidden-object entries first
                     prev = trailer.get("Prev")
                     if isinstance(prev, int):
-                        return prev
-                    xs = trailer.get("XRefStm")
-                    return xs if isinstance(xs, int) else None
+                        follows.append(prev)
+                    return follows
                 m = _re.match(rb"(\d+)\s+(\d+)", buf[p.pos : p.pos + 40])
                 if not m:
-                    return None
+                    return []
                 start, count = int(m.group(1)), int(m.group(2))
                 p.pos += m.end()
                 p.skip_ws()
                 for i in range(count):
-                    ent = buf[p.pos : p.pos + 20]
-                    off, _gen, typ = int(ent[0:10]), int(ent[11:16]), ent[17:18]
-                    if typ == b"n":
-                        self.xref.setdefault(start + i, ("o", off))
-                    p.pos += 20 if ent[18:20] in (b"\r\n", b" \r", b" \n") else 20
-            return None
+                    # spec entries are exactly 20 bytes (2-byte EOL), but
+                    # real writers emit 19-byte entries with a lone \r or \n
+                    # — advance by what was actually matched
+                    m2 = _re.match(
+                        rb"(\d{10}) (\d{5}) ([nf])(?: \r| \n|\r\n|[\r\n ])?",
+                        buf[p.pos : p.pos + 20],
+                    )
+                    if not m2:
+                        return []
+                    if m2.group(3) == b"n":
+                        self.xref.setdefault(start + i, ("o", int(m2.group(1))))
+                    p.pos += m2.end()
         # xref stream
         p.pos = offset
         p.skip_ws()
@@ -482,7 +500,7 @@ class _Document:
             if k not in ("W", "Index", "Filter", "Length", "DecodeParms", "Type"):
                 self.trailer.setdefault(k, v)
         prev = d.get("Prev")
-        return int(prev) if isinstance(prev, int) else None
+        return [int(prev)] if isinstance(prev, int) else []
 
     def _reconstruct(self):
         """Full-scan salvage: index every ``N G obj`` and find a /Root."""
@@ -847,11 +865,9 @@ class _Raster:
         if img_filter in ("DCTDecode", "DCT"):
             from .jpeg import decode_jpeg
 
-            arr = decode_jpeg(data)
-            if arr.ndim == 3:
-                arr = (
-                    0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
-                ).astype(np.uint8)
+            from .media import rgb_to_gray
+
+            arr = rgb_to_gray(decode_jpeg(data))
         elif img_filter is not None:
             raise NotImplementedError(f"PDF image filter {img_filter}")
         else:
@@ -865,10 +881,9 @@ class _Raster:
             elif bpc == 8:
                 flat = np.frombuffer(data, dtype=np.uint8)
                 if cs_name == "DeviceRGB":
-                    px = flat[: iw * ih * 3].reshape(ih, iw, 3).astype(np.float64)
-                    arr = (
-                        0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
-                    ).astype(np.uint8)
+                    from .media import rgb_to_gray
+
+                    arr = rgb_to_gray(flat[: iw * ih * 3].reshape(ih, iw, 3))
                 elif cs_name in ("DeviceGray", "CalGray"):
                     arr = flat[: iw * ih].reshape(ih, iw)
                 else:
@@ -897,7 +912,12 @@ class _Raster:
             rows = rows[::-1]
         sub = arr[np.ix_(rows, cols)]
         if mask:
-            ink = sub == (0 if not r(d.get("Decode")) else 1)
+            # ISO 32000-1 §8.9.6.2: default /Decode for an image mask is
+            # [0 1] (sample 0 paints); an EXPLICIT [0 1] must behave the
+            # same — only [1 0] inverts.  Truthiness of the array is wrong.
+            dec = r(d.get("Decode"))
+            inverted = bool(dec) and float(r(dec[0])) == 1
+            ink = sub == (1 if inverted else 0)
             self.canvas[r0:r1, c0:c1][ink] = self._gray_val(gs.fill)
         else:
             self.canvas[r0:r1, c0:c1] = sub

@@ -43,11 +43,42 @@ def test_rgb_frames_reduce_to_luma():
     payload = encode_avi_mjpeg([encode_jpeg_rgb(rgb)], w, h)
     [(_, n, dec)] = list(iter_avi_mjpeg_frames(payload))
     assert n == 1 and dec.shape == (h, w) and dec.dtype == np.uint8
-    luma = (
-        (77 * rgb[..., 0].astype(np.uint32) + 150 * rgb[..., 1] + 29 * rgb[..., 2] + 128)
-        >> 8
-    )
-    assert np.abs(dec.astype(int) - luma.astype(int)).mean() < 8
+    px = rgb.astype(np.float64)
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    assert np.abs(dec.astype(float) - luma).mean() < 8
+
+
+def test_uniform_rgb_luma_has_no_integer_wraparound():
+    # regression: an integer 77/150/29 luma computed in uint8 wrapped
+    # (uniform RGB 200 decoded to ~61); the shared float path must not
+    h, w = 16, 16
+    rgb = np.full((h, w, 3), 200, dtype=np.uint8)
+    payload = encode_avi_mjpeg([encode_jpeg_rgb(rgb)], w, h)
+    [(_, _n, dec)] = list(iter_avi_mjpeg_frames(payload))
+    assert abs(float(dec.mean()) - 200.0) < 6
+
+
+def test_rec_list_interleave_grouping():
+    # spec-valid layout: frame chunks grouped inside 'rec ' LISTs
+    from tableextraction_spark.avi import _chunk, _list
+
+    frames = [_gradient(16, 16, s) for s in range(3)]
+    recs = b""
+    for f in frames:
+        recs += _list(b"rec ", _chunk(b"00dc", encode_jpeg_gray(f)))
+    body = b"AVI " + b"LIST" + _U32.pack(4 + len(recs)) + b"movi" + recs
+    payload = b"RIFF" + _U32.pack(len(body)) + body
+    out = list(iter_avi_mjpeg_frames(payload))
+    assert len(out) == 3 and all(n == 3 for _i, n, _f in out)
+
+
+def test_no_video_chunks_is_error_not_silence():
+    # an all-audio AVI ('01wb' chunks only) must error per-row, not vanish
+    raw = b"01wb" + _U32.pack(8) + b"\x00" * 8
+    body = b"AVI " + b"LIST" + _U32.pack(4 + len(raw)) + b"movi" + raw
+    payload = b"RIFF" + _U32.pack(len(body)) + body
+    with pytest.raises(ValueError, match="no video frame chunks"):
+        list(iter_avi_mjpeg_frames(payload))
 
 
 def test_actual_frame_count_beats_lying_header():

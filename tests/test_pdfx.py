@@ -231,3 +231,147 @@ def test_extract_spans_equality_over_pdf_corpus(spark):
         ]
         exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in e["spans"]]
         assert got == exp, f"span mismatch in {e['doc_id']}"
+
+
+# --- review-pass regressions: ImageMask /Decode, xref tolerance, hybrid ---
+
+def _mask_pdf(decode: bytes | None) -> bytes:
+    """8×8 stencil mask page: top 4 rows ink (sample 0), bottom 4 clear."""
+    data = b"\x00" * 4 + b"\xff" * 4  # 1 bpc, 1 byte/row
+    d = (
+        b"<< /Subtype /Image /Width 8 /Height 8 /BitsPerComponent 1 "
+        b"/ImageMask true "
+    )
+    if decode is not None:
+        d += b"/Decode " + decode + b" "
+    d += b">>"
+    return _hand_pdf(
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 8 8] "
+        b"/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>",
+        _stream_obj(b"<< >>", b"q 8 0 0 8 0 0 cm /Im0 Do Q"),
+        _stream_obj(d, data),
+    )
+
+
+def test_imagemask_explicit_default_decode_is_identity():
+    """ISO 32000-1 §8.9.6.2: an EXPLICIT /Decode [0 1] must render exactly
+    like the default (regression: truthiness of the array inverted it)."""
+    base = pdfx.rasterize_pdf_page(_mask_pdf(None))
+    explicit = pdfx.rasterize_pdf_page(_mask_pdf(b"[0 1]"))
+    assert np.array_equal(base, explicit)
+    # and the mask actually painted something somewhere
+    assert (base == 0).any() and (base == 255).any()
+
+
+def test_imagemask_decode_10_inverts():
+    base = pdfx.rasterize_pdf_page(_mask_pdf(None))
+    inv = pdfx.rasterize_pdf_page(_mask_pdf(b"[1 0]"))
+    assert not np.array_equal(base, inv)
+    # ink and background swap: painted pixel counts are complementary
+    assert (base == 0).sum() + (inv == 0).sum() == base.size
+
+
+def _classic_xref_pdf(eol: bytes) -> tuple[bytes, dict[int, int]]:
+    """Minimal classic-xref PDF whose entries end with ``eol`` (b' \\n' =
+    spec 20-byte form, b'\\n' = the real-world 19-byte shortcut)."""
+    buf = b"%PDF-1.4\n"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 10 10] "
+        b"/Contents 4 0 R >>",
+        _stream_obj(b"<< >>", b"0 g 2 2 5 5 re f"),
+    ]
+    offs = {}
+    for i, body in enumerate(objs, start=1):
+        offs[i] = len(buf)
+        buf += b"%d 0 obj " % i + body + b" endobj\n"
+    xref_off = len(buf)
+    buf += b"xref\n0 5\n" + b"0000000000 65535 f" + eol
+    for i in range(1, 5):
+        buf += b"%010d 00000 n" % offs[i] + eol
+    buf += (
+        b"trailer << /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % xref_off
+    )
+    return buf, offs
+
+
+@pytest.mark.parametrize("eol", [b" \n", b"\n", b" \r", b"\r\n"])
+def test_classic_xref_entry_eol_tolerance(eol, monkeypatch):
+    """20-byte spec entries AND the 19-byte lone-EOL form real writers emit
+    must parse via the xref itself — reconstruction must not be needed."""
+    buf, offs = _classic_xref_pdf(eol)
+
+    def _no_reconstruct(self):
+        raise AssertionError("xref should have parsed without reconstruction")
+
+    monkeypatch.setattr(pdfx._Document, "_reconstruct", _no_reconstruct)
+    doc = pdfx.parse_pdf(buf)
+    for i, off in offs.items():
+        assert doc.xref[i] == ("o", off)
+    arr = pdfx.rasterize_pdf_page(buf)
+    assert (arr == 0).any()  # the rect fill landed
+
+
+def test_hybrid_xrefstm_objects_resolve(monkeypatch):
+    """Hybrid-reference layout (ISO 32000-1 §7.5.8.4): the trailer carries
+    BOTH /Prev and /XRefStm; an object living only in an ObjStm indexed only
+    by the xref stream must still resolve (regression: /Prev won and the
+    XRefStm branch was unreachable)."""
+    buf = b"%PDF-1.4\n"
+    offs = {}
+
+    def add(i, body):
+        offs[i] = len(buf)
+        return buf + b"%d 0 obj " % i + body + b" endobj\n"
+
+    buf = add(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    buf = add(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    buf = add(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 10 10] "
+        b"/Resources 5 0 R /Contents 4 0 R >>",
+    )
+    buf = add(4, _stream_obj(b"<< >>", b"0 g 2 2 5 5 re f"))
+    # object 5 (the Resources dict) lives ONLY inside ObjStm 6
+    objstm_data = b"5 0 << >>"
+    buf = add(
+        6,
+        _stream_obj(b"<< /Type /ObjStm /N 1 /First 4 >>", objstm_data),
+    )
+    # object 7: the xref stream indexing object 5 as (type 2, stm 6, idx 0)
+    xrefstm_off = len(buf)
+    buf = add(
+        7,
+        _stream_obj(
+            b"<< /Type /XRef /Size 8 /W [1 2 1] /Index [5 1] >>",
+            b"\x02\x00\x06\x00",
+        ),
+    )
+    # a PREVIOUS classic section (the /Prev target): just the free entry
+    prev_off = len(buf)
+    buf += b"xref\n0 1\n0000000000 65535 f \ntrailer << /Size 1 >>\n"
+    # the newest classic section: objects 1-4 and 6-7, trailer with BOTH keys
+    xref_off = len(buf)
+    buf += b"xref\n0 5\n" + b"0000000000 65535 f \n"
+    for i in range(1, 5):
+        buf += b"%010d 00000 n \n" % offs[i]
+    buf += b"6 2\n"
+    for i in (6, 7):
+        buf += b"%010d 00000 n \n" % offs[i]
+    buf += (
+        b"trailer << /Size 8 /Root 1 0 R /Prev %d /XRefStm %d >>\n"
+        b"startxref\n%d\n%%%%EOF" % (prev_off, xrefstm_off, xref_off)
+    )
+
+    def _no_reconstruct(self):
+        raise AssertionError("hybrid xref should parse without reconstruction")
+
+    monkeypatch.setattr(pdfx._Document, "_reconstruct", _no_reconstruct)
+    doc = pdfx.parse_pdf(buf)
+    assert doc.xref[5] == ("c", 6, 0)  # indexed via the XRefStm
+    assert doc.resolve(pdfx.Ref(5, 0)) == {}
+    arr = pdfx.rasterize_pdf_page(buf)
+    assert (arr == 0).any()
