@@ -348,9 +348,10 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
 
     ``codec`` picks the blob payload format: the deterministic ``img1``
     container (default), real ``png`` (stdlib encoder, ``png.py``), real
-    near-lossless ``jpeg`` (from-scratch baseline codec, ``jpeg.py``), or
-    ``jpeg_prog`` (SOF2 progressive, multi-scan) — same expected spans, so
-    end-to-end tests pin format routing.
+    near-lossless ``jpeg`` (from-scratch baseline codec, ``jpeg.py``),
+    ``jpeg_prog`` (SOF2 progressive, multi-scan), lossless ``gif``
+    (from-scratch LZW, ``gif.py``), or vector ``pdf`` — same expected
+    spans, so end-to-end tests pin format routing.
     """
     if codec == "img1":
         encode = encode_image
@@ -367,6 +368,8 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
         encode = lambda img: encode_jpeg_gray_progressive(  # noqa: E731
             img, quality_div=8
         )
+    elif codec == "gif":
+        from ..gif import encode_gif_gray as encode  # lossless LZW
     elif codec == "pdf":
         encode = None  # vector path: primitives → PDF, no canvas stamp
     else:

@@ -76,6 +76,10 @@ def decode_page(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)  # real JPEG pages: from-scratch baseline codec
+    if head[:3] == b"GIF":
+        from .gif import decode_gif
+
+        return decode_gif(payload)  # real GIF pages: from-scratch LZW codec
     if head == b"%PDF":
         from .sources.pdf_adapter import rasterize_pdf, pdf_renderer_available
 

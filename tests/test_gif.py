@@ -1,0 +1,115 @@
+"""GIF codec: lossless LZW round-trips (plain + interlaced + dict-overflow),
+hostile-input bounds, decode_page routing, and color-palette luma."""
+
+import numpy as np
+import pytest
+
+from tableextraction_spark.gif import MAGICS, decode_gif, encode_gif_gray
+from tableextraction_spark.media import decode_page
+
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return ((x * 3 + y * 2) % 256).astype(np.uint8)
+
+
+def test_roundtrip_exact():
+    img = _gradient(40, 56)
+    out = decode_gif(encode_gif_gray(img))
+    assert np.array_equal(out, img)  # GIF is lossless
+
+
+def test_roundtrip_interlaced():
+    img = _gradient(33, 21)  # odd dims exercise all 4 pass boundaries
+    out = decode_gif(encode_gif_gray(img, interlace=True))
+    assert np.array_equal(out, img)
+
+
+def test_roundtrip_noise_overflows_dictionary():
+    # high-entropy image forces the LZW dict past 4096 → CLEAR mid-stream
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(80, 120), dtype=np.uint8)
+    out = decode_gif(encode_gif_gray(img))
+    assert np.array_equal(out, img)
+
+
+def test_single_color_runs():
+    img = np.full((16, 16), 7, dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif_gray(img)), img)
+
+
+def test_color_palette_reduces_to_luma():
+    # hand-build a 2-entry color GIF: palette [red, green], 1 row of 2 px
+    # (encoder is gray-only, so this pins the palette→luma path directly)
+    import struct
+
+    from tableextraction_spark.gif import _lzw_encode
+
+    pal = bytes([255, 0, 0, 0, 255, 0]) + b"\x00" * (6 * 3 - 6)  # pad to 4
+    buf = bytearray(b"GIF89a")
+    buf += struct.pack("<HH", 2, 1)
+    buf += bytes([0x80 | 0x01, 0, 0])  # GCT, 4 entries (2^(1+1))
+    buf += bytes([255, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0])
+    buf += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 1) + b"\x00"
+    data = _lzw_encode(np.array([0, 1], dtype=np.uint8), 2)
+    buf += bytes([2, len(data)]) + data + b"\x00\x3b"
+    out = decode_gif(bytes(buf))
+    assert out.shape == (1, 2)
+    # BT.601: red ≈ 76, green ≈ 149
+    assert abs(int(out[0, 0]) - 76) <= 1 and abs(int(out[0, 1]) - 149) <= 1
+
+
+def test_not_gif_raises():
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"\x89PNG\r\n\x1a\n")
+
+
+def test_truncated_stream_is_value_error():
+    blob = encode_gif_gray(_gradient(24, 24))
+    with pytest.raises(ValueError):
+        decode_gif(blob[: len(blob) // 2])
+
+
+def test_hostile_subblock_never_hangs():
+    # sub-block length pointing past the buffer: clamped walk, loud error
+    blob = bytearray(encode_gif_gray(_gradient(8, 8)))
+    blob = blob[:-2]  # drop terminator+trailer → unterminated chain
+    with pytest.raises(ValueError):
+        decode_gif(bytes(blob))
+
+
+def test_extension_blocks_are_skipped():
+    # splice a GIF89a graphic-control extension before the image descriptor
+    blob = encode_gif_gray(_gradient(10, 10))
+    i = 6 + 7 + 768  # header + LSD + 256-entry GCT = image-descriptor offset
+    assert blob[i] == 0x2C
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out = decode_gif(blob[:i] + gce + blob[i:])
+    assert np.array_equal(out, _gradient(10, 10))
+
+
+def test_decode_page_routes_gif():
+    for magic in MAGICS:
+        assert magic[:3] == b"GIF"
+    img = _gradient(30, 44)
+    assert np.array_equal(decode_page(encode_gif_gray(img)), img)
+
+
+def test_extract_spans_equality_over_gif_corpus(spark):
+    """The full pipeline over REAL GIF page payloads matches the golden
+    spans — lossless LZW changes nothing downstream."""
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.pipeline import BLOBS_SCHEMA, DOCS_SCHEMA, extract_spans
+
+    docs, blobs, expected = gen_corpus(5, codec="gif")
+    assert all(bytes(b["content"][:6]) in MAGICS for b in blobs)
+    docs_df = spark.createDataFrame(docs, DOCS_SCHEMA).repartition(4)
+    blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA).repartition(4)
+    out = {r.doc_id: r for r in extract_spans(spark, docs_df, blobs_df).collect()}
+    for e in expected:
+        got = [
+            (s.kind, s.text, s.media_ref, s.offset)
+            for s in sorted(out[e["doc_id"]].spans, key=lambda s: s.offset)
+        ]
+        exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in e["spans"]]
+        assert got == exp, f"span mismatch in {e['doc_id']}"
