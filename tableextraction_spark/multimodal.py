@@ -174,26 +174,35 @@ RESIZED_SCHEMA = (
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """(media_ref, content) image rows → nearest-neighbor resized IMG1 rows.
 
-    1→1 map; the decode/resize/encode loop is NumPy over each Arrow batch.
-    Undecodable payloads yield an ``error`` row (null content) instead of
-    failing the task — the pipeline's per-row failure-isolation rule.
+    Payloads are magic-routed through ``media.decode_page`` — IMG1, PNG,
+    JPEG (baseline/progressive), GIF, and ``%PDF`` (first page) all resize
+    natively.  1→1 map; the decode/resize/encode loop is NumPy over each
+    Arrow batch.  Undecodable payloads yield an ``error`` row (null
+    content) instead of failing the task — the pipeline's per-row
+    failure-isolation rule.
     """
 
     cols = ["media_ref", "width", "height", "content", "error"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media import decode_page
+
         for pdf in batches:
             out = []
             for ref, blob in zip(pdf["media_ref"], pdf["content"]):
                 try:
-                    img = decode_image(bytes(blob))
+                    # magic-routed: IMG1 / PNG / JPEG / GIF / %PDF (page 1)
+                    img = decode_page(bytes(blob))
                     h, w = img.shape
                     yi = (np.arange(out_h) * h // out_h).astype(np.intp)
                     xi = (np.arange(out_w) * w // out_w).astype(np.intp)
                     out.append(
                         (ref, out_w, out_h, encode_image(img[yi][:, xi]), None)
                     )
-                except (NotImplementedError, ValueError, struct.error) as exc:
+                except Exception as exc:  # noqa: BLE001 — per-row isolation: the
+                    # decoders raise beyond ValueError (zlib.error, KeyError
+                    # from malformed PDF objects); same breadth as
+                    # operators/decode_detect.py
                     out.append((ref, 0, 0, None, f"{type(exc).__name__}: {exc}"))
             yield pd.DataFrame(out, columns=cols)
 
@@ -232,7 +241,10 @@ def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
                         if len(rows) >= 64:  # bound memory: flush sampled frames
                             yield pd.DataFrame(rows, columns=cols)
                             rows = []
-                except (NotImplementedError, ValueError, struct.error) as exc:
+                except Exception as exc:  # noqa: BLE001 — per-row isolation: the
+                    # decoders raise beyond ValueError (zlib.error, KeyError
+                    # from malformed PDF objects); same breadth as
+                    # operators/decode_detect.py
                     rows.append(
                         (ref, -1, 0, 0, 0, None, f"{type(exc).__name__}: {exc}")
                     )
@@ -268,7 +280,10 @@ def audio_features(df: DataFrame) -> DataFrame:
                         float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
                         zc, None,
                     ))
-                except (NotImplementedError, ValueError, struct.error) as exc:
+                except Exception as exc:  # noqa: BLE001 — per-row isolation: the
+                    # decoders raise beyond ValueError (zlib.error, KeyError
+                    # from malformed PDF objects); same breadth as
+                    # operators/decode_detect.py
                     out.append((ref, 0, 0.0, 0.0, 0.0, f"{type(exc).__name__}: {exc}"))
             yield pd.DataFrame(
                 out,

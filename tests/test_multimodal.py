@@ -201,3 +201,29 @@ def test_sample_frames_flushes_in_bounded_chunks(spark):
     assert len(out) == 150
     assert sorted(r.frame_no for r in out) == list(range(150))
     assert all(r.n_frames == 150 for r in out)
+
+
+def test_resize_images_routes_real_formats(spark):
+    """resize over a mixed IMG1/PNG/JPEG/GIF batch: every real format
+    decodes via the magic-routed decode_page path; garbage isolates."""
+    import numpy as np
+    from tableextraction_spark.gif import encode_gif_gray
+    from tableextraction_spark.jpeg import encode_jpeg_gray
+    from tableextraction_spark.png import encode_png
+
+    img = _img(40, 30, seed=5)
+    rows = [
+        ("img1", bytearray(mm.encode_image(img))),
+        ("png", bytearray(encode_png(img))),
+        ("jpeg", bytearray(encode_jpeg_gray(img))),
+        ("gif", bytearray(encode_gif_gray(img))),
+        ("junk", bytearray(b"\x00\x01\x02\x03garbage")),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    got = {r.media_ref: r for r in mm.resize_images(df, 10, 8).collect()}
+    for ref in ("img1", "png", "jpeg", "gif"):
+        r = got[ref]
+        assert r.error is None and (r.width, r.height) == (10, 8)
+        out = mm.decode_image(bytes(r.content))
+        assert out.shape == (8, 10)
+    assert got["junk"].error and got["junk"].content is None
