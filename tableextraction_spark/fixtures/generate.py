@@ -370,6 +370,8 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
         )
     elif codec == "gif":
         from ..gif import encode_gif_gray as encode  # lossless LZW
+    elif codec == "bmp":
+        from ..bmp import encode_bmp_gray as encode  # lossless DIB
     elif codec == "pdf":
         encode = None  # vector path: primitives → PDF, no canvas stamp
     else:

@@ -80,6 +80,10 @@ def decode_page(payload: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(payload)  # real GIF pages: from-scratch LZW codec
+    if head[:2] == b"BM":
+        from .bmp import decode_bmp
+
+        return decode_bmp(payload)  # real BMP pages: uncompressed DIB
     if head == b"%PDF":
         from .sources.pdf_adapter import rasterize_pdf, pdf_renderer_available
 

@@ -163,6 +163,92 @@ WHERE 1 = 0
 """
 
 
+RESIZE_W, RESIZE_H = 24, 18
+_LOSSLESS = ("img1", "png", "gif", "bmp")
+IMAGES_SCHEMA = "media_ref string, content binary, want_md5 string"
+
+
+def _image_batches(batches: Iterator) -> Iterator:
+    """Per index: a deterministic source image encoded in a cycling lossless
+    codec, plus the md5 of its nearest-neighbor resize (the plan-side
+    expectation — same arithmetic as ``multimodal.resize_images``, computed
+    from the SOURCE array so the encode→decode→resize chain is what's
+    under test)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..bmp import encode_bmp_gray
+    from ..gif import encode_gif_gray
+    from ..media import encode_image
+    from ..png import encode_png
+
+    enc = {
+        "img1": encode_image,
+        "png": encode_png,
+        "gif": encode_gif_gray,
+        "bmp": encode_bmp_gray,
+    }
+    for pdf in batches:
+        rows = []
+        for i in pdf["i"]:
+            i = int(i)
+            h, w = 30 + i % 7, 40 + i % 5
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((x * 3 + y * 5 + i) % 256).astype(np.uint8)
+            codec = _LOSSLESS[i % len(_LOSSLESS)]
+            yi = (np.arange(RESIZE_H) * h // RESIZE_H).astype(np.intp)
+            xi = (np.arange(RESIZE_W) * w // RESIZE_W).astype(np.intp)
+            want = hashlib.md5(img[yi][:, xi].tobytes()).hexdigest()
+            rows.append((f"im-{codec}-{i:04d}", enc[codec](img), want))
+        yield pd.DataFrame(rows, columns=["media_ref", "content", "want_md5"])
+
+
+def q48_resize_format_verify(spark, sf_dir):
+    """Resize-stage verify, empty-on-success: deterministic images encoded
+    across every LOSSLESS raster codec (IMG1/PNG/GIF/BMP) go through the
+    real ``resize_images`` stage; the output pixel bytes (IMG1 payload
+    minus its 12-byte header, hashed in-plan via ``md5(substring(...))``)
+    must equal the plan-side nearest-neighbor expectation EXACTLY — pinning
+    the magic-routed decode and the resize arithmetic for all four codecs
+    in the driver's hard gate.  Rows = failed checks."""
+    from ..multimodal import resize_images
+
+    n = _n_clips_for(sf_dir)
+    idx = spark.range(n).select(F.col("id").cast("int").alias("i"))
+    media = idx.mapInPandas(_image_batches, IMAGES_SCHEMA)
+    got = resize_images(media.select("media_ref", "content"), RESIZE_W, RESIZE_H).select(
+        "media_ref",
+        F.col("width").cast("double").alias("got_w"),
+        F.col("height").cast("double").alias("got_h"),
+        # IMG1 = 12-byte header + raw pixels: hash the pixel bytes in-plan
+        F.md5(F.expr("substring(content, 13, length(content) - 12)")).alias("got_md5"),
+        F.when(F.col("error").isNull(), 0.0).otherwise(1.0).alias("got_err"),
+    )
+    exp = media.select("media_ref", "want_md5")
+    joined = (
+        got.join(exp, "media_ref", "full")
+        .withColumn("zero", F.lit(0.0))
+        .withColumn("want_w", F.lit(float(RESIZE_W)))
+        .withColumn("want_h", F.lit(float(RESIZE_H)))
+        .withColumn(
+            "md5_ok",
+            F.when(F.col("got_md5").eqNullSafe(F.col("want_md5")), 0.0).otherwise(1.0),
+        )
+    )
+    return _mismatches(
+        joined,
+        [
+            ("resize_width", "got_w", "want_w"),
+            ("resize_height", "got_h", "want_h"),
+            ("resize_pixels_md5", "md5_ok", "zero"),
+            ("resize_error", "got_err", "zero"),
+        ],
+    )
+
+
 QUERIES = {
     "q47_multimodal_verify": (q47_multimodal_verify, Q47_SQL),
+    "q48_resize_format_verify": (q48_resize_format_verify, Q47_SQL),
 }

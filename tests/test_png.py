@@ -177,15 +177,15 @@ def test_extract_spans_equality_over_mixed_format_corpus(spark):
 
     from tableextraction_spark.fixtures.generate import gen_doc
 
-    codecs = ["img1", "png", "jpeg", "jpeg_prog", "pdf", "gif"]
+    codecs = ["img1", "png", "jpeg", "jpeg_prog", "pdf", "gif", "bmp"]
     docs, blobs, expected = [], [], []
-    for i, codec in enumerate(codecs * 2):  # 12 docs, formats interleaved
+    for i, codec in enumerate(codecs * 2):  # 14 docs, formats interleaved
         d, b, e = gen_doc(i, codec=codec)
         docs.append(d)
         blobs.extend(b)
         expected.append(e)
     magics = {bytes(b["content"][:2]) for b in blobs}
-    assert len(magics) == 5  # IMG1, \x89PNG, \xff\xd8, %PDF, GIF all present
+    assert len(magics) == 6  # IMG1, PNG, JPEG, %PDF, GIF, BM all present
     # and the JPEG population mixes baseline (SOF0) with progressive (SOF2)
     sofs = {m for b in blobs for m in (b"\xff\xc0", b"\xff\xc2")
             if bytes(b["content"][:2]) == b"\xff\xd8" and m in bytes(b["content"])}
