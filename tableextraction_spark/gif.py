@@ -48,17 +48,30 @@ def _read_subblocks(buf: bytes, pos: int) -> tuple[bytes, int]:
     raise ValueError("GIF: unterminated sub-block chain")
 
 
+_WIN_CHUNK = 1 << 20  # window entries per materialized slice (same memory
+# rationale as jpeg._BitReader: a full per-bit int list is ~36 B of heap per
+# input BIT — >1 GB transient on a multi-MB GIF — so 16-bit LSB-first
+# windows are precomputed vectorized and surfaced in bounded chunks)
+
+
 def _lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
     """Variable-width LZW (GIF flavor) → exactly ``npix`` palette indices."""
     if not 2 <= min_code <= 11:
         raise ValueError(f"GIF: bad LZW min code size {min_code}")
     clear = 1 << min_code
     end = clear + 1
-    # bit reader: LSB-first within bytes
+    # win[i] = 16 bits starting at bit i, LSB-first (GIF packing); a code of
+    # width w at bit i is then win[i] & ((1<<w)-1) — one index, no bit loop
     bits = np.unpackbits(
         np.frombuffer(data, dtype=np.uint8), bitorder="little"
-    ).tolist()
+    ).astype(np.uint32)
     nbits = len(bits)
+    padded = np.concatenate([bits, np.zeros(16, dtype=np.uint32)])
+    acc = np.zeros(nbits, dtype=np.uint32)
+    for k in range(16):
+        acc += padded[k : k + nbits] << np.uint32(k)
+    cbase, cend = 0, min(nbits, _WIN_CHUNK)
+    win = acc[:cend].tolist()
     bpos = 0
     out = bytearray()
     table: list[bytes] = []
@@ -75,9 +88,11 @@ def _lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
     while len(out) < npix:
         if bpos + width > nbits:
             raise ValueError("GIF: LZW stream truncated")
-        code = 0
-        for k in range(width):
-            code |= bits[bpos + k] << k
+        if bpos >= cend:
+            cbase = bpos
+            cend = min(nbits, cbase + _WIN_CHUNK)
+            win = acc[cbase:cend].tolist()
+        code = win[bpos - cbase] & ((1 << width) - 1)
         bpos += width
         if code == clear:
             reset()
