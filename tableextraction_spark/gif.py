@@ -125,13 +125,22 @@ def _deinterlace(idx: np.ndarray, h: int) -> np.ndarray:
     return idx[rows]
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF bytes → uint8 H×W grayscale (first frame)."""
-    buf = bytes(payload)
-    if buf[:6] not in MAGICS:
-        raise ValueError(f"not a GIF: {buf[:6]!r}")
-    if len(buf) < 13:
-        raise ValueError("GIF: truncated header")
+def _gray_lut(pal: np.ndarray) -> np.ndarray:
+    """Palette → per-index gray values.  Grayscale palettes map by index
+    exactly (float luma of (i,i,i) truncates to i-1 — 0.299+0.587+0.114 is
+    < 1.0 in binary); color palettes reduce via the shared BT.601 helper."""
+    pal = pal[: max(1, len(pal))]
+    if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
+        return pal[:, 0]
+    from .media import rgb_to_gray
+
+    return rgb_to_gray(pal.reshape(1, -1, 3)).reshape(-1)
+
+
+def _parse_frames(buf: bytes, light: bool = False):
+    """Walk the block stream; yield one dict per image block.  ``light``
+    skips the LZW decode (structural pre-count).  The preceding graphic
+    control extension's disposal/transparency ride along."""
     packed = buf[10]
     pos = 13
     gct = None
@@ -143,19 +152,26 @@ def decode_gif(payload: bytes) -> np.ndarray:
         gct = gct.reshape(-1, 3)
         pos += sz
     n = len(buf)
+    disposal, transparent = 0, None
     while pos < n:
         block = buf[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            break
-        if block == 0x21:  # extension: label + sub-blocks, skipped
+            return
+        if block == 0x21:  # extension
+            label = buf[pos] if pos < n else 0
             pos += 1
-            _, pos = _read_subblocks(buf, pos)
+            data, pos = _read_subblocks(buf, pos)
+            if label == 0xF9 and len(data) >= 4:  # graphic control
+                disposal = (data[0] >> 2) & 0x7
+                transparent = data[3] if data[0] & 0x1 else None
             continue
         if block != 0x2C:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")
         if pos + 9 > n:
             raise ValueError("GIF: truncated image descriptor")
+        left = _U16.unpack_from(buf, pos)[0]
+        top = _U16.unpack_from(buf, pos + 2)[0]
         iw = _U16.unpack_from(buf, pos + 4)[0]
         ih = _U16.unpack_from(buf, pos + 6)[0]
         ipacked = buf[pos + 8]
@@ -175,19 +191,73 @@ def decode_gif(payload: bytes) -> np.ndarray:
         min_code = buf[pos]
         pos += 1
         data, pos = _read_subblocks(buf, pos)
-        idx = _lzw_decode(data, min_code, iw * ih).reshape(ih, iw)
-        if ipacked & 0x40:
-            idx = _deinterlace(idx, ih)
-        pal = pal[: max(1, len(pal))]
-        if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
-            # grayscale palette: map indices exactly (float luma of (i,i,i)
-            # truncates to i-1 — 0.299+0.587+0.114 < 1.0 in binary)
-            lut = pal[:, 0]
-        else:
-            from .media import rgb_to_gray
+        idx = None
+        if not light:
+            idx = _lzw_decode(data, min_code, iw * ih).reshape(ih, iw)
+            if ipacked & 0x40:
+                idx = _deinterlace(idx, ih)
+        yield {
+            "left": left, "top": top, "idx": idx, "pal": pal,
+            "disposal": disposal, "transparent": transparent,
+        }
+        disposal, transparent = 0, None  # a GCE governs ONE image
 
-            lut = rgb_to_gray(pal.reshape(1, -1, 3)).reshape(-1)
-        return lut[np.minimum(idx, len(pal) - 1)]
+
+def iter_gif_frames(payload: bytes):
+    """Animated GIF → lazily yield (frame_no, n_frames, uint8 H×W gray
+    canvas snapshot) — GIF as a VIDEO source (the web's animation format).
+
+    Frames composite onto the logical screen honoring the image rect
+    (left/top, clipped to screen bounds on hostile values), the GCE
+    transparent index, and disposal methods 0/1 (leave), 2 (restore to
+    background) and 3 (restore to previous).  One canvas lives at a time.
+    """
+    buf = bytes(payload)
+    if buf[:6] not in MAGICS:
+        raise ValueError(f"not a GIF: {buf[:6]!r}")
+    if len(buf) < 13:
+        raise ValueError("GIF: truncated header")
+    sw = _U16.unpack_from(buf, 6)[0]
+    sh = _U16.unpack_from(buf, 8)[0]
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF: zero-sized logical screen")
+    n_frames = sum(1 for _ in _parse_frames(buf, light=True))
+    if n_frames == 0:
+        raise ValueError("GIF: no image block before trailer")
+    # background gray: the LSD background index into the GCT, else white
+    bg = 255
+    packed = buf[10]
+    if packed & 0x80:
+        sz = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf[13 : 13 + sz * 3], dtype=np.uint8).reshape(-1, 3)
+        bg = int(_gray_lut(gct)[min(buf[11], sz - 1)])
+    canvas = np.full((sh, sw), bg, dtype=np.uint8)
+    for i, fr in enumerate(_parse_frames(buf)):
+        idx, pal = fr["idx"], fr["pal"]
+        lut = _gray_lut(pal)
+        gray = lut[np.minimum(idx, len(pal) - 1)]
+        t, l = min(fr["top"], sh), min(fr["left"], sw)  # clip hostile rects
+        eh, ew = min(idx.shape[0], sh - t), min(idx.shape[1], sw - l)
+        region = canvas[t : t + eh, l : l + ew]
+        prev = region.copy() if fr["disposal"] == 3 else None
+        tidx = fr["transparent"]
+        if tidx is not None:
+            opaque = idx[:eh, :ew] != tidx
+            region[opaque] = gray[:eh, :ew][opaque]
+        else:
+            region[:] = gray[:eh, :ew]
+        yield i, n_frames, canvas.copy()
+        if fr["disposal"] == 2:
+            region[:] = bg
+        elif fr["disposal"] == 3:
+            region[:] = prev
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → uint8 H×W grayscale (first frame, composited onto the
+    logical screen — still-image treatment)."""
+    for _i, _n, frame in iter_gif_frames(payload):
+        return frame
     raise ValueError("GIF: no image block before trailer")
 
 
@@ -235,6 +305,44 @@ def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
             nacc -= 8
     if nacc:
         out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray],
+    screen_hw: tuple[int, int] | None = None,
+    offsets: list[tuple[int, int]] | None = None,
+    transparent: int | None = None,
+    disposal: int = 1,
+    bg_index: int = 255,
+) -> bytes:
+    """uint8 gray frames (possibly sub-rects at per-frame (top, left)
+    ``offsets``) → animated GIF89a with per-frame graphic control
+    extensions (fixture writer for the GIF-as-video path)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for f in frames:
+        if f.dtype != np.uint8 or f.ndim != 2:
+            raise ValueError(f"expected uint8 H×W frames, got {f.dtype} {f.shape}")
+    offsets = offsets or [(0, 0)] * len(frames)
+    sh, sw = screen_hw or frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += _U16.pack(sw) + _U16.pack(sh)
+    out += bytes([0xF7, bg_index, 0])  # GCT present, 256 gray entries
+    out += np.repeat(np.arange(256, dtype=np.uint8), 3).tobytes()
+    for f, (top, left) in zip(frames, offsets):
+        gce_packed = (disposal & 0x7) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gce_packed, 0, 0, transparent or 0, 0])
+        h, w = f.shape
+        out += b"\x2c" + _U16.pack(left) + _U16.pack(top)
+        out += _U16.pack(w) + _U16.pack(h) + b"\x00"
+        out += bytes([8])
+        data = _lzw_encode(f.reshape(-1), 8)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 

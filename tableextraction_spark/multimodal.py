@@ -141,6 +141,11 @@ def iter_video_frames(payload: bytes):
 
         yield from iter_avi_mjpeg_frames(payload)
         return
+    if bytes(payload[:3]) == b"GIF":
+        from .gif import iter_gif_frames  # the web's animation format
+
+        yield from iter_gif_frames(payload)
+        return
     if magic != VID_MAGIC:
         _raise_real_format(payload, "video", "pyav/ffmpeg (MP4/MKV/WebM)")
     off = _VID_HEADER.size
