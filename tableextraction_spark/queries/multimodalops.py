@@ -40,6 +40,7 @@ def _clip_batches(batches: Iterator) -> Iterator:
     import pandas as pd
 
     from ..avi import encode_avi_mjpeg
+    from ..gif import encode_gif_animation
     from ..jpeg import encode_jpeg_gray
     from ..multimodal import encode_wav
 
@@ -53,9 +54,11 @@ def _clip_batches(batches: Iterator) -> Iterator:
                 ((x * 2 + y + f * 16) % 256).astype(np.uint8) for f in range(nf)
             ]
             avi = encode_avi_mjpeg([encode_jpeg_gray(f) for f in frames], w, h)
+            gif = encode_gif_animation(frames)  # same lattice, second container
             ln = 4000 + 500 * (i % 4)
             pcm = ((np.arange(ln) * 37) % 4096 - 2048).astype(np.int16)
             rows.append((f"vid-{i:04d}", "video", avi))
+            rows.append((f"gifv-{i:04d}", "video", gif))
             rows.append((f"aud-{i:04d}", "audio", encode_wav(pcm, 8000)))
         yield pd.DataFrame(rows, columns=["media_ref", "kind", "content"])
 
@@ -86,10 +89,16 @@ def q47_multimodal_verify(spark, sf_dir):
     idx = spark.range(n).select(F.col("id").cast("int").alias("i"))
     media = idx.mapInPandas(_clip_batches, MEDIA_SCHEMA)
 
-    # --- video: sample every 2nd frame, verify counts/dims/ids per clip ---
+    # --- video: sample every 2nd frame, verify counts/dims/ids per clip;
+    # the SAME plan lattice is expected from BOTH containers (AVI/MJPEG and
+    # animated GIF) — one union over two format prefixes ---
     nf = F.lit(3) + F.col("i") % 5
-    exp_v = idx.select(
-        F.format_string("vid-%04d", "i").alias("media_ref"),
+    exp_v = idx.crossJoin(
+        spark.createDataFrame([("vid-",), ("gifv-",)], "prefix string")
+    ).select(
+        F.concat("prefix", F.lpad(F.col("i").cast("string"), 4, "0")).alias(
+            "media_ref"
+        ),
         nf.alias("want_nf"),
         F.floor((nf + 1) / 2).alias("want_sampled"),
         # sampled frame_nos are 0,2,4,…: max = 2*(ceil(nf/2)-1)
