@@ -12,13 +12,14 @@ Deterministic container codecs (this container has no PIL/ffmpeg/librosa):
 Real formats, no library excuse (same standard that brought PNG/JPEG to the
 image path): **WAV** (RIFF/WAVE, PCM 8/16-bit, mono or multi-channel —
 stdlib ``wave``) decodes natively; stereo downmixes to mono by channel mean
-(the conventional feature-extraction reduction).  **AVI/MJPEG** video
-(``avi.py`` RIFF walk + the from-scratch JPEG codec) decodes natively too.
-The *Spark-side plumbing is real* — schemas, 1→N frame explode, Arrow batch
-shapes, per-row error capture — and fully tested; only genuinely-
-library-bound formats (MP3/OGG/FLAC audio, MP4/MKV/WebM video) remain
-stubbed: such payloads raise ``NotImplementedError`` naming the deploy-time
-library.
+(the conventional feature-extraction reduction).  **FLAC** (``flac.py``
+from-scratch decoder — the format real speech corpora ship) and
+**AVI/MJPEG** video (``avi.py`` RIFF walk + the from-scratch JPEG codec)
+and **animated GIF** decode natively too.  The *Spark-side plumbing is
+real* — schemas, 1→N frame explode, Arrow batch shapes, per-row error
+capture — and fully tested; only genuinely-library-bound formats
+(MP3/OGG audio, MP4/MKV/WebM video) remain stubbed: such payloads raise
+``NotImplementedError`` naming the deploy-time library.
 
 Reference parity note: the reference handles images only
 (``table_extraction/preprocessing.py:10-62``); audio/video are engine-side
@@ -52,12 +53,16 @@ def encode_audio(pcm: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """AUD1 or real WAV bytes → (mono int16 PCM, sample_rate)."""
+    """AUD1, real WAV, or real FLAC bytes → (mono int16 PCM, sample_rate)."""
     magic, rate = _AUD_HEADER.unpack_from(payload, 0)
     if magic == b"RIFF":
         return _decode_wav(payload)
+    if magic == b"fLaC":
+        from .flac import decode_flac  # from-scratch lossless decoder
+
+        return decode_flac(payload)
     if magic != AUD_MAGIC:
-        _raise_real_format(payload, "audio", "soundfile/librosa (MP3/OGG/FLAC)")
+        _raise_real_format(payload, "audio", "soundfile/librosa (MP3/OGG)")
     if rate <= 0:
         raise ValueError(f"corrupt AUD1 header: sample_rate={rate}")
     pcm = np.frombuffer(payload, dtype=np.int16, offset=_AUD_HEADER.size)

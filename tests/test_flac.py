@@ -1,0 +1,131 @@
+"""FLAC codec: exact lossless round-trips through every encoder subframe
+mode and stereo decorrelation, CRC enforcement, hostile-input bounds, and
+the multimodal audio route."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from tableextraction_spark import multimodal as mm
+from tableextraction_spark.flac import (
+    _crc8,
+    _crc16,
+    decode_flac,
+    encode_flac,
+    parse_streaminfo,
+)
+
+
+def _sig(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (np.sin(np.linspace(0, 80, n)) * 12000 + rng.normal(0, 60, n)).astype(
+        np.int16
+    )
+
+
+@pytest.mark.parametrize("mode", ["verbatim", "fixed"])
+def test_mono_roundtrip_exact(mode):
+    pcm = _sig(5000)
+    out, rate = decode_flac(encode_flac(pcm, 16000, block_size=999, subframe=mode))
+    assert rate == 16000 and np.array_equal(out, pcm)
+
+
+def test_fixed_actually_compresses():
+    pcm = _sig(8000)
+    v = encode_flac(pcm, 16000, subframe="verbatim")
+    f = encode_flac(pcm, 16000, subframe="fixed")
+    assert len(f) < 0.7 * len(v)  # smooth signal: order-2 residuals are small
+
+
+def test_short_final_frame():
+    pcm = _sig(1001)  # 1000-sample blocks → final frame of 1 sample
+    out, _ = decode_flac(encode_flac(pcm, 8000, block_size=1000))
+    assert np.array_equal(out, pcm)
+
+
+def test_constant_signal():
+    pcm = np.full(2048, -1234, dtype=np.int16)
+    out, _ = decode_flac(encode_flac(pcm, 8000))
+    assert np.array_equal(out, pcm)
+
+
+@pytest.mark.parametrize("stereo", ["independent", "mid-side"])
+@pytest.mark.parametrize("mode", ["verbatim", "fixed"])
+def test_stereo_downmix_matches_wav_convention(stereo, mode):
+    n = 3000
+    left = (np.sin(np.linspace(0, 50, n)) * 9000).astype(np.int16)
+    right = (np.cos(np.linspace(0, 70, n)) * 7000).astype(np.int16)
+    inter = np.empty(n * 2, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    blob = encode_flac(
+        inter, 22050, block_size=700, subframe=mode, n_channels=2, stereo=stereo
+    )
+    out, rate = decode_flac(blob)
+    # the decoder downmixes exactly like the WAV path: channel mean
+    want = (
+        np.stack([left, right]).astype(np.int64).mean(axis=0).astype(np.int16)
+    )
+    assert rate == 22050 and np.array_equal(out, want)
+
+
+def test_streaminfo_fields():
+    info = parse_streaminfo(encode_flac(_sig(500), 44100))
+    assert info["sample_rate"] == 44100
+    assert info["channels"] == 1 and info["bps"] == 16
+    assert info["total_samples"] == 500
+
+
+def test_header_crc8_mismatch_is_error():
+    blob = bytearray(encode_flac(_sig(300), 8000))
+    info = parse_streaminfo(bytes(blob))
+    blob[info["frames_start"] + 2] ^= 0x04  # corrupt a frame-header byte
+    with pytest.raises(ValueError, match="CRC-8|sync|reserved"):
+        decode_flac(bytes(blob))
+
+
+def test_frame_crc16_mismatch_is_error():
+    blob = bytearray(encode_flac(_sig(300), 8000))
+    blob[-3] ^= 0x10  # corrupt audio payload near the end of the last frame
+    with pytest.raises(ValueError, match="CRC-16|truncated|unary"):
+        decode_flac(bytes(blob))
+
+
+def test_truncated_stream_is_error():
+    blob = encode_flac(_sig(2000), 8000)
+    with pytest.raises(ValueError):
+        decode_flac(blob[: len(blob) // 2])
+
+
+def test_not_flac_raises():
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"OggS" + b"\x00" * 40)
+
+
+def test_crc_vectors():
+    # spec polys: CRC-8 0x07, CRC-16 0x8005, both init 0 (check values for
+    # the standard "123456789" test string)
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+
+def test_multimodal_route_and_features(spark):
+    pcm = _sig(16000)  # 1 s @ 16 kHz
+    flac = encode_flac(pcm, 16000)
+    df = spark.createDataFrame(
+        [("clip", bytearray(flac)), ("mp3", bytearray(b"ID3\x04" + b"\x00" * 32))],
+        "media_ref string, content binary",
+    )
+    got = {r.media_ref: r for r in mm.audio_features(df).collect()}
+    clip = got["clip"]
+    assert clip.error is None and clip.sample_rate == 16000
+    assert abs(clip.duration_s - 1.0) < 1e-9 and clip.rms > 0
+    assert got["mp3"].error  # MP3 stays a named stub
+
+
+def test_wav_and_flac_agree_on_features():
+    pcm = _sig(8000, seed=3)
+    w, rw = mm.decode_audio(mm.encode_wav(pcm, 8000))
+    f, rf = mm.decode_audio(encode_flac(pcm, 8000))
+    assert rw == rf == 8000
+    assert np.array_equal(w, f)  # both lossless: identical samples
