@@ -40,6 +40,7 @@ def _clip_batches(batches: Iterator) -> Iterator:
     import pandas as pd
 
     from ..avi import encode_avi_mjpeg
+    from ..flac import encode_flac
     from ..gif import encode_gif_animation
     from ..jpeg import encode_jpeg_gray
     from ..multimodal import encode_wav
@@ -60,6 +61,7 @@ def _clip_batches(batches: Iterator) -> Iterator:
             rows.append((f"vid-{i:04d}", "video", avi))
             rows.append((f"gifv-{i:04d}", "video", gif))
             rows.append((f"aud-{i:04d}", "audio", encode_wav(pcm, 8000)))
+            rows.append((f"flac-{i:04d}", "audio", encode_flac(pcm, 8000)))
         yield pd.DataFrame(rows, columns=["media_ref", "kind", "content"])
 
 
@@ -139,8 +141,13 @@ def q47_multimodal_verify(spark, sf_dir):
     # --- audio: WAV features must be exact (duration = len/rate, both
     # dyadic rationals here → exact doubles on both sides) ---
     ln = F.lit(4000) + (F.col("i") % 4) * 500
-    exp_a = idx.select(
-        F.format_string("aud-%04d", "i").alias("media_ref"),
+    # same expectation lattice for BOTH audio containers (WAV and FLAC)
+    exp_a = idx.crossJoin(
+        spark.createDataFrame([("aud-",), ("flac-",)], "prefix string")
+    ).select(
+        F.concat("prefix", F.lpad(F.col("i").cast("string"), 4, "0")).alias(
+            "media_ref"
+        ),
         F.lit(8000).alias("want_rate"),
         (ln / F.lit(8000)).alias("want_dur"),
     )
