@@ -61,12 +61,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             raise ValueError("BMP: truncated palette")
         pal = pal.reshape(-1, 4)[:, :3][:, ::-1]  # BGRA quads → RGB
         idx = rows[:, :w]
-        if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
-            lut = pal[:, 0]  # gray palette: exact index map
-        else:
-            from .media import rgb_to_gray
+        from .media import palette_to_gray
 
-            lut = rgb_to_gray(pal.reshape(1, -1, 3)).reshape(-1)
+        lut = palette_to_gray(pal)
         return np.ascontiguousarray(lut[np.minimum(idx, n_pal - 1)])
     step = bpp // 8
     px = rows[:, : w * step].reshape(h, w, step)

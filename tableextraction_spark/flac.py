@@ -297,6 +297,8 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("FLAC: invalid sample rate code")
         bps = _BPS_CODES.get(bps_code, info["bps"]) if bps_code else info["bps"]
         hdr_end = (bits.pos + 7) >> 3
+        if hdr_end >= len(buf):
+            raise ValueError("FLAC: frame header truncated")
         if _crc8(buf[hdr_start:hdr_end]) != buf[hdr_end]:
             raise ValueError("FLAC: frame header CRC-8 mismatch")
         bits.pos = (hdr_end + 1) * 8

@@ -4,11 +4,13 @@ Completes the web-image set next to ``png.py`` and ``jpeg.py``: the wire
 format is the public GIF89a specification (CompuServe, 1990) — logical
 screen descriptor, global/local color tables, variable-width LZW with
 CLEAR/END codes (max 12 bits), sub-block framing, and the 4-pass row
-interlace.  Decode returns the FIRST image frame as uint8 grayscale
-(palette → BT.601 luma via ``media.rgb_to_gray``) — the still-image
-treatment; later animation frames are ignored by design.  The encoder is
-a real LZW compressor (not the fixed-width trick) used by fixtures/tests;
-GIF is lossless so round-trips are exact.
+interlace.  ``decode_gif`` returns the first frame composited onto the
+logical screen (the still-image treatment); ``iter_gif_frames`` iterates
+ALL frames as a video source — sub-rect offsets, GCE transparency, and
+disposal methods 0-3 (see ``multimodal.iter_video_frames``).  Palettes
+reduce via the shared ``media.palette_to_gray``.  The encoder is a real
+LZW compressor (not the fixed-width trick) used by fixtures/tests, with a
+multi-frame animation variant; GIF is lossless so round-trips are exact.
 
 Hostile-input bounds: every length field is clamped to the buffer, the
 sub-block walk strictly advances, LZW dictionary growth is capped at the
@@ -51,7 +53,28 @@ def _read_subblocks(buf: bytes, pos: int) -> tuple[bytes, int]:
 _WIN_CHUNK = 1 << 20  # window entries per materialized slice (same memory
 # rationale as jpeg._BitReader: a full per-bit int list is ~36 B of heap per
 # input BIT — >1 GB transient on a multi-MB GIF — so 16-bit LSB-first
-# windows are precomputed vectorized and surfaced in bounded chunks)
+# windows are computed vectorized PER CHUNK, from only that chunk's bytes:
+# peak heap is one ~36 MB window list + one ~20 MB uint32 slice, regardless
+# of stream size (an earlier version accumulated over the whole stream,
+# which silently cost ~128 B per input byte — measured, not assumed)
+
+
+def _win_slice(data: bytes, cbase: int, cend: int) -> list[int]:
+    """win[i-cbase] = the 16 bits starting at bit i, LSB-first, for
+    i in [cbase, cend) — built from only the covering byte range."""
+    b0 = cbase >> 3
+    b1 = min(len(data), ((cend + 16) >> 3) + 1)
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8, offset=b0, count=b1 - b0),
+        bitorder="little",
+    ).astype(np.uint32)
+    lo = cbase - b0 * 8
+    n = cend - cbase
+    padded = np.concatenate([bits[lo:], np.zeros(16, dtype=np.uint32)])
+    acc = np.zeros(n, dtype=np.uint32)
+    for k in range(16):
+        acc += padded[k : k + n] << np.uint32(k)
+    return acc.tolist()
 
 
 def _lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
@@ -60,18 +83,10 @@ def _lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
         raise ValueError(f"GIF: bad LZW min code size {min_code}")
     clear = 1 << min_code
     end = clear + 1
-    # win[i] = 16 bits starting at bit i, LSB-first (GIF packing); a code of
-    # width w at bit i is then win[i] & ((1<<w)-1) — one index, no bit loop
-    bits = np.unpackbits(
-        np.frombuffer(data, dtype=np.uint8), bitorder="little"
-    ).astype(np.uint32)
-    nbits = len(bits)
-    padded = np.concatenate([bits, np.zeros(16, dtype=np.uint32)])
-    acc = np.zeros(nbits, dtype=np.uint32)
-    for k in range(16):
-        acc += padded[k : k + nbits] << np.uint32(k)
+    # a code of width w at bit i is win[i-cbase] & ((1<<w)-1) — one index
+    nbits = len(data) * 8
     cbase, cend = 0, min(nbits, _WIN_CHUNK)
-    win = acc[:cend].tolist()
+    win = _win_slice(data, 0, cend)
     bpos = 0
     out = bytearray()
     table: list[bytes] = []
@@ -91,7 +106,7 @@ def _lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
         if bpos >= cend:
             cbase = bpos
             cend = min(nbits, cbase + _WIN_CHUNK)
-            win = acc[cbase:cend].tolist()
+            win = _win_slice(data, cbase, cend)
         code = win[bpos - cbase] & ((1 << width) - 1)
         bpos += width
         if code == clear:
@@ -116,25 +131,25 @@ def _lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
     return np.frombuffer(bytes(out[:npix]), dtype=np.uint8)
 
 
-def _deinterlace(idx: np.ndarray, h: int) -> np.ndarray:
-    rows = np.empty(h, dtype=np.intp)
-    order = np.concatenate(
+def _interlace_order(h: int) -> np.ndarray:
+    """The spec's 4-pass row order — the ONE definition shared by the
+    encoder (writes rows in pass order) and decoder (inverts it)."""
+    return np.concatenate(
         [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
     )
-    rows[order] = np.arange(h)
+
+
+def _deinterlace(idx: np.ndarray, h: int) -> np.ndarray:
+    rows = np.empty(h, dtype=np.intp)
+    rows[_interlace_order(h)] = np.arange(h)
     return idx[rows]
 
 
 def _gray_lut(pal: np.ndarray) -> np.ndarray:
-    """Palette → per-index gray values.  Grayscale palettes map by index
-    exactly (float luma of (i,i,i) truncates to i-1 — 0.299+0.587+0.114 is
-    < 1.0 in binary); color palettes reduce via the shared BT.601 helper."""
-    pal = pal[: max(1, len(pal))]
-    if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
-        return pal[:, 0]
-    from .media import rgb_to_gray
+    """Palette → per-index gray values (shared `media.palette_to_gray`)."""
+    from .media import palette_to_gray
 
-    return rgb_to_gray(pal.reshape(1, -1, 3)).reshape(-1)
+    return palette_to_gray(pal)
 
 
 def _parse_frames(buf: bytes, light: bool = False):
@@ -361,10 +376,7 @@ def encode_gif_gray(img: np.ndarray, interlace: bool = False) -> bytes:
     out += bytes([0x40 if interlace else 0x00])
     rows = img
     if interlace:
-        order = np.concatenate(
-            [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
-        )
-        rows = img[order]
+        rows = img[_interlace_order(h)]
     out += bytes([8])  # LZW min code size
     data = _lzw_encode(rows.reshape(-1), 8)
     for i in range(0, len(data), 255):

@@ -141,42 +141,56 @@ def _encode_huffman_codes(bits: list[int], vals: list[int]):
 _WIN_CHUNK = 1 << 20  # window entries materialized at a time (see below)
 
 
+def _win_slice_msb(data: bytes, cbase: int, cend: int) -> list[int]:
+    """win[i-cbase] = the 16-bit MSB-first window starting at bit i
+    (zero-padded past the end), for i in [cbase, cend) — computed from
+    ONLY the covering byte range, so peak heap is bounded by the chunk,
+    not the stream."""
+    b0 = cbase >> 3
+    b1 = min(len(data), ((cend + 16) >> 3) + 1)
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8, offset=b0, count=b1 - b0)
+    ).astype(np.uint32)
+    lo = cbase - b0 * 8
+    n = cend - cbase
+    padded = np.concatenate([bits[lo:], np.zeros(16, dtype=np.uint32)])
+    acc = np.zeros(n, dtype=np.uint32)
+    for k in range(16):
+        acc += padded[k : k + n] << np.uint32(15 - k)
+    return acc.tolist()
+
+
 class _BitReader:
     """MSB-first reader over entropy-coded data with 0xFF00 unstuffing.
 
-    ``acc[i]`` is the 16-bit window starting at bit i (zero-padded past the
-    end), precomputed vectorized — one Huffman symbol or magnitude field is
-    then a single index, which is what turned the per-symbol loop from
-    ~10 µs to ~0.5 µs (the 10-20× decode speedup in BASELINE.md's
-    per-format table).  Plain-int list indexing is the fast path, but a
-    full ``acc.tolist()`` is ~36 bytes of heap per input BIT (a 4 MB scan
-    would transiently hold >1 GB per task slot), so windows materialize in
-    bounded ``_WIN_CHUNK`` slices: access is sequential, each slice is
-    built exactly once (same total tolist cost, ~36 MB peak), and inputs
-    smaller than one chunk never refill at all.
+    The 16-bit window starting at bit i — one Huffman symbol or magnitude
+    field is a single list index, which is what turned the per-symbol loop
+    from ~10 µs to ~0.5 µs (the 10-20× decode speedup in BASELINE.md's
+    per-format table).  Windows are computed vectorized in bounded
+    ``_WIN_CHUNK`` slices FROM THE RAW BYTES of that slice only (a full
+    per-bit int list is ~36 B of heap per input BIT, and even a retained
+    uint32 window array is 32 B per input byte — both blow up multi-MB
+    scans); access is sequential so each slice is built exactly once, and
+    inputs smaller than one chunk never refill at all.
     """
 
-    __slots__ = ("acc", "nbits", "pos", "_chunk", "_base")
+    __slots__ = ("data", "nbits", "pos", "_chunk", "_base")
 
     def __init__(self, data: bytes):
         # unstuff: 0xFF 0x00 → 0xFF; markers (0xFF Dx) handled by caller
         clean = bytes(data).replace(b"\xff\x00", b"\xff")
-        bits = np.unpackbits(np.frombuffer(clean, dtype=np.uint8)).astype(np.uint32)
-        n = len(bits)
-        padded = np.concatenate([bits, np.zeros(16, dtype=np.uint32)])
-        acc = np.zeros(n, dtype=np.uint32)
-        for k in range(16):
-            acc += padded[k : k + n] << np.uint32(15 - k)
-        self.acc = acc
-        self.nbits = n
+        self.data = clean
+        self.nbits = len(clean) * 8
         self.pos = 0
         self._base = 0
-        self._chunk = acc[:_WIN_CHUNK].tolist()
+        self._chunk = _win_slice_msb(clean, 0, min(self.nbits, _WIN_CHUNK))
 
     def _refill(self, pos: int) -> int:
         base = pos - (pos % _WIN_CHUNK)
         self._base = base
-        self._chunk = self.acc[base : base + _WIN_CHUNK].tolist()
+        self._chunk = _win_slice_msb(
+            self.data, base, min(self.nbits, base + _WIN_CHUNK)
+        )
         return pos - base
 
     def read_bits(self, n: int) -> int:
@@ -429,7 +443,7 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     # covers acc[cbase:cend], accesses subtract cbase.  An MCU consumes at
     # most ~12.3k bits (6 blocks × 64 coeffs × 32 bits), so refilling with
     # a 16k margin at MCU granularity keeps every inner access in-chunk.
-    acc_nd, nbits, bpos = reader.acc, reader.nbits, reader.pos
+    rdata, nbits, bpos = reader.data, reader.nbits, reader.pos
     cbase, cend = 0, min(nbits, _WIN_CHUNK)
     win = reader._chunk
     _MCU_MARGIN = 16384
@@ -437,14 +451,14 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
         for _mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
                 reader = _BitReader(next(seg_iter))
-                acc_nd, nbits, bpos = reader.acc, reader.nbits, 0
+                rdata, nbits, bpos = reader.data, reader.nbits, 0
                 cbase, cend = 0, min(nbits, _WIN_CHUNK)
                 win = reader._chunk
                 pred = [0] * len(comps)
             if bpos + _MCU_MARGIN > cend and cend < nbits:
                 cbase = bpos
                 cend = min(nbits, cbase + _WIN_CHUNK)
-                win = acc_nd[cbase:cend].tolist()
+                win = _win_slice_msb(rdata, cbase, cend)
             for ci in range(len(comps)):
                 dcsym, dcln, acsym, acln = tabs[ci]
                 idxs, vals = comp_idx[ci], comp_val[ci]

@@ -38,6 +38,16 @@ def rgb_to_gray(arr: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def palette_to_gray(pal: np.ndarray) -> np.ndarray:
+    """(N, 3) RGB palette → per-index gray LUT — the ONE shared reduction
+    (gif/bmp lanes).  Grayscale palettes map by index EXACTLY (float luma
+    of (i,i,i) truncates to i-1: 0.299+0.587+0.114 < 1.0 in binary);
+    color palettes reduce via :func:`rgb_to_gray`."""
+    if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
+        return np.ascontiguousarray(pal[:, 0])
+    return rgb_to_gray(pal.reshape(1, -1, 3)).reshape(-1)
+
+
 def encode_image(img: np.ndarray) -> bytes:
     """uint8 H×W grayscale → IMG1 bytes."""
     if img.dtype != np.uint8 or img.ndim != 2:

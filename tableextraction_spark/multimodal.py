@@ -174,6 +174,14 @@ def _raise_real_format(payload: bytes, kind: str, lib: str):
     )
 
 
+# Per-row isolation breadth for every mapInPandas stage below: the decoders
+# raise beyond ValueError (zlib.error, KeyError from malformed PDF objects,
+# struct.error on short buffers) and a crashing payload must become an error
+# ROW, never a task failure — same breadth as operators/decode_detect.py.
+# Narrowing or widening the policy happens HERE, once.
+_ROW_ERRORS = Exception
+
+
 # --- mapInPandas stages (Arrow-batched; never per-row Python at the DF level) ---
 
 RESIZED_SCHEMA = (
@@ -185,8 +193,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """(media_ref, content) image rows → nearest-neighbor resized IMG1 rows.
 
     Payloads are magic-routed through ``media.decode_page`` — IMG1, PNG,
-    JPEG (baseline/progressive), GIF, and ``%PDF`` (first page) all resize
-    natively.  1→1 map; the decode/resize/encode loop is NumPy over each
+    JPEG (baseline/progressive), GIF, BMP, and ``%PDF`` (first page) all
+    resize natively.  1→1 map; the decode/resize/encode loop is NumPy over each
     Arrow batch.  Undecodable payloads yield an ``error`` row (null
     content) instead of failing the task — the pipeline's per-row
     failure-isolation rule.
@@ -201,7 +209,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             out = []
             for ref, blob in zip(pdf["media_ref"], pdf["content"]):
                 try:
-                    # magic-routed: IMG1 / PNG / JPEG / GIF / %PDF (page 1)
+                    # magic-routed: IMG1 / PNG / JPEG / GIF / BMP / %PDF (page 1)
                     img = decode_page(bytes(blob))
                     h, w = img.shape
                     yi = (np.arange(out_h) * h // out_h).astype(np.intp)
@@ -209,10 +217,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     out.append(
                         (ref, out_w, out_h, encode_image(img[yi][:, xi]), None)
                     )
-                except Exception as exc:  # noqa: BLE001 — per-row isolation: the
-                    # decoders raise beyond ValueError (zlib.error, KeyError
-                    # from malformed PDF objects); same breadth as
-                    # operators/decode_detect.py
+                except _ROW_ERRORS as exc:  # noqa: BLE001 — see _ROW_ERRORS
                     out.append((ref, 0, 0, None, f"{type(exc).__name__}: {exc}"))
             yield pd.DataFrame(out, columns=cols)
 
@@ -251,10 +256,7 @@ def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
                         if len(rows) >= 64:  # bound memory: flush sampled frames
                             yield pd.DataFrame(rows, columns=cols)
                             rows = []
-                except Exception as exc:  # noqa: BLE001 — per-row isolation: the
-                    # decoders raise beyond ValueError (zlib.error, KeyError
-                    # from malformed PDF objects); same breadth as
-                    # operators/decode_detect.py
+                except _ROW_ERRORS as exc:  # noqa: BLE001 — see _ROW_ERRORS
                     rows.append(
                         (ref, -1, 0, 0, 0, None, f"{type(exc).__name__}: {exc}")
                     )
@@ -290,10 +292,7 @@ def audio_features(df: DataFrame) -> DataFrame:
                         float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
                         zc, None,
                     ))
-                except Exception as exc:  # noqa: BLE001 — per-row isolation: the
-                    # decoders raise beyond ValueError (zlib.error, KeyError
-                    # from malformed PDF objects); same breadth as
-                    # operators/decode_detect.py
+                except _ROW_ERRORS as exc:  # noqa: BLE001 — see _ROW_ERRORS
                     out.append((ref, 0, 0.0, 0.0, 0.0, f"{type(exc).__name__}: {exc}"))
             yield pd.DataFrame(
                 out,

@@ -129,3 +129,13 @@ def test_wav_and_flac_agree_on_features():
     f, rf = mm.decode_audio(encode_flac(pcm, 8000))
     assert rw == rf == 8000
     assert np.array_equal(w, f)  # both lossless: identical samples
+
+
+def test_truncated_at_header_crc_is_value_error_not_index_error():
+    # regression: truncation exactly at the frame-header CRC byte raised
+    # IndexError, violating the module's ValueError contract
+    blob = encode_flac(_sig(300), 8000)
+    info = parse_streaminfo(blob)
+    for cut in range(info["frames_start"], min(info["frames_start"] + 12, len(blob))):
+        with pytest.raises(ValueError):
+            decode_flac(blob[:cut])
