@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship: the full extraction pipeline (synthetic
 interleaved text+media corpus → detected tables → ordered spans).
-``queries()`` / ``oracle_sql()`` — 48 entries: operator coverage from
+``queries()`` / ``oracle_sql()`` — 49 entries: operator coverage from
 SURVEY.md §2 plus the training-data/curation ops (exact + MinHash-LSH +
 SimHash + embedding dedup, ANN with measured recall, quality / langid /
 token stats / winnowing, near-dup clustering incl. the fixpoint production
@@ -13,8 +13,9 @@ empty-on-success oracle queries (q24/q30, and q46 for the from-scratch PDF
 lane), the HTML path by q37-q39/q41/q42/q44 (golden verify, count
 invariant, boilerplate no-leak, object-row table harvest, outlink harvest
 + normalization), the multimodal lane (AVI/MJPEG frame sampling + WAV
-audio features) by q47, and the magic-routed resize stage across every
-lossless raster codec (IMG1/PNG/GIF/BMP) by q48.
+audio features) by q47, the magic-routed resize stage across every
+lossless raster codec (IMG1/PNG/GIF/BMP) by q48, and the header-only
+crawl-inventory stage (probe_media over all eight native formats) by q49.
 """
 
 from __future__ import annotations

@@ -1,0 +1,275 @@
+"""Metadata-only media probe — the "what's in this crawl?" pass.
+
+At 100 TB the FIRST job over a new corpus is never a decode: it's a
+header walk that answers *what formats, what dimensions, what durations*
+so the real pipeline can be capacity-planned and routed.  ``probe_bytes``
+reads ONLY fixed headers / box trees / frame headers — a few hundred
+bytes per payload regardless of size — and identifies every format the
+engine decodes (IMG1/PNG/JPEG/GIF/BMP/PDF pages, AUD1/WAV/FLAC audio,
+VID1/AVI/animated-GIF video) PLUS the library-bound ones (MP4/ISO-BMFF
+box walk, MP3 frame header + Xing/duration estimate, MKV/WebM, OGG), so
+a crawl inventory covers payloads the decode lanes would reject.
+
+All header formats here are public specifications (PNG ISO 15948, T.81,
+GIF89a, BMP/DIB, ISO 14496-12 BMFF, MPEG-1/2 audio frame headers, RFC
+9639 FLAC, RIFF).  Hostile-input bounds: every length clamps to the
+buffer; box/frame walks strictly advance; unknown magics return
+format='unknown' rather than raising (an inventory must count garbage,
+not die on it).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np  # noqa: F401  (kept for parity with sibling modules)
+
+_U16B = struct.Struct(">H")
+_U32B = struct.Struct(">I")
+_U16L = struct.Struct("<H")
+_U32L = struct.Struct("<I")
+
+# MPEG audio: bitrate kbps table [version V1/V2][layer 3] and sample rates
+_MP3_BITRATE_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
+_MP3_BITRATE_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def _empty() -> dict:
+    return {
+        "format": "unknown", "kind": "unknown", "width": 0, "height": 0,
+        "n_frames": 0, "duration_s": 0.0, "sample_rate": 0, "codec": "",
+    }
+
+
+def probe_bytes(payload: bytes) -> dict:
+    """Bytes → {format, kind, width, height, n_frames, duration_s,
+    sample_rate, codec} from headers only (no pixel/sample decode)."""
+    buf = bytes(payload[:64]) if len(payload) > 64 else bytes(payload)
+    full = bytes(payload)
+    out = _empty()
+    try:
+        if buf[:4] == b"IMG1":
+            _m, w, h = struct.unpack_from("<4sII", full, 0)
+            out.update(format="img1", kind="image", width=w, height=h, n_frames=1)
+        elif buf[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = _U32B.unpack_from(full, 16)[0], _U32B.unpack_from(full, 20)[0]
+            out.update(format="png", kind="image", width=w, height=h, n_frames=1)
+        elif buf[:2] == b"\xff\xd8":
+            out.update(format="jpeg", kind="image", n_frames=1, **_probe_jpeg(full))
+        elif buf[:6] in (b"GIF87a", b"GIF89a"):
+            out.update(format="gif", **_probe_gif(full))
+        elif buf[:2] == b"BM":
+            w = struct.unpack_from("<i", full, 18)[0]
+            h = abs(struct.unpack_from("<i", full, 22)[0])
+            out.update(format="bmp", kind="image", width=w, height=h, n_frames=1)
+        elif buf[:4] == b"%PDF":
+            out.update(format="pdf", kind="document",
+                       n_frames=full.count(b"/Type /Page") + full.count(b"/Type/Page"))
+        elif buf[:4] == b"AUD1":
+            rate = _U32L.unpack_from(full, 4)[0]
+            n = (len(full) - 8) // 2
+            out.update(format="aud1", kind="audio", sample_rate=rate,
+                       duration_s=n / rate if rate else 0.0)
+        elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+            out.update(format="wav", kind="audio", **_probe_wav(full))
+        elif buf[:4] == b"fLaC":
+            out.update(format="flac", kind="audio", **_probe_flac(full))
+        elif buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+            out.update(format="avi", kind="video", **_probe_avi(full))
+        elif buf[:4] == b"VID1":
+            out.update(format="vid1", kind="video",
+                       n_frames=_U32L.unpack_from(full, 4)[0])
+        elif len(buf) >= 12 and buf[4:8] == b"ftyp":
+            out.update(format="mp4", kind="video", **_probe_mp4(full))
+        elif buf[:4] == b"\x1aE\xdf\xa3":
+            out.update(format="mkv/webm", kind="video", codec="ebml")
+        elif buf[:4] == b"OggS":
+            out.update(format="ogg", kind="audio", codec="ogg")
+        elif buf[:3] == b"ID3" or (len(buf) >= 2 and buf[0] == 0xFF and buf[1] & 0xE0 == 0xE0):
+            out.update(format="mp3", kind="audio", **_probe_mp3(full))
+    except Exception:  # noqa: BLE001 — inventory counts malformed, never dies
+        out["codec"] = "malformed"
+    return out
+
+
+def _probe_jpeg(buf: bytes) -> dict:
+    """Marker walk to SOFx for dims + baseline/progressive tag."""
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            break
+        marker = buf[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2):
+            h = _U16B.unpack_from(buf, pos + 5)[0]
+            w = _U16B.unpack_from(buf, pos + 7)[0]
+            return {
+                "width": w, "height": h,
+                "codec": "progressive" if marker == 0xC2 else "baseline",
+            }
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        pos += 2 + _U16B.unpack_from(buf, pos + 2)[0]
+    return {}
+
+
+def _probe_gif(buf: bytes) -> dict:
+    """LSD dims + image-descriptor count (structural walk, no LZW)."""
+    from .gif import _parse_frames
+
+    w = _U16L.unpack_from(buf, 6)[0]
+    h = _U16L.unpack_from(buf, 8)[0]
+    n = sum(1 for _ in _parse_frames(buf, light=True))
+    return {
+        "kind": "video" if n > 1 else "image",
+        "width": w, "height": h, "n_frames": n,
+    }
+
+
+def _probe_wav(buf: bytes) -> dict:
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(buf)) as w:
+        rate, nfr = w.getframerate(), w.getnframes()
+        return {
+            "sample_rate": rate,
+            "duration_s": nfr / rate if rate else 0.0,
+            "codec": f"pcm{w.getsampwidth() * 8}",
+        }
+
+
+def _probe_flac(buf: bytes) -> dict:
+    from .flac import parse_streaminfo
+
+    info = parse_streaminfo(buf)
+    rate = info["sample_rate"]
+    return {
+        "sample_rate": rate,
+        "duration_s": info["total_samples"] / rate if rate else 0.0,
+        "codec": f"flac{info['bps']}",
+    }
+
+
+def _probe_avi(buf: bytes) -> dict:
+    """avih header only: µs/frame, frame count, dims."""
+    # RIFF(12) 'LIST'(4) size(4) 'hdrl'(4) 'avih'(4) size(4) → fields at 32
+    if buf[12:16] != b"LIST" or buf[20:24] != b"hdrl" or buf[24:28] != b"avih":
+        return {}
+    usec, _mb, _pad, _fl, total = struct.unpack_from("<5I", buf, 32)
+    w, h = struct.unpack_from("<II", buf, 32 + 32)
+    return {
+        "width": w, "height": h, "n_frames": total,
+        "duration_s": total * usec / 1e6, "codec": "mjpeg",
+    }
+
+
+def _probe_mp4(buf: bytes) -> dict:
+    """ISO-BMFF box walk: ftyp brand; moov/mvhd duration; trak/tkhd dims."""
+    brand = buf[8:12].decode("ascii", "replace")
+    out = {"codec": brand}
+
+    def walk(start: int, end: int, depth: int = 0):
+        pos = start
+        while pos + 8 <= end and depth < 8:
+            size = _U32B.unpack_from(buf, pos)[0]
+            btype = buf[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    return
+                size = struct.unpack_from(">Q", buf, pos + 8)[0]
+                body = pos + 16
+            else:
+                body = pos + 8
+            stop = min(end, pos + max(8, size))
+            if btype == b"mvhd" and body + 20 <= stop:
+                ver = buf[body]
+                if ver == 1:
+                    scale = _U32B.unpack_from(buf, body + 20)[0]
+                    dur = struct.unpack_from(">Q", buf, body + 24)[0]
+                else:
+                    scale = _U32B.unpack_from(buf, body + 12)[0]
+                    dur = _U32B.unpack_from(buf, body + 16)[0]
+                if scale:
+                    out["duration_s"] = dur / scale
+            elif btype == b"tkhd" and stop - body >= 84:
+                ver = buf[body]
+                off = stop - 8  # width/height are the LAST two 16.16 fields
+                w = _U32B.unpack_from(buf, off)[0] >> 16
+                h = _U32B.unpack_from(buf, off + 4)[0] >> 16
+                if w and h:
+                    out["width"], out["height"] = w, h
+            elif btype in (b"moov", b"trak", b"mdia"):
+                walk(body, stop, depth + 1)
+            if size < 8:
+                return  # refuse to loop on garbage sizes
+            pos += size
+    walk(0, len(buf))
+    return out
+
+
+def _probe_mp3(buf: bytes) -> dict:
+    """First MPEG audio frame header (after any ID3v2 tag): version/layer/
+    bitrate/samplerate; duration estimated as filesize/bitrate (CBR)."""
+    pos = 0
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        # syncsafe 28-bit tag size
+        sz = (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
+        pos = 10 + sz
+    end = min(len(buf) - 4, pos + 4096)
+    while pos <= end:
+        if buf[pos] == 0xFF and buf[pos + 1] & 0xE0 == 0xE0:
+            ver = (buf[pos + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (buf[pos + 1] >> 1) & 0x3  # 1 = Layer III
+            brx = (buf[pos + 2] >> 4) & 0xF
+            srx = (buf[pos + 2] >> 2) & 0x3
+            if ver != 1 and layer == 1 and srx < 3:
+                rates = _MP3_RATES.get(ver)
+                table = _MP3_BITRATE_V1_L3 if ver == 3 else _MP3_BITRATE_V2_L3
+                kbps = table[brx]
+                rate = rates[srx] if rates else 0
+                dur = len(buf) * 8 / (kbps * 1000) if kbps else 0.0
+                return {
+                    "sample_rate": rate,
+                    "duration_s": round(dur, 3),
+                    "codec": f"mpeg{'1' if ver == 3 else '2'}-l3@{kbps}kbps",
+                }
+        pos += 1
+    return {"codec": "mpeg-audio"}
+
+
+# ------------------------------------------------------------ Spark stage
+
+PROBE_SCHEMA = (
+    "media_ref string, format string, kind string, width int, height int, "
+    "n_frames int, duration_s double, sample_rate int, codec string"
+)
+
+_PROBE_COLS = [
+    "media_ref", "format", "kind", "width", "height",
+    "n_frames", "duration_s", "sample_rate", "codec",
+]
+
+
+def probe_media(df):
+    """(media_ref, content) rows → one inventory row per payload.
+
+    Header-only: bytes read per row are O(header), not O(payload) — this
+    is the stage a 100 TB corpus runs FIRST (scan → map → agg by format,
+    zero shuffles before the final counts).  ``probe_bytes`` never raises:
+    garbage classifies as format='unknown' and stays countable.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["content"]):
+                d = probe_bytes(bytes(blob))
+                rows.append((ref, d["format"], d["kind"], d["width"],
+                             d["height"], d["n_frames"], d["duration_s"],
+                             d["sample_rate"], d["codec"]))
+            yield pd.DataFrame(rows, columns=_PROBE_COLS)
+
+    return df.select("media_ref", "content").mapInPandas(gen, PROBE_SCHEMA)

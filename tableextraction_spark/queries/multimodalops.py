@@ -264,7 +264,139 @@ def q48_resize_format_verify(spark, sf_dir):
     )
 
 
+INVENTORY_FORMATS = ("img1", "png", "jpeg", "gif", "bmp", "wav", "flac", "avi")
+INVENTORY_SCHEMA = "media_ref string, content binary"
+
+
+def _inventory_batches(batches: Iterator) -> Iterator:
+    import numpy as np
+    import pandas as pd
+
+    from ..avi import encode_avi_mjpeg
+    from ..bmp import encode_bmp_gray
+    from ..flac import encode_flac
+    from ..gif import encode_gif_gray
+    from ..jpeg import encode_jpeg_gray
+    from ..media import encode_image
+    from ..multimodal import encode_wav
+    from ..png import encode_png
+
+    for pdf in batches:
+        rows = []
+        for i in pdf["i"]:
+            i = int(i)
+            fmt = INVENTORY_FORMATS[i % len(INVENTORY_FORMATS)]
+            h, w = 24 + 8 * (i % 3), 32 + 8 * (i % 2)
+            y, x = np.mgrid[0:h, 0:w]
+            img = ((x + y + i) % 256).astype(np.uint8)
+            ln = 4000 + 500 * (i % 4)
+            pcm = ((np.arange(ln) * 37) % 4096 - 2048).astype(np.int16)
+            nf = 3 + i % 5
+            enc = {
+                "img1": lambda: encode_image(img),
+                "png": lambda: encode_png(img),
+                "jpeg": lambda: encode_jpeg_gray(img),
+                "gif": lambda: encode_gif_gray(img),
+                "bmp": lambda: encode_bmp_gray(img),
+                "wav": lambda: encode_wav(pcm, 8000),
+                "flac": lambda: encode_flac(pcm, 8000),
+                "avi": lambda: encode_avi_mjpeg(
+                    [encode_jpeg_gray(img)] * nf, w, h, fps=10
+                ),
+            }[fmt]
+            rows.append((f"{fmt}-{i:04d}", enc()))
+        yield pd.DataFrame(rows, columns=["media_ref", "content"])
+
+
+def q49_media_inventory_verify(spark, sf_dir):
+    """The crawl-inventory stage (header-only `probe_media`) in the hard
+    gate, empty-on-success: a distributed mixed-format corpus (all eight
+    native formats in one batch) probes to exactly the format / kind /
+    dimensions / sample-rate / duration the plan arithmetic predicts —
+    every field compared as a string so one query pins the whole row."""
+    from ..probe import probe_media
+
+    n = _n_clips_for(sf_dir)
+    idx = spark.range(n).select(F.col("id").cast("int").alias("i"))
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in INVENTORY_FORMATS]),
+        (F.col("i") % len(INVENTORY_FORMATS)) + 1,
+    )
+    is_img = fmt.isin("img1", "png", "jpeg", "gif", "bmp")
+    is_aud = fmt.isin("wav", "flac")
+    h = F.lit(24) + (F.col("i") % 3) * 8
+    w = F.lit(32) + (F.col("i") % 2) * 8
+    ln = F.lit(4000) + (F.col("i") % 4) * 500
+    nf = F.lit(3) + F.col("i") % 5
+    exp = idx.select(
+        F.concat(fmt, F.lit("-"), F.lpad(F.col("i").cast("string"), 4, "0")).alias(
+            "media_ref"
+        ),
+        fmt.alias("want_format"),
+        F.when(is_img, "image").when(is_aud, "audio").otherwise("video").alias(
+            "want_kind"
+        ),
+        F.when(is_aud, 0).otherwise(w).cast("string").alias("want_w"),
+        F.when(is_aud, 0).otherwise(h).cast("string").alias("want_h"),
+        F.when(is_aud, 8000).otherwise(0).cast("string").alias("want_rate"),
+        # audio: exact dyadic len/8000; avi: nf*100000/1e6 (fps=10) — both
+        # computed with the same double ops the probe uses
+        F.when(is_aud, ln.cast("double") / F.lit(8000.0))
+        .when(fmt == "avi", (nf * F.lit(100000)).cast("double") / F.lit(1000000.0))
+        .otherwise(F.lit(0.0))
+        .cast("string")
+        .alias("want_dur"),
+        F.when(fmt == "avi", nf).when(is_img, 1).otherwise(0).cast("string").alias(
+            "want_frames"
+        ),
+    )
+    media = idx.mapInPandas(_inventory_batches, INVENTORY_SCHEMA)
+    got = probe_media(media).select(
+        "media_ref",
+        F.col("format").alias("got_format"),
+        F.col("kind").alias("got_kind"),
+        F.col("width").cast("string").alias("got_w"),
+        F.col("height").cast("string").alias("got_h"),
+        F.col("sample_rate").cast("string").alias("got_rate"),
+        F.col("duration_s").cast("string").alias("got_dur"),
+        F.col("n_frames").cast("string").alias("got_frames"),
+    )
+    joined = got.join(exp, "media_ref", "full")
+    checks = [
+        ("inv_format", "got_format", "want_format"),
+        ("inv_kind", "got_kind", "want_kind"),
+        ("inv_width", "got_w", "want_w"),
+        ("inv_height", "got_h", "want_h"),
+        ("inv_sample_rate", "got_rate", "want_rate"),
+        ("inv_duration", "got_dur", "want_dur"),
+        ("inv_n_frames", "got_frames", "want_frames"),
+    ]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(g).alias("got"),
+                F.col(wv).alias("want"),
+            )
+            for name, g, wv in checks
+        ]
+    )
+    return (
+        joined.select("media_ref", F.explode(arr).alias("c"))
+        .where(~F.col("c.got").eqNullSafe(F.col("c.want")))
+        .select("media_ref", "c.check", "c.got", "c.want")
+    )
+
+
+Q49_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS media_ref, CAST(NULL AS VARCHAR) AS check,
+       CAST(NULL AS VARCHAR) AS got, CAST(NULL AS VARCHAR) AS want
+WHERE 1 = 0
+"""
+
+
 QUERIES = {
     "q47_multimodal_verify": (q47_multimodal_verify, Q47_SQL),
     "q48_resize_format_verify": (q48_resize_format_verify, Q47_SQL),
+    "q49_media_inventory_verify": (q49_media_inventory_verify, Q49_SQL),
 }

@@ -1,0 +1,148 @@
+"""Metadata-only media probe: correct identification + metadata for every
+native format, container-only probing for library-bound ones (MP4 box walk,
+MP3 frame header), garbage tolerance, and the Spark inventory stage."""
+
+import struct
+
+import numpy as np
+
+from tableextraction_spark import multimodal as mm
+from tableextraction_spark.avi import encode_avi_mjpeg
+from tableextraction_spark.bmp import encode_bmp_gray
+from tableextraction_spark.flac import encode_flac
+from tableextraction_spark.gif import encode_gif_animation, encode_gif_gray
+from tableextraction_spark.jpeg import (
+    encode_jpeg_gray,
+    encode_jpeg_gray_progressive,
+)
+from tableextraction_spark.media import encode_image
+from tableextraction_spark.png import encode_png
+from tableextraction_spark.probe import probe_bytes, probe_media
+
+
+def _img(h=24, w=32):
+    y, x = np.mgrid[0:h, 0:w]
+    return ((x + y) % 256).astype(np.uint8)
+
+
+def test_image_formats():
+    img = _img()
+    for blob, fmt in [
+        (encode_image(img), "img1"),
+        (encode_png(img), "png"),
+        (encode_jpeg_gray(img), "jpeg"),
+        (encode_gif_gray(img), "gif"),
+        (encode_bmp_gray(img), "bmp"),
+    ]:
+        d = probe_bytes(blob)
+        assert (d["format"], d["kind"]) == (fmt, "image"), fmt
+        assert (d["width"], d["height"]) == (32, 24), fmt
+
+
+def test_jpeg_progressive_tagged():
+    assert probe_bytes(encode_jpeg_gray(_img()))["codec"] == "baseline"
+    assert probe_bytes(encode_jpeg_gray_progressive(_img()))["codec"] == "progressive"
+
+
+def test_animated_gif_is_video_with_frame_count():
+    d = probe_bytes(encode_gif_animation([_img()] * 4))
+    assert d["kind"] == "video" and d["n_frames"] == 4
+
+
+def test_audio_formats():
+    pcm = (np.sin(np.linspace(0, 40, 8000)) * 9000).astype(np.int16)
+    w = probe_bytes(mm.encode_wav(pcm, 8000))
+    assert (w["format"], w["sample_rate"]) == ("wav", 8000)
+    assert abs(w["duration_s"] - 1.0) < 1e-9 and w["codec"] == "pcm16"
+    f = probe_bytes(encode_flac(pcm, 8000))
+    assert (f["format"], f["sample_rate"]) == ("flac", 8000)
+    assert abs(f["duration_s"] - 1.0) < 1e-9 and f["codec"] == "flac16"
+
+
+def test_avi_metadata():
+    blobs = [encode_jpeg_gray(_img())] * 5
+    d = probe_bytes(encode_avi_mjpeg(blobs, 32, 24, fps=10))
+    assert (d["format"], d["kind"], d["codec"]) == ("avi", "video", "mjpeg")
+    assert (d["width"], d["height"], d["n_frames"]) == (32, 24, 5)
+    assert abs(d["duration_s"] - 0.5) < 1e-6
+
+
+def _mp4_fixture() -> bytes:
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + struct.pack(">II", 1000, 7500)
+    mvhd += b"\x00" * 80  # rate/volume/matrix/next-track padding
+    tkhd = bytes([0, 0, 0, 0]) + b"\x00" * 76 + struct.pack(
+        ">II", 640 << 16, 360 << 16
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    return box(b"ftyp", b"isom" + b"\x00" * 8) + moov
+
+
+def test_mp4_box_walk():
+    d = probe_bytes(_mp4_fixture())
+    assert (d["format"], d["kind"]) == ("mp4", "video")
+    assert d["codec"].startswith("isom")
+    assert abs(d["duration_s"] - 7.5) < 1e-9
+    assert (d["width"], d["height"]) == (640, 360)
+
+
+def test_mp3_frame_header():
+    # MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0): FF FB 90 00
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * 16000
+    d = probe_bytes(frame)
+    assert (d["format"], d["sample_rate"]) == ("mp3", 44100)
+    assert "128kbps" in d["codec"]
+    assert abs(d["duration_s"] - len(frame) * 8 / 128000) < 0.01
+    # and behind an ID3v2 tag
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    d2 = probe_bytes(id3 + frame)
+    assert d2["format"] == "mp3" and d2["sample_rate"] == 44100
+
+
+def test_garbage_is_unknown_never_raises():
+    for blob in (b"", b"\x00", b"garbage" * 10, b"RIFF\x04\x00\x00\x00JUNK"):
+        d = probe_bytes(blob)
+        assert d["format"] == "unknown"
+
+
+def test_truncated_headers_never_raise():
+    img = _img()
+    for blob in (encode_png(img), encode_gif_gray(img), encode_flac(
+            np.zeros(100, np.int16), 8000), _mp4_fixture()):
+        for cut in (1, 3, 7, 11, 20):
+            probe_bytes(blob[:cut])  # must not raise, whatever it returns
+
+
+def test_probe_is_header_only_fast_on_huge_payload():
+    # a 20 MB IMG1 must probe without touching the pixel bytes
+    import time
+
+    big = encode_image(np.zeros((4000, 5000), np.uint8))
+    t0 = time.time()
+    for _ in range(100):
+        d = probe_bytes(big)
+    assert (time.time() - t0) < 1.0  # ~µs/row, not ms
+    assert (d["width"], d["height"]) == (5000, 4000)
+
+
+def test_spark_inventory_stage(spark):
+    img = _img()
+    pcm = np.zeros(4000, np.int16)
+    rows = [
+        ("a", bytearray(encode_png(img))),
+        ("b", bytearray(encode_jpeg_gray(img))),
+        ("c", bytearray(mm.encode_wav(pcm, 8000))),
+        ("d", bytearray(encode_flac(pcm, 8000))),
+        ("e", bytearray(_mp4_fixture())),
+        ("f", bytearray(b"total garbage")),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    got = {r.media_ref: r for r in probe_media(df).collect()}
+    assert got["a"].format == "png" and got["a"].width == 32
+    assert got["b"].format == "jpeg"
+    assert got["c"].format == "wav" and got["c"].sample_rate == 8000
+    assert got["d"].format == "flac"
+    assert got["e"].format == "mp4" and got["e"].height == 360
+    assert got["f"].format == "unknown"
