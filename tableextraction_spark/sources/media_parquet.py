@@ -29,9 +29,9 @@ from ..operators.decode_detect import TABLES_SCHEMA, process_content_rows
 
 def list_row_groups(
     path: str, keep_doc_ids: frozenset[str] | set[str] | None = None
-) -> list[tuple[str, int]]:
-    """Enumerate (file, row_group) splits of a parquet dataset (driver-side,
-    metadata only).
+) -> list[tuple[str, int, int]]:
+    """Enumerate (file, row_group, num_rows) splits of a parquet dataset
+    (driver-side, metadata only).
 
     With ``keep_doc_ids``, row groups whose ``doc_id`` min/max statistics
     exclude every kept id are pruned here — the resume path then skips the
@@ -42,7 +42,7 @@ def list_row_groups(
     """
     keep_sorted = sorted(keep_doc_ids) if keep_doc_ids is not None else None
     ds = pq.ParquetDataset(path)
-    splits: list[tuple[str, int]] = []
+    splits: list[tuple[str, int, int]] = []
     for frag in ds.fragments:
         meta = frag.metadata or pq.ParquetFile(frag.path).metadata
         if meta.num_row_groups == 0:
@@ -70,7 +70,7 @@ def list_row_groups(
                     # no kept id in [lo, hi] → every row is committed
                     if i == len(keep_sorted) or keep_sorted[i] > hi:
                         continue
-            splits.append((frag.path, rg))
+            splits.append((frag.path, rg, meta.row_group(rg).num_rows))
     return splits
 
 
@@ -101,19 +101,37 @@ def detect_tables_python_scan(
     # of MB of decode work.  A parallelized RDD pins the partitioning where
     # AQE cannot (correctly, per its cost model) wreck it.
     #
-    # Slice count: one task per row group while that stays cheap (row groups
+    # Sub-row-group splits when row groups are COARSE relative to the
+    # cluster: small-payload media (vector PDFs at ~15 KB/page vs pixel
+    # pages at ~1 MB) packs hundreds of rows per 8 MB row group, so a
+    # 4k-doc corpus yields ~32 tasks of ~290 decode-heavy pages — a 2-wave
+    # tail at 16 cores (measured: PDF-lane scaling 0.714 raw vs 0.836 on
+    # the pixel lane, pool 0.97).  Each slice re-reads its row group's
+    # ~8 MB column chunk and skips to its row window — read amplification
+    # is pennies next to the per-row decode this path exists for.
+    if 0 < len(splits) < 2 * par:
+        k_target = -(-2 * par // len(splits))  # ceil
+        expanded = []
+        for path, rg, nrows in splits:
+            # keep slices ≥8 rows: even 8 pages is ~0.2 s of decode — real
+            # work per task — while hostile/tiny row groups stay unsliced
+            k = min(k_target, max(1, nrows // 8))
+            expanded.extend((path, rg, s, k) for s in range(k))
+    else:
+        expanded = [(path, rg, 0, 1) for path, rg, _n in splits]
+    # Slice count: one task per split while that stays cheap (row groups
     # are written ~8 MB ≈ uniform work, so 1:1 gives perfectly even tasks —
     # measured 10% faster at local[16] than 73 splits / 64 slices, where
     # contiguous slicing hands 9 tasks a double share and they become the
     # stage tail).  Beyond 16·par splits, per-task overhead dominates the
     # ≤1-row-group imbalance, so fall back to 4·par contiguous slices
     # (avg ≥4 row groups/slice → ≤25% skew).
-    if len(splits) <= 16 * par:
-        n_slices = max(1, len(splits))
+    if len(expanded) <= 16 * par:
+        n_slices = max(1, len(expanded))
     else:
         n_slices = 4 * par
-    rdd = spark.sparkContext.parallelize(splits, n_slices)
-    sdf = spark.createDataFrame(rdd, "path string, rg int")
+    rdd = spark.sparkContext.parallelize(expanded, n_slices)
+    sdf = spark.createDataFrame(rdd, "path string, rg int, sl int, k int")
     bc_keep = (
         spark.sparkContext.broadcast(frozenset(keep_doc_ids))
         if keep_doc_ids is not None
@@ -127,15 +145,30 @@ def detect_tables_python_scan(
         for b in batches:
             paths = b.column("path").to_pylist()
             rgs = b.column("rg").to_pylist()
-            for path, rg in zip(paths, rgs):
+            sls = b.column("sl").to_pylist()
+            ks = b.column("k").to_pylist()
+            for path, rg, sl, k in zip(paths, rgs, sls, ks):
                 # stream the row group in bounded batches — a media row group
                 # can hold hundreds of MB of pixels; never materialize it
                 pf = pq.ParquetFile(path)
+                nrows = pf.metadata.row_group(rg).num_rows
+                lo = sl * nrows // k  # this slice owns rows [lo, hi)
+                hi = (sl + 1) * nrows // k
+                off = 0
                 for rb in pf.iter_batches(
                     batch_size=64,
                     row_groups=[rg],
                     columns=["doc_id", "media_ref", "page_no", "content"],
                 ):
+                    b_lo, b_hi = off, off + rb.num_rows
+                    off = b_hi
+                    if b_hi <= lo:
+                        continue  # before this slice's window
+                    if b_lo >= hi:
+                        break  # past it — stop reading
+                    if b_lo < lo or b_hi > hi:
+                        s = max(lo, b_lo) - b_lo
+                        rb = rb.slice(s, min(hi, b_hi) - max(lo, b_lo))
                     if bc_keep is not None:
                         keep = bc_keep.value
                         idx = [

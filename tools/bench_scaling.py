@@ -33,10 +33,11 @@ from bench import ensure_corpus
 from tableextraction_spark.pipeline import extract_spans
 
 cores = int(sys.argv[1]); n_docs = int(sys.argv[2]); reps = int(sys.argv[3])
+codec = sys.argv[4] if len(sys.argv) > 4 else "img1"
 spark = get_spark(app=f"scale{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
-docs_path, blobs_path = ensure_corpus(spark, n_docs)
+docs_path, blobs_path = ensure_corpus(spark, n_docs, codec=codec)
 docs = spark.read.parquet(docs_path)
 n_pages = spark.read.parquet(blobs_path).count()
 def consume(df):  # noop sink: full computation, no count-based join elimination
@@ -100,7 +101,8 @@ from tableextraction_spark.session import get_spark
 from bench import ensure_corpus
 spark = get_spark(app="gen", master="local[32]")
 spark.sparkContext.setLogLevel("ERROR")
-ensure_corpus(spark, int(sys.argv[1]))
+ensure_corpus(spark, int(sys.argv[1]),
+              codec=sys.argv[2] if len(sys.argv) > 2 else "img1")
 print('{{"generated": true}}')
 spark.stop()
 """
@@ -119,13 +121,18 @@ def main():
     # 0.67-0.80 while the pool baseline swung 0.665-1.024; min-over-4 spans
     # the noise bursts (measured 0.888 where 2-rep windows said ~0.78)
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    # codec 'pdf' runs the same gate over the from-scratch PDF lane (the
+    # north metric verbatim); size the corpus down — pdfx is ~8× the IMG1
+    # per-page cost, so the run lengths stay in the same fixed-cost-amortized
+    # regime as 24k IMG1 docs
+    codec = sys.argv[5] if len(sys.argv) > 5 else "img1"
 
     child = _CHILD.format(repo=REPO)
     pool = _POOL_CHILD.format(repo=REPO)
     # generate the corpus once at full width, outside any measured child
-    _run(_PREGEN.format(repo=REPO), [str(n_docs)])
-    r_lo = _run(child, [str(lo), str(n_docs), str(reps)])
-    r_hi = _run(child, [str(hi), str(n_docs), str(reps)])
+    _run(_PREGEN.format(repo=REPO), [str(n_docs), codec])
+    r_lo = _run(child, [str(lo), str(n_docs), str(reps), codec])
+    r_hi = _run(child, [str(hi), str(n_docs), str(reps), codec])
     p_lo = _run(pool, [str(lo), str(reps)])
     p_hi = _run(pool, [str(hi), str(reps)])
 
@@ -135,6 +142,7 @@ def main():
     norm = eff / hw if hw > 0 else None
     print(json.dumps({
         "n_docs": n_docs,
+        "codec": codec,
         "levels": [lo, hi],
         f"local{lo}": r_lo,
         f"local{hi}": r_hi,
