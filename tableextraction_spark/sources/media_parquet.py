@@ -106,11 +106,12 @@ def detect_tables_python_scan(
     # pages at ~1 MB) packs hundreds of rows per 8 MB row group, so a
     # 4k-doc corpus yields ~32 tasks of ~290 decode-heavy pages — a 2-wave
     # tail at 16 cores (measured: PDF-lane scaling 0.714 raw vs 0.836 on
-    # the pixel lane, pool 0.97).  Each slice re-reads its row group's
-    # ~8 MB column chunk and skips to its row window — read amplification
-    # is pennies next to the per-row decode this path exists for.
-    if 0 < len(splits) < 2 * par:
-        k_target = -(-2 * par // len(splits))  # ceil
+    # the pixel lane, pool 0.97).  Target ≈4·par slices: ≥4 waves keeps the
+    # straggler tail under ~¼ wave.  Each slice re-reads its row group's
+    # ~8 MB column chunk up to its row window — read amplification is
+    # pennies next to the per-row decode this path exists for.
+    if 0 < len(splits) < 4 * par:
+        k_target = -(-4 * par // len(splits))  # ceil
         expanded = []
         for path, rg, nrows in splits:
             # keep slices ≥8 rows: even 8 pages is ~0.2 s of decode — real
