@@ -2,11 +2,13 @@
 
 ``entry(spark)`` — flagship: the full extraction pipeline (synthetic
 interleaved text+media corpus → detected tables → ordered spans).
-``queries()`` / ``oracle_sql()`` — 49 entries: operator coverage from
+``queries()`` / ``oracle_sql()`` — 52 entries: operator coverage from
 SURVEY.md §2 plus the training-data/curation ops (exact + MinHash-LSH +
 SimHash + embedding dedup, ANN with measured recall, quality / langid /
 token stats / winnowing, near-dup clustering incl. the fixpoint production
-path, stratified sampling, verbatim + fuzzy benchmark decontamination) and
+path, stratified sampling, verbatim + fuzzy benchmark decontamination,
+Gopher-style repetition signals, CCNet-style cross-corpus chunk dedup,
+PII masking) and
 the HTML main-content path (DOM boilerplate strip), each with a DuckDB
 oracle where ANSI-SQL-expressible; the geometry flagship is gated by
 empty-on-success oracle queries (q24/q30, and q46 for the from-scratch PDF

@@ -15,9 +15,11 @@ from .extraction import QUERIES as _EXTRACT
 from .pipelineops import QUERIES as _PIPE
 from .htmlops import QUERIES as _HTML
 from .multimodalops import QUERIES as _MM
+from .scrubops import QUERIES as _SCRUB
+from .warcops import QUERIES as _WARC
 
 REGISTRY: dict = {}
-for part in (_REL, _TEXT, _VEC, _EXTRACT, _PIPE, _HTML, _MM):
+for part in (_REL, _TEXT, _VEC, _EXTRACT, _PIPE, _HTML, _MM, _SCRUB, _WARC):
     overlap = REGISTRY.keys() & part.keys()
     if overlap:  # pragma: no cover
         raise AssertionError(f"duplicate query names: {overlap}")
