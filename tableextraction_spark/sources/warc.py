@@ -1,0 +1,327 @@
+"""From-scratch WARC reader/writer — the container web crawls actually ship
+(ISO 28500 / WARC 1.1; Common Crawl layout).  No warcio or other library:
+stdlib ``zlib`` + bytes parsing, same no-library standard as png/jpeg/pdfx.
+
+Format (published spec):
+- A WARC file is a concatenation of records::
+
+      WARC/1.1\\r\\n
+      Header-Name: value\\r\\n ...
+      \\r\\n
+      <Content-Length bytes of content block>
+      \\r\\n\\r\\n
+
+- ``WARC-Type: response`` records carry a full HTTP response (status line,
+  headers, body) as their content block; ``WARC-Target-URI`` is the URL.
+- Common Crawl compresses each record as its OWN gzip member and
+  concatenates the members (``.warc.gz``) — so a reader that walks member
+  boundaries gets record-level random access, which is exactly what makes
+  the format splittable at 100 TB: a task can own a byte range and start at
+  the first member boundary past its range start.
+
+Scale shape: WARC files are the INPUT layout; ``warc_to_docs`` runs one
+Arrow-batched ``mapInPandas`` over (path, payload) rows — per-file work,
+per-record error capture (a malformed record yields an error row, never a
+task failure), zero shuffles.  Downstream the rows join the normal html /
+media pipeline.
+
+Hostile-input bounds: every length field is clamped to the enclosing
+buffer, offsets strictly advance, and the member walk gives up (error row)
+rather than spin on truncated/corrupt gzip — same discipline as avi.py.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+_MAX_HEADER = 64 * 1024        # a WARC/HTTP header block beyond 64 KiB is hostile
+_MAX_MEMBERS = 1_000_000       # gzip members per file (backstop, not a limit)
+
+
+# --- gzip member walk (Common Crawl layout: one record per member) ---
+
+def gunzip_members(buf: bytes) -> list[tuple[int, int, bytes]]:
+    """All gzip members of ``buf`` → [(offset, compressed_len, data)].
+
+    Uses ``zlib.decompressobj(wbits=31)`` per member; ``unused_data`` marks
+    the next member's offset, so the walk needs no magic-byte scanning (a
+    deflate stream can contain 1f 8b legitimately).  Raises ValueError on a
+    corrupt/truncated member — callers capture per row.
+    """
+    out = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if buf[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"not a gzip member at offset {pos}")
+        d = zlib.decompressobj(wbits=31)
+        try:
+            data = d.decompress(buf[pos:])
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member at offset {pos}: {e}")
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        end = n - len(d.unused_data)
+        out.append((pos, end - pos, data))
+        if end <= pos or len(out) >= _MAX_MEMBERS:
+            raise ValueError("gzip member walk did not advance")
+        pos = end
+    return out
+
+
+# --- WARC record parsing (uncompressed bytes) ---
+
+def _parse_header_block(buf: bytes, pos: int) -> tuple[dict[str, str], int]:
+    """Headers starting at ``pos`` until blank line → (headers, body_offset).
+    Tolerates bare-LF line endings (real crawls contain them)."""
+    # whichever blank line comes FIRST terminates the block: an LF-style
+    # header block can be followed by a CRLF-style body that contains the
+    # other terminator later (e.g. bare-LF WARC headers over an HTTP block)
+    crlf = buf.find(b"\r\n\r\n", pos, pos + _MAX_HEADER)
+    lf = buf.find(b"\n\n", pos, pos + _MAX_HEADER)
+    if crlf >= 0 and (lf < 0 or crlf <= lf):
+        end, sep = crlf, 4
+    elif lf >= 0:
+        end, sep = lf, 2
+    else:
+        raise ValueError("unterminated header block")
+    headers: dict[str, str] = {}
+    for line in buf[pos:end].replace(b"\r\n", b"\n").split(b"\n"):
+        if b":" not in line:
+            continue
+        k, v = line.split(b":", 1)
+        headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+    return headers, end + sep
+
+
+def parse_warc_records(buf: bytes) -> list[dict]:
+    """Records of an UNCOMPRESSED WARC buffer.  Each record dict:
+    ``{"headers": {lowercased: value}, "content": bytes}``.  Content-Length
+    is clamped to the buffer; the walk strictly advances."""
+    records = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # skip inter-record padding (spec: two CRLFs; be liberal)
+        while pos < n and buf[pos] in (0x0D, 0x0A):
+            pos += 1
+        if pos >= n:
+            break
+        if not buf.startswith(b"WARC/", pos):
+            raise ValueError(f"expected WARC version line at offset {pos}")
+        line_end = buf.find(b"\n", pos)
+        if line_end < 0:
+            raise ValueError("truncated version line")
+        headers, body_off = _parse_header_block(buf, line_end + 1)
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            raise ValueError("bad Content-Length")
+        clen = max(0, min(clen, n - body_off))  # clamp: never read past EOF
+        records.append(
+            {"headers": headers, "content": buf[body_off : body_off + clen]}
+        )
+        nxt = body_off + clen
+        if nxt <= pos:
+            raise ValueError("record walk did not advance")
+        pos = nxt
+    return records
+
+
+# --- HTTP response payload extraction ---
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode Transfer-Encoding: chunked.  Sizes are hex, clamped to the
+    buffer; a malformed size line aborts (ValueError) rather than loops."""
+    out = []
+    pos = 0
+    n = len(body)
+    while pos < n:
+        le = body.find(b"\r\n", pos)
+        if le < 0:
+            raise ValueError("truncated chunk size line")
+        size_s = body[pos:le].split(b";", 1)[0].strip()
+        size = int(size_s, 16)  # ValueError on garbage → per-row capture
+        if size == 0:
+            break
+        start = le + 2
+        if start + size > n:
+            raise ValueError("chunk overruns buffer")
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip trailing CRLF
+    return b"".join(out)
+
+
+def parse_http_response(body: bytes) -> tuple[int, dict[str, str], bytes]:
+    """HTTP response bytes → (status, headers, decoded payload).
+
+    Handles Transfer-Encoding: chunked and Content-Encoding: gzip/deflate
+    (zlib; auto wbits).  Raises ValueError on malformed input.
+    """
+    if not body.startswith(b"HTTP/"):
+        raise ValueError("not an HTTP response")
+    line_end = body.find(b"\n", 0, _MAX_HEADER)
+    if line_end < 0:
+        raise ValueError("truncated status line")
+    parts = body[:line_end].strip().split(None, 2)
+    if len(parts) < 2:
+        raise ValueError("bad status line")
+    status = int(parts[1])
+    headers, payload_off = _parse_header_block(body, line_end + 1)
+    payload = body[payload_off:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        payload = _dechunk(payload)
+    enc = headers.get("content-encoding", "").lower()
+    if enc in ("gzip", "x-gzip"):
+        payload = zlib.decompress(payload, wbits=31)
+    elif enc == "deflate":
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:  # raw-deflate servers exist; spec-tolerated
+            payload = zlib.decompress(payload, wbits=-15)
+    return status, headers, payload
+
+
+def _charset_of(content_type: str) -> str:
+    for part in content_type.split(";")[1:]:
+        k, _, v = part.strip().partition("=")
+        if k.strip().lower() == "charset" and v:
+            return v.strip().strip("\"'")
+    return "utf-8"
+
+
+def iter_warc_docs(buf: bytes):
+    """One WARC file's bytes (gzip members or plain) → doc row tuples
+    ``(url, record_id, warc_date, http_status, content_type, payload,
+    error)``.  Only ``WARC-Type: response`` records emit rows; a record
+    that fails to parse emits an error row with its URL when known.
+    """
+    if buf[:2] == b"\x1f\x8b":
+        raw = b"".join(data for _o, _l, data in gunzip_members(buf))
+    else:
+        raw = buf
+    for rec in parse_warc_records(raw):
+        h = rec["headers"]
+        if h.get("warc-type", "").lower() != "response":
+            continue
+        url = h.get("warc-target-uri", "")
+        rid = h.get("warc-record-id", "")
+        date = h.get("warc-date", "")
+        try:
+            status, hh, payload = parse_http_response(rec["content"])
+            ctype = hh.get("content-type", "").split(";")[0].strip().lower()
+            yield (url, rid, date, status, ctype, payload, None)
+        except (ValueError, zlib.error) as e:
+            yield (url, rid, date, None, None, None, f"{type(e).__name__}: {e}")
+
+
+DOCS_SCHEMA = (
+    "warc_path string, url string, record_id string, warc_date string, "
+    "http_status int, content_type string, payload binary, error string"
+)
+
+
+def warc_to_docs(spark, files_df):
+    """(path, content) rows of WARC files → one row per response record.
+
+    ``files_df`` columns: ``path string, content binary`` (e.g. from
+    ``spark.read.format("binaryFile")`` or any listing).  One Arrow-batched
+    ``mapInPandas`` — per-file iteration, per-record error capture, zero
+    shuffles; downstream filters (content_type = 'text/html') push into the
+    same narrow plan.
+    """
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for r in iter_warc_docs(bytes(content)):
+                        rows.append((path, *r))
+                except (ValueError, zlib.error) as e:
+                    rows.append(
+                        (path, None, None, None, None, None, None,
+                         f"{type(e).__name__}: {e}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_path", "url", "record_id", "warc_date",
+                    "http_status", "content_type", "payload", "error",
+                ],
+            )
+
+    return files_df.select("path", "content").mapInPandas(gen, DOCS_SCHEMA)
+
+
+def html_text(payload: bytes, content_type: str) -> str:
+    """Decode an html payload per its charset parameter (errors replaced)."""
+    return payload.decode(_charset_of(content_type), errors="replace")
+
+
+# --- fixture writer (tests + gate corpus; standards-shaped output) ---
+
+def encode_http_response(
+    payload: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+    chunked: bool = False,
+    gzip_body: bool = False,
+) -> bytes:
+    reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently"}.get(
+        status, "X"
+    )
+    body = payload
+    headers = [f"Content-Type: {content_type}"]
+    if gzip_body:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        body = co.compress(body) + co.flush()
+        headers.append("Content-Encoding: gzip")
+    if chunked:
+        headers.append("Transfer-Encoding: chunked")
+        out, pos = [], 0
+        while pos < len(body):
+            chunk = body[pos : pos + 977]  # odd size: exercises split points
+            out.append(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+            pos += len(chunk)
+        out.append(b"0\r\n\r\n")
+        body = b"".join(out)
+    else:
+        headers.append(f"Content-Length: {len(body)}")
+    head = f"HTTP/1.1 {status} {reason}\r\n" + "\r\n".join(headers)
+    return head.encode() + b"\r\n\r\n" + body
+
+
+def encode_warc_record(
+    warc_type: str,
+    content: bytes,
+    url: str = "",
+    record_id: str = "",
+    date: str = "2024-01-01T00:00:00Z",
+) -> bytes:
+    h = [
+        "WARC/1.1",
+        f"WARC-Type: {warc_type}",
+        f"WARC-Date: {date}",
+        f"WARC-Record-ID: <urn:uuid:{record_id or 'fixture'}>",
+        f"Content-Length: {len(content)}",
+    ]
+    if url:
+        h.insert(2, f"WARC-Target-URI: {url}")
+    if warc_type == "response":
+        h.append("Content-Type: application/http; msgtype=response")
+    return "\r\n".join(h).encode() + b"\r\n\r\n" + content + b"\r\n\r\n"
+
+
+def encode_warc(records: list[bytes], per_record_gzip: bool = True) -> bytes:
+    """Records → one .warc(.gz) byte string.  ``per_record_gzip`` writes the
+    Common Crawl layout (one gzip member per record, concatenated)."""
+    if not per_record_gzip:
+        return b"".join(records)
+    out = []
+    for rec in records:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        out.append(co.compress(rec) + co.flush())
+    return b"".join(out)

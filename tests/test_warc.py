@@ -1,0 +1,156 @@
+"""From-scratch WARC reader (ISO 28500; Common Crawl per-record-gzip
+layout): round-trips, HTTP payload decoding (chunked / gzip / charset),
+hostile-input bounds, and the distributed warc_to_docs stage."""
+
+import zlib
+
+import pytest
+
+from tableextraction_spark.sources.warc import (
+    encode_http_response,
+    encode_warc,
+    encode_warc_record,
+    gunzip_members,
+    html_text,
+    iter_warc_docs,
+    parse_http_response,
+    parse_warc_records,
+    warc_to_docs,
+)
+
+HTML = b"<html><head><title>T</title></head><body>hello world</body></html>"
+
+
+def _fixture_records():
+    return [
+        encode_warc_record("warcinfo", b"software: fixture"),
+        encode_warc_record(
+            "response", encode_http_response(HTML),
+            url="http://a.example/x", record_id="1",
+        ),
+        encode_warc_record(
+            "response",
+            encode_http_response(HTML * 40, chunked=True, gzip_body=True),
+            url="http://a.example/big", record_id="2",
+        ),
+        encode_warc_record(
+            "response",
+            encode_http_response(b"nope", status=404, content_type="text/plain"),
+            url="http://a.example/404", record_id="3",
+        ),
+        encode_warc_record("request", b"GET / HTTP/1.1\r\n\r\n",
+                           url="http://a.example/x"),
+    ]
+
+
+def test_member_walk_finds_every_record():
+    buf = encode_warc(_fixture_records())
+    members = gunzip_members(buf)
+    assert len(members) == 5
+    # offsets strictly advance and tile the buffer exactly
+    assert members[0][0] == 0
+    assert all(
+        members[i][0] + members[i][1] == members[i + 1][0]
+        for i in range(len(members) - 1)
+    )
+    assert members[-1][0] + members[-1][1] == len(buf)
+    # each member is one whole record
+    for _o, _l, data in members:
+        assert len(parse_warc_records(data)) == 1
+
+
+def test_response_rows_with_decoded_payloads():
+    docs = list(iter_warc_docs(encode_warc(_fixture_records())))
+    assert len(docs) == 3  # warcinfo/request records don't emit rows
+    by_url = {d[0]: d for d in docs}
+    assert by_url["http://a.example/x"][5] == HTML
+    assert by_url["http://a.example/big"][5] == HTML * 40  # chunked+gzip
+    assert by_url["http://a.example/404"][3] == 404
+    assert all(d[6] is None for d in docs)
+
+
+def test_plain_and_gzip_layouts_agree():
+    recs = _fixture_records()
+    assert list(iter_warc_docs(encode_warc(recs, per_record_gzip=False))) == \
+        list(iter_warc_docs(encode_warc(recs)))
+
+
+def test_truncated_gzip_raises_never_spins():
+    buf = encode_warc(_fixture_records())
+    with pytest.raises(ValueError):
+        list(iter_warc_docs(buf[: len(buf) // 2]))
+
+
+def test_lying_content_length_is_clamped():
+    rec = encode_warc_record(
+        "response", encode_http_response(HTML), url="u", record_id="9"
+    )
+    rec = rec.replace(b"Content-Length: ", b"Content-Length: 99999", 1)
+    rows = list(iter_warc_docs(rec))
+    assert len(rows) == 1  # clamped to the buffer; no overrun, no spin
+
+
+def test_garbage_http_block_yields_error_row():
+    rec = encode_warc_record("response", b"\x00\x01not http", url="u")
+    (row,) = list(iter_warc_docs(rec))
+    assert row[3] is None and "ValueError" in row[6]
+
+
+def test_bad_chunk_size_is_error_row_not_hang():
+    body = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\nx"
+    rec = encode_warc_record("response", body, url="u")
+    (row,) = list(iter_warc_docs(rec))
+    assert row[6] is not None
+
+
+def test_deflate_content_encoding_both_wrappings():
+    raw = b"payload-bytes" * 10
+    for comp in (zlib.compress(raw), zlib.compressobj(6, zlib.DEFLATED, -15)
+                 .compress(raw) + zlib.compressobj(6, zlib.DEFLATED, -15).flush()):
+        pass
+    # zlib-wrapped
+    body = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+            + zlib.compress(raw))
+    assert parse_http_response(body)[2] == raw
+    # raw-deflate (spec-tolerated server bug)
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+            + co.compress(raw) + co.flush())
+    assert parse_http_response(body)[2] == raw
+
+
+def test_charset_decode():
+    assert html_text("héllo".encode("latin-1"),
+                     "text/html; charset=latin-1") == "héllo"
+    assert html_text(b"\xff\xfe", "text/html") == "��"  # replace
+
+
+def test_bare_lf_headers_tolerated():
+    rec = (b"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://lf\n"
+           b"Content-Length: " + str(len(encode_http_response(b"x"))).encode()
+           + b"\n\n" + encode_http_response(b"x", content_type="text/plain"))
+    (row,) = list(iter_warc_docs(rec))
+    assert row[0] == "http://lf" and row[5] == b"x"
+
+
+def test_warc_to_docs_distributed(spark):
+    files = [
+        (f"part-{i}.warc.gz", bytearray(encode_warc([
+            encode_warc_record(
+                "response",
+                encode_http_response(HTML.replace(b"hello", b"doc%03d" % i)),
+                url=f"http://site{i}.example/", record_id=str(i),
+            )
+            for _ in range(3)
+        ])))
+        for i in range(4)
+    ] + [("broken.warc.gz", bytearray(b"\x1f\x8bgarbage"))]
+    df = spark.createDataFrame(files, "path string, content binary")
+    out = warc_to_docs(spark, df)
+    rows = out.collect()
+    good = [r for r in rows if r.error is None]
+    bad = [r for r in rows if r.error is not None]
+    assert len(good) == 12 and len(bad) == 1
+    assert bad[0].warc_path == "broken.warc.gz"
+    assert {r.url for r in good} == {f"http://site{i}.example/" for i in range(4)}
+    assert all(bytes(r.payload).startswith(b"<html>") for r in good)
