@@ -100,6 +100,17 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
 
+from collections import OrderedDict
+from math import ceil as _ceil, floor as _floor
+
+# cross-document glyph geometry cache (see _Raster._paint_glyph): bounded
+# LRU keyed on (md5 of the glyph program bytes, ctm linear part, paint
+# state) — safe across documents because resource-referencing programs
+# (any Do op) are never stored
+_GLYPH_OPS_CACHE: OrderedDict = OrderedDict()
+_GLYPH_OPS_MAX = 8192
+
+
 def _is_ws(b: int) -> bool:
     return b in _WS
 
@@ -710,6 +721,12 @@ class _Font:
         r = doc.resolve
         self.subtype = str(r(d.get("Subtype", "")))
         self.matrix = tuple(float(r(x)) for x in r(d.get("FontMatrix", [0.001, 0, 0, 0.001, 0, 0])))
+        bb = r(d.get("FontBBox"))
+        self.bbox = None
+        if bb is not None:
+            bb = tuple(float(r(x)) for x in bb)
+            if len(bb) == 4 and bb != (0.0, 0.0, 0.0, 0.0):  # all-zero = unset
+                self.bbox = bb
         self.first_char = int(r(d.get("FirstChar", 0)) or 0)
         widths = r(d.get("Widths"))
         self.widths = [float(r(w)) for w in widths] if widths else None
@@ -756,6 +773,11 @@ class _Raster:
         self.text_runs: list[tuple[float, float, str]] = []
         self.base_ctm = base_ctm
         self._font_cache: dict[int, _Font] = {}
+        self._glyph_cache: dict[tuple, list] = {}
+        # recording mode: fills/images append (op, …) here instead of
+        # touching the canvas — used by the glyph cache to capture a glyph
+        # program's device geometry once, then replay it translated
+        self.record: list | None = None
 
     # -- painting primitives ----------------------------------------------
     def _gray_val(self, g: float) -> int:
@@ -763,6 +785,11 @@ class _Raster:
 
     def _fill_polys(self, subpaths, gray, clip):
         """Even-odd scanline fill, sampling at pixel centers."""
+        if self.record is not None:
+            pts = [sp for sp in subpaths if len(sp) >= 3]
+            if pts:
+                self.record.append(("poly", pts, gray, clip))
+            return
         if not self.paint:
             return
         pts_all = [sp for sp in subpaths if len(sp) >= 3]
@@ -850,8 +877,142 @@ class _Raster:
             self._font_cache[key] = _Font(self.doc, d)
         return self._font_cache[key]
 
+    # -- glyph geometry cache ------------------------------------------------
+    GLYPH_CACHE = True  # class-level disable knob for the equality tests
+
+    @staticmethod
+    def _compile_fill(op):
+        """Recorded op → replay form.  A clip-free single axis-aligned
+        quad (the dominant glyph geometry) compiles to a ("rect", x0, y0,
+        x1, y1, val) slice op; everything else replays through
+        _fill_polys/_draw_image unchanged.  The qualification test is the
+        same one _fill_polys' fast path applies."""
+        if op[0] != "poly":
+            return op
+        _, subpaths, gray, clip = op
+        if clip is not None or len(subpaths) != 1 or len(subpaths[0]) not in (4, 5):
+            return op
+        sp = subpaths[0][:4]
+        xs4 = sorted(p[0] for p in sp)
+        ys4 = sorted(p[1] for p in sp)
+        if (
+            abs(xs4[0] - xs4[1]) < 1e-9 and abs(xs4[2] - xs4[3]) < 1e-9
+            and abs(ys4[0] - ys4[1]) < 1e-9 and abs(ys4[2] - ys4[3]) < 1e-9
+        ):
+            val = int(round(max(0.0, min(1.0, gray)) * 255))
+            return ("rect", xs4[0], ys4[0], xs4[2], ys4[2], val)
+        return op
+
+    def _paint_glyph(self, font: "_Font", gname, proc, trm, resources, gs,
+                     depth: int):
+        """Rasterize one Type 3 glyph occurrence via a geometry cache.
+
+        Text dominates document pages and the same few dozen glyphs repeat
+        hundreds of times per page — re-interpreting the glyph's content
+        program per occurrence made show_text ~87% of page wall (profiled).
+        The program now runs ONCE per (font, glyph, ctm linear part,
+        fill/stroke/lw) in recording mode — translation pinned to (0,0),
+        fills/images captured as device geometry instead of pixels — and
+        each occurrence replays the recorded fills translated by its (e,f).
+
+        Pixel-exact vs the direct path: a replayed fill receives point
+        coordinates computed as ``(a·x + c·y) + e`` — the same
+        left-to-right summation ``_apply`` produces inline — so every
+        scanline crossing and ``ceil(x−0.5)`` pixel decision is made on
+        bit-identical floats (pinned by the cache-on/off equality test).
+        Cache misses cost one parse of the glyph program with zero canvas
+        work; hits skip the interpreter entirely.
+        """
+        r = self.doc.resolve
+        ctm = _mat_mul(font.matrix, trm)
+        res = font.resources or resources
+        a, b, c, d, e, f = ctm
+        if not self.GLYPH_CACHE:
+            g2 = gs.copy()
+            g2.ctm = ctm
+            self.run(_stream_data(proc, r), res, g2, depth + 1)
+            return
+        key = (
+            id(font), gname, id(res),
+            round(a, 9), round(b, 9), round(c, 9), round(d, 9),
+            round(gs.fill, 6), round(gs.stroke, 6), round(gs.lw, 6),
+        )
+        ops = self._glyph_cache.get(key)
+        if ops is None:
+            data = _stream_data(proc, r)
+            # cross-page level: the same font subset repeats across every
+            # page (here: every page-payload), so key the recorded geometry
+            # on the program BYTES, not object identity.  Programs that
+            # reference /Resources (any Do op — forms or images) are
+            # excluded: their geometry can differ under another page's
+            # resource dict.
+            shareable = b"Do" not in data
+            mkey = None
+            if shareable:
+                import hashlib
+
+                mkey = (hashlib.md5(data).digest(), *key[3:])
+                ops = _GLYPH_OPS_CACHE.get(mkey)
+                if ops is not None:
+                    _GLYPH_OPS_CACHE.move_to_end(mkey)
+            if ops is None:
+                rec = _Raster(self.doc, 1, 1, None, paint=True)
+                rec.record = []
+                g2 = gs.copy()
+                g2.clip = None  # the outer clip is re-applied at replay time
+                g2.ctm = (a, b, c, d, 0.0, 0.0)
+                rec.run(data, res, g2, depth + 1)
+                ops = [self._compile_fill(op) for op in rec.record]
+                if mkey is not None:
+                    _GLYPH_OPS_CACHE[mkey] = ops
+                    if len(_GLYPH_OPS_CACHE) > _GLYPH_OPS_MAX:
+                        _GLYPH_OPS_CACHE.popitem(last=False)
+            self._glyph_cache[key] = ops
+        h, w = self.h, self.w
+        for op in ops:
+            if op[0] == "rect":
+                # pre-qualified axis-aligned fill: replicate _fill_polys'
+                # fast path arithmetic on the translated coords (ceil(x−0.5)
+                # pixel rule on the SAME float sums), pure slicing
+                _, x0, y0, x1, y1, val = op
+                r0 = max(0, _ceil(y0 + f - 0.5))
+                r1 = min(h, _ceil(y1 + f - 0.5))
+                c0 = max(0, _ceil(x0 + e - 0.5))
+                c1 = min(w, _ceil(x1 + e - 0.5))
+                if gs.clip is not None:
+                    cx0, cy0, cx1, cy1 = gs.clip
+                    r0 = max(r0, _floor(cy0))
+                    r1 = min(r1, _ceil(cy1))
+                    c0 = max(c0, _floor(cx0))
+                    c1 = min(c1, _ceil(cx1))
+                if r1 > r0 and c1 > c0:
+                    self.canvas[r0:r1, c0:c1] = val
+            elif op[0] == "poly":
+                _, subpaths, gray, clip = op
+                tsp = [[(x + e, y + f) for x, y in sp] for sp in subpaths]
+                if clip is not None:
+                    clip = (clip[0] + e, clip[1] + f, clip[2] + e, clip[3] + f)
+                    if gs.clip is not None:
+                        clip = (
+                            max(clip[0], gs.clip[0]), max(clip[1], gs.clip[1]),
+                            min(clip[2], gs.clip[2]), min(clip[3], gs.clip[3]),
+                        )
+                else:
+                    clip = gs.clip
+                self._fill_polys(tsp, gray, clip)
+            else:  # image
+                _, st, rel_ctm, fill = op
+                g2 = gs.copy()
+                g2.fill = fill
+                g2.ctm = (rel_ctm[0], rel_ctm[1], rel_ctm[2], rel_ctm[3],
+                          rel_ctm[4] + e, rel_ctm[5] + f)
+                self._draw_image(st, g2)
+
     # -- images ------------------------------------------------------------
     def _draw_image(self, st: Stream, gs: _GState):
+        if self.record is not None:
+            self.record.append(("image", st, gs.ctm, gs.fill))
+            return
         r = self.doc.resolve
         d = st.dict
         a, b, c, dd, e, f = gs.ctm
@@ -996,13 +1157,8 @@ class _Raster:
                             (fsize, 0.0, 0.0, fsize, 0.0, 0.0),
                             _mat_mul(tm, gs.ctm),
                         )
-                        g2 = gs.copy()
-                        g2.ctm = _mat_mul(font.matrix, trm)
-                        self.run(
-                            _stream_data(proc, r),
-                            font.resources or resources,
-                            g2,
-                            depth + 1,
+                        self._paint_glyph(
+                            font, gname, proc, trm, resources, gs, depth
                         )
                 adv = font.advance(code, fsize, tc, tw)
                 tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)

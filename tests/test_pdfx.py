@@ -375,3 +375,28 @@ def test_hybrid_xrefstm_objects_resolve(monkeypatch):
     assert doc.resolve(pdfx.Ref(5, 0)) == {}
     arr = pdfx.rasterize_pdf_page(buf)
     assert (arr == 0).any()
+
+
+def test_glyph_cache_is_pixel_exact_and_reused():
+    """The Type 3 glyph geometry cache (record once per glyph, replay
+    translated) must reproduce the direct interpreter's canvas bit-for-bit
+    — the replay computes the same left-to-right float sums — and must
+    actually populate the cross-page ops cache."""
+    import numpy as np
+
+    from tableextraction_spark import pdfx
+    from tableextraction_spark.fixtures import gen_corpus
+
+    _docs, blobs, _exp = gen_corpus(6, codec="pdf")
+    pdfx._GLYPH_OPS_CACHE.clear()
+    for b in blobs:
+        p = bytes(b["content"])
+        on = pdfx.rasterize_pdf_page(p)
+        pdfx._Raster.GLYPH_CACHE = False
+        try:
+            off = pdfx.rasterize_pdf_page(p)
+        finally:
+            pdfx._Raster.GLYPH_CACHE = True
+        assert np.array_equal(on, off), int(np.sum(on != off))
+    assert len(pdfx._GLYPH_OPS_CACHE) > 0
+    assert len(pdfx._GLYPH_OPS_CACHE) <= pdfx._GLYPH_OPS_MAX
