@@ -27,6 +27,27 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.decode_detect import TABLES_SCHEMA, process_content_rows
 
 
+def _iceberg_data_files(path: str) -> list[str] | None:
+    """When ``path`` is an Iceberg table directory (has metadata/
+    v*.metadata.json), resolve the CURRENT snapshot's live parquet files via
+    the jar-less reader (sources/iceberg_native.py); otherwise None and the
+    caller treats ``path`` as a plain parquet dataset.  This is what lets
+    the python-native media scan — and therefore the whole extraction
+    pipeline — read the north rule's Iceberg corpus layout directly:
+    snapshot isolation comes from the metadata chain (a concurrent append
+    publishes a NEW metadata version; this listing is a consistent view)."""
+    import glob
+    import os
+
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        return None
+    if not glob.glob(os.path.join(path, "metadata", "v*.metadata.json")):
+        return None
+    from .iceberg_native import read_table_files
+
+    return [f["path"] for f in read_table_files(path)]
+
+
 def list_row_groups(
     path: str, keep_doc_ids: frozenset[str] | set[str] | None = None
 ) -> list[tuple[str, int, int]]:
@@ -41,7 +62,10 @@ def list_row_groups(
     doc_id-clustered (ours is: pages are generated in doc order).
     """
     keep_sorted = sorted(keep_doc_ids) if keep_doc_ids is not None else None
-    ds = pq.ParquetDataset(path)
+    iceberg_files = _iceberg_data_files(path)
+    if iceberg_files is not None and not iceberg_files:
+        return []  # Iceberg table with no snapshot yet
+    ds = pq.ParquetDataset(iceberg_files if iceberg_files is not None else path)
     splits: list[tuple[str, int, int]] = []
     for frag in ds.fragments:
         meta = frag.metadata or pq.ParquetFile(frag.path).metadata
