@@ -721,12 +721,6 @@ class _Font:
         r = doc.resolve
         self.subtype = str(r(d.get("Subtype", "")))
         self.matrix = tuple(float(r(x)) for x in r(d.get("FontMatrix", [0.001, 0, 0, 0.001, 0, 0])))
-        bb = r(d.get("FontBBox"))
-        self.bbox = None
-        if bb is not None:
-            bb = tuple(float(r(x)) for x in bb)
-            if len(bb) == 4 and bb != (0.0, 0.0, 0.0, 0.0):  # all-zero = unset
-                self.bbox = bb
         self.first_char = int(r(d.get("FirstChar", 0)) or 0)
         widths = r(d.get("Widths"))
         self.widths = [float(r(w)) for w in widths] if widths else None
@@ -927,7 +921,11 @@ class _Raster:
         ctm = _mat_mul(font.matrix, trm)
         res = font.resources or resources
         a, b, c, d, e, f = ctm
-        if not self.GLYPH_CACHE:
+        if not self.GLYPH_CACHE or self.record is not None:
+            # recording rasters take the direct path: a nested Type 3 glyph
+            # (text inside a glyph program) must append its fills to the
+            # outer recording as primitive polys, not replay compiled rect
+            # ops onto the throwaway recording canvas
             g2 = gs.copy()
             g2.ctm = ctm
             self.run(_stream_data(proc, r), res, g2, depth + 1)
@@ -943,10 +941,12 @@ class _Raster:
             # cross-page level: the same font subset repeats across every
             # page (here: every page-payload), so key the recorded geometry
             # on the program BYTES, not object identity.  Programs that
-            # reference /Resources (any Do op — forms or images) are
-            # excluded: their geometry can differ under another page's
-            # resource dict.
-            shareable = b"Do" not in data
+            # reference /Resources are excluded: run() consults the
+            # resource dict in exactly two ops — Do (XObjects) and Tf
+            # (nested font selection) — and byte-identical programs can
+            # resolve either name differently under another document's
+            # resources.
+            shareable = b"Do" not in data and b"Tf" not in data
             mkey = None
             if shareable:
                 import hashlib

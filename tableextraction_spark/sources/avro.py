@@ -27,6 +27,8 @@ import zlib
 
 MAGIC = b"Obj\x01"
 _MAX_VARINT = 10
+_MAX_BLOCK_ITEMS = 1 << 24   # per array/map block; manifests are ≪ this
+_MAX_DEPTH = 100             # schema recursion (self-referential named types)
 
 
 # --- binary primitives ---
@@ -92,16 +94,18 @@ class _Types:
             self.by_name[name] = schema
 
 
-def _read_datum(schema, buf: bytes, pos: int, types: _Types):
+def _read_datum(schema, buf: bytes, pos: int, types: _Types, depth: int = 0):
+    if depth > _MAX_DEPTH:
+        raise ValueError("Avro: schema recursion too deep")
     if isinstance(schema, str):
         t = schema
         if t in types.by_name:
-            return _read_datum(types.by_name[t], buf, pos, types)
+            return _read_datum(types.by_name[t], buf, pos, types, depth + 1)
     elif isinstance(schema, list):  # union
         idx, pos = _read_long(buf, pos)
         if not 0 <= idx < len(schema):
             raise ValueError(f"Avro: union index {idx} out of range")
-        return _read_datum(schema[idx], buf, pos, types)
+        return _read_datum(schema[idx], buf, pos, types, depth + 1)
     else:
         t = schema["type"]
         if t in ("record", "enum", "fixed"):
@@ -142,9 +146,14 @@ def _read_datum(schema, buf: bytes, pos: int, types: _Types):
             if n < 0:  # block with byte size prefix
                 n = -n
                 _, pos = _read_long(buf, pos)
+            if not 0 < n <= _MAX_BLOCK_ITEMS:
+                raise ValueError(f"Avro: hostile array block count {n}")
+            start = pos
             for _ in range(n):
-                v, pos = _read_datum(schema["items"], buf, pos, types)
+                v, pos = _read_datum(schema["items"], buf, pos, types, depth + 1)
                 out.append(v)
+            if pos == start and n > 1:
+                raise ValueError("Avro: array block did not advance")
     if t == "map":
         out = {}
         while True:
@@ -154,18 +163,22 @@ def _read_datum(schema, buf: bytes, pos: int, types: _Types):
             if n < 0:
                 n = -n
                 _, pos = _read_long(buf, pos)
+            if not 0 < n <= _MAX_BLOCK_ITEMS:
+                raise ValueError(f"Avro: hostile map block count {n}")
             for _ in range(n):
-                k, pos = _read_datum("string", buf, pos, types)
-                v, pos = _read_datum(schema["values"], buf, pos, types)
+                k, pos = _read_datum("string", buf, pos, types, depth + 1)
+                v, pos = _read_datum(schema["values"], buf, pos, types, depth + 1)
                 out[k] = v
     if t == "record":
         rec = {}
         for field in schema["fields"]:
-            rec[field["name"]], pos = _read_datum(field["type"], buf, pos, types)
+            rec[field["name"]], pos = _read_datum(
+                field["type"], buf, pos, types, depth + 1
+            )
         return rec, pos
     # nested {"type": <complex>} wrapper, e.g. {"type": {"type": "array", …}}
     if isinstance(t, (dict, list)):
-        return _read_datum(t, buf, pos, types)
+        return _read_datum(t, buf, pos, types, depth + 1)
     raise ValueError(f"Avro: unsupported type {t!r}")
 
 
@@ -186,6 +199,8 @@ def read_container(buf: bytes) -> tuple[dict, list]:
     out = []
     while pos < len(buf):
         count, pos = _read_long(buf, pos)
+        if not 0 <= count <= _MAX_BLOCK_ITEMS:
+            raise ValueError(f"Avro: hostile block record count {count}")
         size, pos = _read_long(buf, pos)
         block, pos = _take(buf, pos, size)
         if codec == "deflate":

@@ -26,8 +26,10 @@ task failure), zero shuffles.  Downstream the rows join the normal html /
 media pipeline.
 
 Hostile-input bounds: every length field is clamped to the enclosing
-buffer, offsets strictly advance, and the member walk gives up (error row)
-rather than spin on truncated/corrupt gzip — same discipline as avi.py.
+buffer, offsets strictly advance, and the tolerant walks resync after a
+corrupt gzip member (next member magic) or malformed record (next WARC
+version line) so one bad record costs one error row, never the rest of the
+file — same discipline as avi.py.
 """
 
 from __future__ import annotations
@@ -94,38 +96,94 @@ def _parse_header_block(buf: bytes, pos: int) -> tuple[dict[str, str], int]:
     return headers, end + sep
 
 
+def _parse_one_record(buf: bytes, pos: int) -> tuple[dict, int]:
+    """One record starting at ``pos`` (past any padding) → (record, next
+    offset).  Content-Length is clamped to the buffer; raises ValueError on
+    malformed framing."""
+    if not buf.startswith(b"WARC/", pos):
+        raise ValueError(f"expected WARC version line at offset {pos}")
+    line_end = buf.find(b"\n", pos)
+    if line_end < 0:
+        raise ValueError("truncated version line")
+    headers, body_off = _parse_header_block(buf, line_end + 1)
+    try:
+        clen = int(headers.get("content-length", "0"))
+    except ValueError:
+        raise ValueError("bad Content-Length")
+    clen = max(0, min(clen, len(buf) - body_off))  # clamp: never read past EOF
+    nxt = body_off + clen
+    if nxt <= pos:
+        raise ValueError("record walk did not advance")
+    return {"headers": headers, "content": buf[body_off:nxt]}, nxt
+
+
+def _skip_padding(buf: bytes, pos: int) -> int:
+    # inter-record padding (spec: two CRLFs; be liberal)
+    n = len(buf)
+    while pos < n and buf[pos] in (0x0D, 0x0A):
+        pos += 1
+    return pos
+
+
 def parse_warc_records(buf: bytes) -> list[dict]:
-    """Records of an UNCOMPRESSED WARC buffer.  Each record dict:
-    ``{"headers": {lowercased: value}, "content": bytes}``.  Content-Length
-    is clamped to the buffer; the walk strictly advances."""
+    """Records of an UNCOMPRESSED WARC buffer (strict: any malformed record
+    raises).  Each record dict: ``{"headers": {lowercased: value},
+    "content": bytes}``.  The tolerant per-record walk used by
+    ``iter_warc_docs`` is ``_iter_records_tolerant``."""
     records = []
+    pos = _skip_padding(buf, 0)
+    while pos < len(buf):
+        rec, pos = _parse_one_record(buf, pos)
+        records.append(rec)
+        pos = _skip_padding(buf, pos)
+    return records
+
+
+def _iter_records_tolerant(buf: bytes):
+    """Yield (record | None, error | None) with damage contained to ONE
+    record: a malformed record yields an error unit, then the walk resyncs
+    at the next ``WARC/`` version line — the remaining records survive."""
+    pos = _skip_padding(buf, 0)
+    while pos < len(buf):
+        try:
+            rec, pos = _parse_one_record(buf, pos)
+        except ValueError as e:
+            yield None, f"ValueError: {e}"
+            nxt = buf.find(b"\nWARC/", pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt + 1
+            continue
+        yield rec, None
+        pos = _skip_padding(buf, pos)
+
+
+def _iter_members_tolerant(buf: bytes):
+    """Yield (member bytes | None, error | None) per gzip member, resyncing
+    at the next gzip-deflate magic after a corrupt/truncated member so one
+    bad member costs one error unit, not the rest of the file."""
     pos = 0
     n = len(buf)
     while pos < n:
-        # skip inter-record padding (spec: two CRLFs; be liberal)
-        while pos < n and buf[pos] in (0x0D, 0x0A):
-            pos += 1
-        if pos >= n:
-            break
-        if not buf.startswith(b"WARC/", pos):
-            raise ValueError(f"expected WARC version line at offset {pos}")
-        line_end = buf.find(b"\n", pos)
-        if line_end < 0:
-            raise ValueError("truncated version line")
-        headers, body_off = _parse_header_block(buf, line_end + 1)
         try:
-            clen = int(headers.get("content-length", "0"))
-        except ValueError:
-            raise ValueError("bad Content-Length")
-        clen = max(0, min(clen, n - body_off))  # clamp: never read past EOF
-        records.append(
-            {"headers": headers, "content": buf[body_off : body_off + clen]}
-        )
-        nxt = body_off + clen
-        if nxt <= pos:
-            raise ValueError("record walk did not advance")
-        pos = nxt
-    return records
+            if buf[pos : pos + 2] != b"\x1f\x8b":
+                raise ValueError(f"not a gzip member at offset {pos}")
+            d = zlib.decompressobj(wbits=31)
+            data = d.decompress(buf[pos:])
+            if not d.eof:
+                raise ValueError(f"truncated gzip member at offset {pos}")
+            end = n - len(d.unused_data)
+            if end <= pos:
+                raise ValueError("gzip member walk did not advance")
+        except (zlib.error, ValueError) as e:
+            yield None, f"{type(e).__name__}: {e}"
+            nxt = buf.find(b"\x1f\x8b\x08", pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        yield data, None
+        pos = end
 
 
 # --- HTTP response payload extraction ---
@@ -193,26 +251,41 @@ def _charset_of(content_type: str) -> str:
 def iter_warc_docs(buf: bytes):
     """One WARC file's bytes (gzip members or plain) → doc row tuples
     ``(url, record_id, warc_date, http_status, content_type, payload,
-    error)``.  Only ``WARC-Type: response`` records emit rows; a record
-    that fails to parse emits an error row with its URL when known.
+    error)``.  Only ``WARC-Type: response`` records emit rows.
+
+    Damage is contained to ONE record: a corrupt gzip member resyncs at
+    the next member magic, a malformed record resyncs at the next WARC
+    version line, a bad HTTP block errors that row — in every case the
+    remaining records of the file still yield (a 50k-record crawl file
+    must not lose 50k docs to one truncated record).
     """
     if buf[:2] == b"\x1f\x8b":
-        raw = b"".join(data for _o, _l, data in gunzip_members(buf))
+        units = _iter_members_tolerant(buf)
     else:
-        raw = buf
-    for rec in parse_warc_records(raw):
-        h = rec["headers"]
-        if h.get("warc-type", "").lower() != "response":
+        units = iter([(buf, None)])
+    for raw, unit_err in units:
+        if unit_err is not None:
+            yield ("", "", "", None, None, None, unit_err)
             continue
-        url = h.get("warc-target-uri", "")
-        rid = h.get("warc-record-id", "")
-        date = h.get("warc-date", "")
-        try:
-            status, hh, payload = parse_http_response(rec["content"])
-            ctype = hh.get("content-type", "").split(";")[0].strip().lower()
-            yield (url, rid, date, status, ctype, payload, None)
-        except (ValueError, zlib.error) as e:
-            yield (url, rid, date, None, None, None, f"{type(e).__name__}: {e}")
+        for rec, rec_err in _iter_records_tolerant(raw):
+            if rec_err is not None:
+                yield ("", "", "", None, None, None, rec_err)
+                continue
+            h = rec["headers"]
+            if h.get("warc-type", "").lower() != "response":
+                continue
+            url = h.get("warc-target-uri", "")
+            rid = h.get("warc-record-id", "")
+            date = h.get("warc-date", "")
+            try:
+                status, hh, payload = parse_http_response(rec["content"])
+                ctype = hh.get("content-type", "").split(";")[0].strip().lower()
+                yield (url, rid, date, status, ctype, payload, None)
+            except (ValueError, zlib.error) as e:
+                yield (
+                    url, rid, date, None, None, None,
+                    f"{type(e).__name__}: {e}",
+                )
 
 
 DOCS_SCHEMA = (

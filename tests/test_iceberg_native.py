@@ -70,6 +70,32 @@ def test_avro_zigzag_edges():
     assert [r["v"] for r in out] == vals
 
 
+def test_avro_zero_size_item_count_bomb_raises():
+    """A block count of 2^40 over zero-byte items (array of null) must
+    raise, not allocate a terabyte of Nones."""
+    import json as _json
+
+    from tableextraction_spark.sources.avro import (
+        MAGIC,
+        _write_datum,
+        _write_long,
+        _Types,
+    )
+
+    schema = {"type": "record", "name": "bomb",
+              "fields": [{"name": "a",
+                          "type": {"type": "array", "items": "null"}}]}
+    meta = {"avro.schema": _json.dumps(schema).encode(),
+            "avro.codec": b"null"}
+    hdr = MAGIC + _write_datum({"type": "map", "values": "bytes"}, meta,
+                               _Types()) + b"S" * 16
+    datum = _write_long(1 << 40)  # array block: 2^40 nulls (0 bytes each)
+    block = datum
+    buf = hdr + _write_long(1) + _write_long(len(block)) + block + b"S" * 16
+    with pytest.raises(ValueError):
+        read_container(buf)
+
+
 def test_avro_hostile_inputs():
     buf = write_container(SCHEMA, RECS)
     with pytest.raises(ValueError):

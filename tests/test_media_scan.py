@@ -193,8 +193,13 @@ def test_coarse_row_groups_subsplit_with_identical_output(spark, tmp_path):
     # the stage must have had >1 partition (sub-splits), not 1 coarse task
     n_parts = out.select("partition_id").distinct().count()
     assert n_parts > 1
-    # and per-page results are exactly the set a plain scan yields
-    rows = {(r.media_ref, r.obj_no) for r in out.collect()}
-    one = detect_tables_python_scan(spark, path)  # deterministic second run
-    assert {(r.media_ref, r.obj_no) for r in one.collect()} == rows
-    assert len({r for r, _t in rows}) == len(pdf)  # every page decoded once
+    # per-page results equal the INDEPENDENT JVM-scan path as a MULTISET
+    # (a set compare would hide double-decoded pages from overlapping
+    # slice windows)
+    rows = sorted((r.media_ref, r.obj_no) for r in out.collect())
+    from tableextraction_spark.pipeline import detect_tables
+
+    jvm = detect_tables(spark.read.parquet(path))
+    want = sorted((r.media_ref, r.obj_no) for r in jvm.collect())
+    assert rows == want
+    assert len({r for r, _t in rows}) == len(pdf)  # every page decoded

@@ -75,10 +75,41 @@ def test_plain_and_gzip_layouts_agree():
         list(iter_warc_docs(encode_warc(recs)))
 
 
-def test_truncated_gzip_raises_never_spins():
+def test_truncated_gzip_contains_damage_to_one_member():
     buf = encode_warc(_fixture_records())
+    # strict member walk raises …
     with pytest.raises(ValueError):
-        list(iter_warc_docs(buf[: len(buf) // 2]))
+        gunzip_members(buf[: len(buf) // 2])
+    # … the doc iterator instead loses ONLY the truncated member: earlier
+    # records still yield, plus exactly one error row, and it terminates
+    rows = list(iter_warc_docs(buf[: len(buf) // 2]))
+    errs = [r for r in rows if r[6] is not None]
+    good = [r for r in rows if r[6] is None]
+    assert len(errs) == 1 and good  # warcinfo precedes; first response survives
+    assert good[0][0] == "http://a.example/x"
+
+
+def test_one_corrupt_member_mid_file_spares_the_rest():
+    recs = _fixture_records()
+    members = [encode_warc([r]) for r in recs]
+    members[2] = members[2][:10]  # truncate the big response's member
+    rows = list(iter_warc_docs(b"".join(members)))
+    good_urls = {r[0] for r in rows if r[6] is None}
+    # records 1 (x) and 3 (404) survive; record 2 (big) is the error row
+    assert good_urls == {"http://a.example/x", "http://a.example/404"}
+    assert sum(1 for r in rows if r[6] is not None) == 1
+
+
+def test_malformed_record_in_plain_warc_resyncs():
+    recs = _fixture_records()
+    plain = encode_warc(recs, per_record_gzip=False)
+    # corrupt the first response's version line
+    bad = plain.replace(b"WARC/1.1\r\nWARC-Type: response", b"GARB/1.1\r\nWARC-Type: response", 1)
+    rows = list(iter_warc_docs(bad))
+    good_urls = {r[0] for r in rows if r[6] is None}
+    assert "http://a.example/big" in good_urls
+    assert "http://a.example/404" in good_urls
+    assert any(r[6] is not None for r in rows)
 
 
 def test_lying_content_length_is_clamped():
@@ -105,9 +136,6 @@ def test_bad_chunk_size_is_error_row_not_hang():
 
 def test_deflate_content_encoding_both_wrappings():
     raw = b"payload-bytes" * 10
-    for comp in (zlib.compress(raw), zlib.compressobj(6, zlib.DEFLATED, -15)
-                 .compress(raw) + zlib.compressobj(6, zlib.DEFLATED, -15).flush()):
-        pass
     # zlib-wrapped
     body = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
             + zlib.compress(raw))
