@@ -265,11 +265,11 @@ def iter_warc_docs(buf: bytes):
         units = iter([(buf, None)])
     for raw, unit_err in units:
         if unit_err is not None:
-            yield ("", "", "", None, None, None, unit_err)
+            yield ("", "", "", None, None, None, None, unit_err)
             continue
         for rec, rec_err in _iter_records_tolerant(raw):
             if rec_err is not None:
-                yield ("", "", "", None, None, None, rec_err)
+                yield ("", "", "", None, None, None, None, rec_err)
                 continue
             h = rec["headers"]
             if h.get("warc-type", "").lower() != "response":
@@ -279,18 +279,29 @@ def iter_warc_docs(buf: bytes):
             date = h.get("warc-date", "")
             try:
                 status, hh, payload = parse_http_response(rec["content"])
-                ctype = hh.get("content-type", "").split(";")[0].strip().lower()
-                yield (url, rid, date, status, ctype, payload, None)
-            except (ValueError, zlib.error) as e:
+                full_ct = hh.get("content-type", "")
+                ctype = full_ct.split(";")[0].strip().lower()
+                # text payloads decode per their charset parameter here —
+                # per-row charsets can't decode JVM-side (F.decode needs a
+                # constant), and downstream html extraction wants str
+                text = (
+                    html_text(payload, full_ct)
+                    if ctype.startswith("text/")
+                    else None
+                )
+                yield (url, rid, date, status, ctype, payload, text, None)
+            except (ValueError, zlib.error, LookupError) as e:
+                # LookupError: a Content-Type naming an unknown codec
                 yield (
-                    url, rid, date, None, None, None,
+                    url, rid, date, None, None, None, None,
                     f"{type(e).__name__}: {e}",
                 )
 
 
 DOCS_SCHEMA = (
     "warc_path string, url string, record_id string, warc_date string, "
-    "http_status int, content_type string, payload binary, error string"
+    "http_status int, content_type string, payload binary, text string, "
+    "error string"
 )
 
 
@@ -315,18 +326,41 @@ def warc_to_docs(spark, files_df):
                         rows.append((path, *r))
                 except (ValueError, zlib.error) as e:
                     rows.append(
-                        (path, None, None, None, None, None, None,
+                        (path, None, None, None, None, None, None, None,
                          f"{type(e).__name__}: {e}")
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "warc_path", "url", "record_id", "warc_date",
-                    "http_status", "content_type", "payload", "error",
+                    "http_status", "content_type", "payload", "text",
+                    "error",
                 ],
             )
 
     return files_df.select("path", "content").mapInPandas(gen, DOCS_SCHEMA)
+
+
+def warc_html_docs(spark, files_df):
+    """Crawl files → pipeline-ready docs frame: one doc per HTTP-200
+    ``text/html`` response, its markup as a single ``kind='html'`` span
+    with ``doc_id = URL``.  Compose with ``pipeline.extract_spans(...,
+    html=True)`` for the full crawl-file → main-content-spans path; the
+    boilerplate strip, table recovery, and outlink harvest then run
+    exactly as they do over the parquet corpus."""
+    from pyspark.sql import functions as F
+
+    docs = warc_to_docs(spark, files_df)
+    html = docs.where(
+        (F.col("http_status") == 200) & (F.col("content_type") == "text/html")
+    )
+    span = F.struct(
+        F.lit("html").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return html.select(F.col("url").alias("doc_id"), F.array(span).alias("spans"))
 
 
 def html_text(payload: bytes, content_type: str) -> str:

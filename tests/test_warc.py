@@ -66,7 +66,7 @@ def test_response_rows_with_decoded_payloads():
     assert by_url["http://a.example/x"][5] == HTML
     assert by_url["http://a.example/big"][5] == HTML * 40  # chunked+gzip
     assert by_url["http://a.example/404"][3] == 404
-    assert all(d[6] is None for d in docs)
+    assert all(d[7] is None for d in docs)
 
 
 def test_plain_and_gzip_layouts_agree():
@@ -83,8 +83,8 @@ def test_truncated_gzip_contains_damage_to_one_member():
     # … the doc iterator instead loses ONLY the truncated member: earlier
     # records still yield, plus exactly one error row, and it terminates
     rows = list(iter_warc_docs(buf[: len(buf) // 2]))
-    errs = [r for r in rows if r[6] is not None]
-    good = [r for r in rows if r[6] is None]
+    errs = [r for r in rows if r[7] is not None]
+    good = [r for r in rows if r[7] is None]
     assert len(errs) == 1 and good  # warcinfo precedes; first response survives
     assert good[0][0] == "http://a.example/x"
 
@@ -94,10 +94,10 @@ def test_one_corrupt_member_mid_file_spares_the_rest():
     members = [encode_warc([r]) for r in recs]
     members[2] = members[2][:10]  # truncate the big response's member
     rows = list(iter_warc_docs(b"".join(members)))
-    good_urls = {r[0] for r in rows if r[6] is None}
+    good_urls = {r[0] for r in rows if r[7] is None}
     # records 1 (x) and 3 (404) survive; record 2 (big) is the error row
     assert good_urls == {"http://a.example/x", "http://a.example/404"}
-    assert sum(1 for r in rows if r[6] is not None) == 1
+    assert sum(1 for r in rows if r[7] is not None) == 1
 
 
 def test_malformed_record_in_plain_warc_resyncs():
@@ -106,10 +106,10 @@ def test_malformed_record_in_plain_warc_resyncs():
     # corrupt the first response's version line
     bad = plain.replace(b"WARC/1.1\r\nWARC-Type: response", b"GARB/1.1\r\nWARC-Type: response", 1)
     rows = list(iter_warc_docs(bad))
-    good_urls = {r[0] for r in rows if r[6] is None}
+    good_urls = {r[0] for r in rows if r[7] is None}
     assert "http://a.example/big" in good_urls
     assert "http://a.example/404" in good_urls
-    assert any(r[6] is not None for r in rows)
+    assert any(r[7] is not None for r in rows)
 
 
 def test_lying_content_length_is_clamped():
@@ -124,14 +124,14 @@ def test_lying_content_length_is_clamped():
 def test_garbage_http_block_yields_error_row():
     rec = encode_warc_record("response", b"\x00\x01not http", url="u")
     (row,) = list(iter_warc_docs(rec))
-    assert row[3] is None and "ValueError" in row[6]
+    assert row[3] is None and "ValueError" in row[7]
 
 
 def test_bad_chunk_size_is_error_row_not_hang():
     body = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ\r\nx"
     rec = encode_warc_record("response", body, url="u")
     (row,) = list(iter_warc_docs(rec))
-    assert row[6] is not None
+    assert row[7] is not None
 
 
 def test_deflate_content_encoding_both_wrappings():
@@ -182,3 +182,58 @@ def test_warc_to_docs_distributed(spark):
     assert bad[0].warc_path == "broken.warc.gz"
     assert {r.url for r in good} == {f"http://site{i}.example/" for i in range(4)}
     assert all(bytes(r.payload).startswith(b"<html>") for r in good)
+
+
+def test_warc_crawl_to_main_content_spans(spark):
+    """Crawl-file → spans end-to-end: WARC files holding the html fixture
+    markup (mixed plain and chunked+gzipped responses) must extract to
+    EXACTLY the spans the parquet-corpus path extracts from the same
+    markup — ingestion must be transparent to the pipeline."""
+    from tableextraction_spark.fixtures.html_gen import gen_html_doc
+    from tableextraction_spark.pipeline import DOCS_SCHEMA, extract_spans
+    from tableextraction_spark.sources.warc import warc_html_docs
+
+    n = 6
+    markup = {}
+    for i in range(n):
+        doc, _exp = gen_html_doc(i)
+        h = next(s for s in doc["spans"] if s["kind"] == "html")
+        markup[f"http://crawl.example/{doc['doc_id']}"] = h["text"]
+    files = [
+        (
+            f"p{j}.warc.gz",
+            bytearray(encode_warc([
+                encode_warc_record(
+                    "response",
+                    encode_http_response(
+                        m.encode(), chunked=bool(j % 2), gzip_body=bool(j % 2)
+                    ),
+                    url=url, record_id=str(j),
+                )
+            ])),
+        )
+        for j, (url, m) in enumerate(sorted(markup.items()))
+    ]
+    fdf = spark.createDataFrame(files, "path string, content binary")
+    docs = warc_html_docs(spark, fdf)
+
+    def tuples(rows):
+        return {
+            r["doc_id"]: [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in r["spans"]
+            ]
+            for r in rows
+        }
+
+    got = tuples(extract_spans(spark, docs, None, html=True).collect())
+    ref_rows = [
+        {"doc_id": url,
+         "spans": [{"kind": "html", "text": m, "media_ref": "", "offset": 0}]}
+        for url, m in markup.items()
+    ]
+    ref_docs = spark.createDataFrame(ref_rows, DOCS_SCHEMA)
+    want = tuples(extract_spans(spark, ref_docs, None, html=True).collect())
+    assert got == want and len(got) == n
+    for spans in got.values():  # markup never leaks through
+        assert all(k != "html" for k, _t, _m, _o in spans)
