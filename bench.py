@@ -131,6 +131,36 @@ def bench_html(spark, n_docs: int, passes: int = 2) -> dict:
     }
 
 
+def bench_interleaved(spark, n_media: int, n_html: int, passes: int = 2) -> dict:
+    """The north rule's corpus shape verbatim: ONE docs table interleaving
+    media docs (payload format rotating per doc across
+    IMG1/PNG/JPEG/GIF/BMP/%PDF — codec='mixed') and html-markup docs,
+    through ONE extract_spans(html=True) call."""
+    from tableextraction_spark.pipeline import extract_spans
+
+    docs_path, blobs_path = ensure_corpus(spark, n_media, codec="mixed")
+    html_path = ensure_html_corpus(spark, n_html)
+    docs = spark.read.parquet(docs_path).unionByName(
+        spark.read.parquet(html_path)
+    )
+    n_pages = spark.read.parquet(blobs_path).count()
+    _consume(extract_spans(spark, docs, blobs_path, html=True))  # warm pass
+    dt = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        _consume(extract_spans(spark, docs, blobs_path, html=True))
+        dt = min(dt, time.time() - t0)
+    n = n_media + n_html
+    return {
+        "sec": round(dt, 3),
+        "n_docs": n,
+        "n_media_docs": n_media,
+        "n_html_docs": n_html,
+        "n_pages": n_pages,
+        "docs_per_sec": round(n / dt, 2),
+    }
+
+
 def bench_extraction(spark, n_docs: int, passes: int = 2, codec: str = "img1") -> dict:
     from tableextraction_spark.pipeline import extract_spans
 
@@ -228,6 +258,17 @@ def main():
     ext_html = bench_html(spark, n_html)
     timings["q40_html_extract"] = ext_html["sec"]
 
+    # interleaved headline: media (all six payload formats, rotating) +
+    # html markup in ONE docs table through ONE extract_spans call — the
+    # north rule's corpus shape, not a per-lane benchmark
+    n_mixed = int(os.environ.get("TABLEX_BENCH_MIXED_DOCS", "0")) or max(
+        48, int(round(sf * 20000))
+    )
+    n_mixed_html = int(os.environ.get("TABLEX_BENCH_MIXED_HTML", "0")) or max(
+        48, int(round(sf * 200000))
+    )
+    ext_mix = bench_interleaved(spark, n_mixed, n_mixed_html)
+
     # ANN quality headline: mean recall@10 of the IVF probe vs exact top-k
     recall_rows = REGISTRY["q32_ivf_recall_at10"][0](spark, sf_dir).collect()
     recall = round(
@@ -261,6 +302,10 @@ def main():
         "extract_pdf_n_docs": ext_pdf["n_docs"],
         "html_docs_per_sec": ext_html["docs_per_sec"],
         "html_n_docs": ext_html["n_docs"],
+        "interleaved_docs_per_sec": ext_mix["docs_per_sec"],
+        "interleaved_n_docs": ext_mix["n_docs"],
+        "interleaved_n_media": ext_mix["n_media_docs"],
+        "interleaved_n_pages": ext_mix["n_pages"],
         "ivf_recall_at10": recall,
         "prev_round": prev_n,
         "deltas_vs_prev": deltas,

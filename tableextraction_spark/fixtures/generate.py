@@ -340,6 +340,9 @@ def expected_plot_json(pp: dict) -> str:
 # ---------------------------------------------------------------- corpus
 
 
+_MIXED_CODECS = ("img1", "png", "jpeg", "gif", "bmp", "pdf")
+
+
 def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
     """doc_num → (doc_row, blob_rows, expected_row).
 
@@ -351,8 +354,12 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
     near-lossless ``jpeg`` (from-scratch baseline codec, ``jpeg.py``),
     ``jpeg_prog`` (SOF2 progressive, multi-scan), lossless ``gif``
     (from-scratch LZW, ``gif.py``), or vector ``pdf`` — same expected
-    spans, so end-to-end tests pin format routing.
+    spans, so end-to-end tests pin format routing.  ``mixed`` rotates the
+    format per document across all six (the web-crawl shape: one corpus,
+    every payload format interleaved).
     """
+    if codec == "mixed":
+        codec = _MIXED_CODECS[doc_num % len(_MIXED_CODECS)]
     if codec == "img1":
         encode = encode_image
     elif codec == "png":

@@ -203,3 +203,33 @@ def test_coarse_row_groups_subsplit_with_identical_output(spark, tmp_path):
     want = sorted((r.media_ref, r.obj_no) for r in jvm.collect())
     assert rows == want
     assert len({r for r, _t in rows}) == len(pdf)  # every page decoded
+
+
+def test_extract_spans_equality_over_mixed_corpus(spark):
+    """The web-crawl shape: ONE corpus interleaving all six payload formats
+    (IMG1/PNG/JPEG/GIF/BMP/%PDF rotating per doc) plus html-markup docs,
+    through ONE extract_spans call — golden span equality end-to-end."""
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.fixtures.html_gen import gen_html_doc
+    from tableextraction_spark.pipeline import (
+        BLOBS_SCHEMA,
+        DOCS_SCHEMA,
+        extract_spans,
+    )
+
+    docs, blobs, expected = gen_corpus(12, codec="mixed")
+    assert len({bytes(b["content"][:2]) for b in blobs}) == 6  # all formats
+    hdocs, hexp = zip(*(gen_html_doc(i) for i in range(4)))
+    docs_df = spark.createDataFrame(docs + list(hdocs), DOCS_SCHEMA).repartition(8)
+    blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA).repartition(8)
+    out = {
+        r.doc_id: r
+        for r in extract_spans(spark, docs_df, blobs_df, html=True).collect()
+    }
+    for e in expected + list(hexp):
+        got = [
+            (s.kind, s.text, s.media_ref, s.offset)
+            for s in sorted(out[e["doc_id"]].spans, key=lambda s: s.offset)
+        ]
+        exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in e["spans"]]
+        assert got == exp, f"span mismatch in {e['doc_id']}"
