@@ -50,9 +50,9 @@ def _iceberg_data_files(path: str) -> list[str] | None:
 
 def list_row_groups(
     path: str, keep_doc_ids: frozenset[str] | set[str] | None = None
-) -> list[tuple[str, int, int]]:
-    """Enumerate (file, row_group, num_rows) splits of a parquet dataset
-    (driver-side, metadata only).
+) -> list[tuple[str, int, int, int]]:
+    """Enumerate (file, row_group, num_rows, byte_size) splits of a parquet
+    dataset (driver-side, metadata only).
 
     With ``keep_doc_ids``, row groups whose ``doc_id`` min/max statistics
     exclude every kept id are pruned here — the resume path then skips the
@@ -66,7 +66,7 @@ def list_row_groups(
     if iceberg_files is not None and not iceberg_files:
         return []  # Iceberg table with no snapshot yet
     ds = pq.ParquetDataset(iceberg_files if iceberg_files is not None else path)
-    splits: list[tuple[str, int, int]] = []
+    splits: list[tuple[str, int, int, int]] = []
     for frag in ds.fragments:
         meta = frag.metadata or pq.ParquetFile(frag.path).metadata
         if meta.num_row_groups == 0:
@@ -94,7 +94,8 @@ def list_row_groups(
                     # no kept id in [lo, hi] → every row is committed
                     if i == len(keep_sorted) or keep_sorted[i] > hi:
                         continue
-            splits.append((frag.path, rg, meta.row_group(rg).num_rows))
+            g = meta.row_group(rg)
+            splits.append((frag.path, rg, g.num_rows, g.total_byte_size))
     return splits
 
 
@@ -137,13 +138,18 @@ def detect_tables_python_scan(
     if 0 < len(splits) < 4 * par:
         k_target = -(-4 * par // len(splits))  # ceil
         expanded = []
-        for path, rg, nrows in splits:
+        for path, rg, nrows, nbytes in splits:
             # keep slices ≥8 rows: even 8 pages is ~0.2 s of decode — real
-            # work per task — while hostile/tiny row groups stay unsliced
-            k = min(k_target, max(1, nrows // 8))
+            # work per task — while hostile/tiny row groups stay unsliced.
+            # Sub-split only SMALL-payload groups (<64 KB/row): each slice
+            # re-decodes the column chunk up to its window, which is pennies
+            # next to per-row decode for 15 KB vector pages but a measured
+            # ~1.2× scan tax for ~1 MB pixel pages whose decode is cheap
+            small = nbytes < 65536 * max(1, nrows)
+            k = min(k_target, max(1, nrows // 8)) if small else 1
             expanded.extend((path, rg, s, k) for s in range(k))
     else:
-        expanded = [(path, rg, 0, 1) for path, rg, _n in splits]
+        expanded = [(path, rg, 0, 1) for path, rg, _n, _b in splits]
     # Slice count: one task per split while that stays cheap (row groups
     # are written ~8 MB ≈ uniform work, so 1:1 gives perfectly even tasks —
     # measured 10% faster at local[16] than 73 splits / 64 slices, where

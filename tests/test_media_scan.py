@@ -148,7 +148,7 @@ def test_empty_part_file_is_skipped(spark, tmp_path):
     )
     pq.ParquetWriter(f"{path}/part-empty.parquet", schema).close()
     splits = list_row_groups(path)
-    assert splits and all("part-empty" not in p for p, _rg, _n in splits)
+    assert splits and all("part-empty" not in p for p, _rg, _n, _b in splits)
 
 
 def test_estimate_scan_splits_bin_packs_small_files(spark, tmp_path):
@@ -178,7 +178,7 @@ def test_coarse_row_groups_subsplit_with_identical_output(spark, tmp_path):
         list_row_groups,
     )
 
-    _docs, blobs, _exp = gen_corpus(24)
+    _docs, blobs, _exp = gen_corpus(24, codec="pdf")  # small payloads
     path = str(tmp_path / "coarse.parquet")
     pdf = spark.createDataFrame(blobs, BLOBS_SCHEMA).toPandas()
     pdf = pdf.sort_values(["doc_id", "page_no"])
