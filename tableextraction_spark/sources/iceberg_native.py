@@ -70,56 +70,93 @@ def _latest_metadata(table_dir: str) -> str:
     return best
 
 
-def read_table_files(
+def read_table_snapshot(
     table_dir: str, snapshot_id: int | None = None
-) -> list[dict]:
-    """Live data files of an Iceberg table directory at a snapshot.
+) -> dict:
+    """Live file sets of an Iceberg table directory at a snapshot.
 
-    → [{"path", "record_count", "file_size_in_bytes", "manifest"}], the
-    CURRENT snapshot by default or ``snapshot_id`` for time travel.
-    Deleted entries (status=2) are dropped; v2 delete manifests
-    (content=1) are rejected loudly — equality/position deletes need row
-    filtering, not just listing, and silently ignoring them would return
+    → ``{"data_files": [{"path", "record_count", "file_size_in_bytes",
+    "manifest"}], "position_deletes": {data_path: sorted positions}}`` for
+    the CURRENT snapshot by default or ``snapshot_id`` for time travel.
+
+    Deleted entries (status=2) are dropped.  v2 POSITION delete files
+    (content=1) are read — parquet of (file_path, pos), the merge-on-read
+    shape compacting writers emit — and returned as per-data-file sorted
+    row positions for the scan to mask.  EQUALITY deletes (content=2)
+    are rejected loudly: applying them needs value comparison against
+    the table schema, and silently ignoring any delete would return
     phantom rows.
     """
     with open(_latest_metadata(table_dir)) as f:
         meta = json.load(f)
     snap_id = snapshot_id or meta.get("current-snapshot-id")
     if not snap_id or snap_id == -1:
-        return []  # empty table: no snapshot yet
+        return {"data_files": [], "position_deletes": {}}
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if snap_id not in snaps:
         raise ValueError(f"snapshot {snap_id} not in table metadata")
     manifest_list = _local(snaps[snap_id]["manifest-list"])
     with open(manifest_list, "rb") as f:
         _, manifests = read_container(f.read())
-    out = []
+    data, delete_paths = [], []
     for m in manifests:
-        if m.get("content", 0) == 1:
-            raise NotImplementedError(
-                "Iceberg delete manifests (v2 row-level deletes) require "
-                "the Iceberg runtime — refusing to list phantom rows"
-            )
+        is_delete = m.get("content", 0) == 1
         with open(_local(m["manifest_path"]), "rb") as f:
             _, entries = read_container(f.read())
         for e in entries:
             if e.get("status") == _STATUS_DELETED:
                 continue
             df = e["data_file"]
-            if df.get("content", 0) != 0:
-                raise NotImplementedError("Iceberg delete files present")
+            content = df.get("content", 1 if is_delete else 0)
             fmt = str(df.get("file_format", "")).upper()
             if fmt != "PARQUET":
-                raise NotImplementedError(f"Iceberg data file format {fmt}")
-            out.append(
-                {
-                    "path": _local(df["file_path"]),
-                    "record_count": df.get("record_count"),
-                    "file_size_in_bytes": df.get("file_size_in_bytes"),
-                    "manifest": m["manifest_path"],
-                }
-            )
-    return out
+                raise NotImplementedError(f"Iceberg file format {fmt}")
+            if content == 0:
+                data.append(
+                    {
+                        "path": _local(df["file_path"]),
+                        "record_count": df.get("record_count"),
+                        "file_size_in_bytes": df.get("file_size_in_bytes"),
+                        "manifest": m["manifest_path"],
+                    }
+                )
+            elif content == 1:
+                delete_paths.append(_local(df["file_path"]))
+            else:
+                raise NotImplementedError(
+                    "Iceberg EQUALITY deletes require the Iceberg runtime "
+                    "(value-level filtering) — refusing phantom rows"
+                )
+    deletes: dict[str, list[int]] = {}
+    if delete_paths:
+        import pyarrow.parquet as pq
+
+        for dp in delete_paths:
+            t = pq.read_table(dp, columns=["file_path", "pos"])
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+            ):
+                deletes.setdefault(_local(fp), []).append(int(pos))
+        for fp in deletes:
+            deletes[fp] = sorted(set(deletes[fp]))
+    return {"data_files": data, "position_deletes": deletes}
+
+
+def read_table_files(
+    table_dir: str, snapshot_id: int | None = None
+) -> list[dict]:
+    """Live data files only (see :func:`read_table_snapshot`).  Raises when
+    the snapshot carries row-level deletes — a caller that only lists files
+    cannot apply them, and ignoring them would return phantom rows; use
+    ``read_table_snapshot`` (as the media scan does) to get the delete
+    positions alongside."""
+    snap = read_table_snapshot(table_dir, snapshot_id)
+    if snap["position_deletes"]:
+        raise NotImplementedError(
+            "snapshot carries position deletes — use read_table_snapshot "
+            "and apply them; a bare file list would contain phantom rows"
+        )
+    return snap["data_files"]
 
 
 def snapshot_ids(table_dir: str) -> list[int]:
@@ -187,13 +224,21 @@ def write_table(
     data_files: list[tuple[str, int, int]],
     snapshot_id: int = 1,
     files_per_manifest: int = 4,
+    position_deletes: dict[str, list[int]] | None = None,
+    equality_deletes: bool = False,
 ) -> None:
     """Author a minimal spec-shaped Iceberg v2 table over existing parquet
     files: ``data_files`` = [(path, record_count, file_size)], split across
     ⌈n/files_per_manifest⌉ manifests so the reader's manifest walk is
     exercised, plus metadata JSON + version hint.  Append-only: calling
     again with a higher ``snapshot_id`` adds a snapshot (old ones remain
-    readable — time travel)."""
+    readable — time travel).
+
+    ``position_deletes`` = {data_file_path: [row positions]} additionally
+    writes a position-delete parquet (file_path, pos) referenced from a
+    content=1 manifest — the merge-on-read shape.  ``equality_deletes``
+    stamps that manifest's entry content=2 instead (for the loud-refusal
+    test)."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     manifests = []
@@ -235,6 +280,53 @@ def write_table(
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
                 "added_rows_count": sum(int(rc) for _p, rc, _s in group),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    if position_deletes:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fps, poss = [], []
+        for p, positions in sorted(position_deletes.items()):
+            for pos in positions:
+                fps.append(os.path.abspath(p))
+                poss.append(int(pos))
+        del_path = os.path.join(meta_dir, f"snap{snapshot_id}-deletes.parquet")
+        pq.write_table(
+            pa.table({"file_path": fps, "pos": poss}), del_path
+        )
+        entry = {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 2 if equality_deletes else 1,
+                "file_path": os.path.abspath(del_path),
+                "file_format": "PARQUET",
+                "record_count": len(poss),
+                "file_size_in_bytes": os.path.getsize(del_path),
+            },
+        }
+        mpath = os.path.join(meta_dir, f"snap{snapshot_id}-del-m0.avro")
+        buf = write_container(_MANIFEST_ENTRY_SCHEMA, [entry])
+        with open(mpath, "wb") as f:
+            f.write(buf)
+        manifests.append(
+            {
+                "manifest_path": os.path.abspath(mpath),
+                "manifest_length": len(buf),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": snapshot_id,
+                "min_sequence_number": snapshot_id,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": len(poss),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }

@@ -27,13 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.decode_detect import TABLES_SCHEMA, process_content_rows
 
 
-def _iceberg_data_files(path: str) -> list[str] | None:
+def _iceberg_snapshot(path: str) -> tuple[list[str], dict] | None:
     """When ``path`` is an Iceberg table directory (has metadata/
-    v*.metadata.json), resolve the CURRENT snapshot's live parquet files via
-    the jar-less reader (sources/iceberg_native.py); otherwise None and the
-    caller treats ``path`` as a plain parquet dataset.  This is what lets
-    the python-native media scan — and therefore the whole extraction
-    pipeline — read the north rule's Iceberg corpus layout directly:
+    v*.metadata.json), resolve the CURRENT snapshot via the jar-less reader
+    (sources/iceberg_native.py) → (live parquet files, position-delete map);
+    otherwise None and the caller treats ``path`` as a plain parquet
+    dataset.  This is what lets the python-native media scan — and
+    therefore the whole extraction pipeline — read the north rule's Iceberg
+    corpus layout directly, merge-on-read position deletes included:
     snapshot isolation comes from the metadata chain (a concurrent append
     publishes a NEW metadata version; this listing is a consistent view)."""
     import glob
@@ -43,16 +44,20 @@ def _iceberg_data_files(path: str) -> list[str] | None:
         return None
     if not glob.glob(os.path.join(path, "metadata", "v*.metadata.json")):
         return None
-    from .iceberg_native import read_table_files
+    from .iceberg_native import read_table_snapshot
 
-    return [f["path"] for f in read_table_files(path)]
+    snap = read_table_snapshot(path)
+    return [f["path"] for f in snap["data_files"]], snap["position_deletes"]
 
 
 def list_row_groups(
     path: str, keep_doc_ids: frozenset[str] | set[str] | None = None
-) -> list[tuple[str, int, int, int]]:
-    """Enumerate (file, row_group, num_rows, byte_size) splits of a parquet
-    dataset (driver-side, metadata only).
+) -> list[tuple[str, int, int, int, tuple[int, ...]]]:
+    """Enumerate (file, row_group, num_rows, byte_size, local_deletes)
+    splits of a parquet dataset (driver-side, metadata only).
+    ``local_deletes`` is the row group's position-delete rows (row-group-
+    local indices) when the path is a merge-on-read Iceberg table; empty
+    otherwise.
 
     With ``keep_doc_ids``, row groups whose ``doc_id`` min/max statistics
     exclude every kept id are pruned here — the resume path then skips the
@@ -62,15 +67,17 @@ def list_row_groups(
     doc_id-clustered (ours is: pages are generated in doc order).
     """
     keep_sorted = sorted(keep_doc_ids) if keep_doc_ids is not None else None
-    iceberg_files = _iceberg_data_files(path)
+    snap = _iceberg_snapshot(path)
+    iceberg_files, pos_deletes = snap if snap is not None else (None, {})
     if iceberg_files is not None and not iceberg_files:
         return []  # Iceberg table with no snapshot yet
     ds = pq.ParquetDataset(iceberg_files if iceberg_files is not None else path)
-    splits: list[tuple[str, int, int, int]] = []
+    splits: list[tuple[str, int, int, int, tuple[int, ...]]] = []
     for frag in ds.fragments:
         meta = frag.metadata or pq.ParquetFile(frag.path).metadata
         if meta.num_row_groups == 0:
             continue  # empty part file (zero-row commit) — nothing to scan
+        file_dels = pos_deletes.get(frag.path, ())
         # resolve against the parquet LEAF-column order, not the Arrow field
         # index — they diverge as soon as a nested column precedes doc_id,
         # and a wrong index would silently prune on another column's stats
@@ -85,7 +92,10 @@ def list_row_groups(
             raise ValueError(
                 f"media table {frag.path} has no 'doc_id' leaf column"
             )
+        rg_start = 0
         for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            start, rg_start = rg_start, rg_start + g.num_rows
             if keep_sorted is not None:
                 stats = meta.row_group(rg).column(doc_idx).statistics
                 if stats is not None and stats.has_min_max:
@@ -94,8 +104,13 @@ def list_row_groups(
                     # no kept id in [lo, hi] → every row is committed
                     if i == len(keep_sorted) or keep_sorted[i] > hi:
                         continue
-            g = meta.row_group(rg)
-            splits.append((frag.path, rg, g.num_rows, g.total_byte_size))
+            if file_dels:
+                a = bisect_left(file_dels, start)
+                b = bisect_left(file_dels, rg_start)
+                dels = tuple(p - start for p in file_dels[a:b])
+            else:
+                dels = ()
+            splits.append((frag.path, rg, g.num_rows, g.total_byte_size, dels))
     return splits
 
 
@@ -138,7 +153,7 @@ def detect_tables_python_scan(
     if 0 < len(splits) < 4 * par:
         k_target = -(-4 * par // len(splits))  # ceil
         expanded = []
-        for path, rg, nrows, nbytes in splits:
+        for path, rg, nrows, nbytes, dels in splits:
             # keep slices ≥8 rows: even 8 pages is ~0.2 s of decode — real
             # work per task — while hostile/tiny row groups stay unsliced.
             # Sub-split only SMALL-payload groups (<64 KB/row): each slice
@@ -147,9 +162,10 @@ def detect_tables_python_scan(
             # ~1.2× scan tax for ~1 MB pixel pages whose decode is cheap
             small = nbytes < 65536 * max(1, nrows)
             k = min(k_target, max(1, nrows // 8)) if small else 1
-            expanded.extend((path, rg, s, k) for s in range(k))
+            expanded.extend((path, rg, s, k, list(dels)) for s in range(k))
     else:
-        expanded = [(path, rg, 0, 1) for path, rg, _n, _b in splits]
+        expanded = [(path, rg, 0, 1, list(dels))
+                    for path, rg, _n, _b, dels in splits]
     # Slice count: one task per split while that stays cheap (row groups
     # are written ~8 MB ≈ uniform work, so 1:1 gives perfectly even tasks —
     # measured 10% faster at local[16] than 73 splits / 64 slices, where
@@ -162,7 +178,9 @@ def detect_tables_python_scan(
     else:
         n_slices = 4 * par
     rdd = spark.sparkContext.parallelize(expanded, n_slices)
-    sdf = spark.createDataFrame(rdd, "path string, rg int, sl int, k int")
+    sdf = spark.createDataFrame(
+        rdd, "path string, rg int, sl int, k int, dels array<long>"
+    )
     bc_keep = (
         spark.sparkContext.broadcast(frozenset(keep_doc_ids))
         if keep_doc_ids is not None
@@ -178,7 +196,9 @@ def detect_tables_python_scan(
             rgs = b.column("rg").to_pylist()
             sls = b.column("sl").to_pylist()
             ks = b.column("k").to_pylist()
-            for path, rg, sl, k in zip(paths, rgs, sls, ks):
+            delss = b.column("dels").to_pylist()
+            for path, rg, sl, k, dels in zip(paths, rgs, sls, ks, delss):
+                delset = set(dels) if dels else None
                 # stream the row group in bounded batches — a media row group
                 # can hold hundreds of MB of pixels; never materialize it
                 pf = pq.ParquetFile(path)
@@ -197,9 +217,21 @@ def detect_tables_python_scan(
                         continue  # before this slice's window
                     if b_lo >= hi:
                         break  # past it — stop reading
+                    base = max(lo, b_lo)
                     if b_lo < lo or b_hi > hi:
-                        s = max(lo, b_lo) - b_lo
-                        rb = rb.slice(s, min(hi, b_hi) - max(lo, b_lo))
+                        rb = rb.slice(base - b_lo, min(hi, b_hi) - base)
+                    if delset is not None:
+                        # merge-on-read: drop position-deleted rows BEFORE
+                        # any value filter (positions are row-group-local
+                        # and must be resolved against original offsets)
+                        keep_idx = [
+                            i for i in range(rb.num_rows)
+                            if (base + i) not in delset
+                        ]
+                        if not keep_idx:
+                            continue
+                        if len(keep_idx) < rb.num_rows:
+                            rb = rb.take(pa.array(keep_idx, type=pa.int32()))
                     if bc_keep is not None:
                         keep = bc_keep.value
                         idx = [

@@ -148,23 +148,70 @@ def test_iceberg_time_travel(tmp_path, spark):
         read_table_files(tdir, snapshot_id=99)
 
 
-def test_iceberg_delete_manifest_refused(tmp_path, spark):
-    files = _write_parts(tmp_path, spark, n_files=1)
-    tdir = str(tmp_path / "tbl")
-    write_table(tdir, files, snapshot_id=1)
-    # corrupt the manifest list: flip content to 1 (delete manifest)
-    from tableextraction_spark.sources import iceberg_native as ice
+def test_position_deletes_read_and_files_api_refuses(tmp_path, spark):
+    """Merge-on-read: position deletes are returned by read_table_snapshot;
+    the bare file-list API refuses (it cannot apply them)."""
+    from tableextraction_spark.sources.iceberg_native import (
+        read_table_snapshot,
+    )
 
-    with open(ice._local(json.load(open(f"{tdir}/metadata/v1.metadata.json"))
-                         ["snapshots"][0]["manifest-list"]), "rb") as f:
-        meta, rows = read_container(f.read())
-    rows[0]["content"] = 1
-    ml = json.load(open(f"{tdir}/metadata/v1.metadata.json"))["snapshots"][0][
-        "manifest-list"]
-    with open(ice._local(ml), "wb") as f:
-        f.write(write_container(ice._MANIFEST_FILE_SCHEMA, rows))
+    files = _write_parts(tmp_path, spark, n_files=2)
+    tdir = str(tmp_path / "tbl")
+    write_table(tdir, files, snapshot_id=1,
+                position_deletes={files[0][0]: [1, 3]})
+    snap = read_table_snapshot(tdir)
+    assert len(snap["data_files"]) == 2
+    import os
+
+    key = os.path.abspath(files[0][0])
+    assert snap["position_deletes"] == {key: [1, 3]}
     with pytest.raises(NotImplementedError):
         read_table_files(tdir)
+
+
+def test_equality_deletes_refused_loudly(tmp_path, spark):
+    from tableextraction_spark.sources.iceberg_native import (
+        read_table_snapshot,
+    )
+
+    files = _write_parts(tmp_path, spark, n_files=1)
+    tdir = str(tmp_path / "tbl")
+    write_table(tdir, files, snapshot_id=1,
+                position_deletes={files[0][0]: [0]}, equality_deletes=True)
+    with pytest.raises(NotImplementedError):
+        read_table_snapshot(tdir)
+
+
+def test_media_scan_applies_position_deletes(spark, tmp_path):
+    """End-to-end merge-on-read: the extraction scan over an Iceberg table
+    with position deletes yields exactly the live rows — deleted pages are
+    never decoded, all others are untouched."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.pipeline import BLOBS_SCHEMA
+    from tableextraction_spark.sources.media_parquet import (
+        detect_tables_python_scan,
+    )
+
+    _docs, blobs, _exp = gen_corpus(8)
+    pdf = spark.createDataFrame(blobs, BLOBS_SCHEMA).toPandas()
+    pdf = pdf.sort_values(["doc_id", "page_no"]).reset_index(drop=True)
+    part = str(tmp_path / "data.parquet")
+    # several row groups so deletes cross row-group boundaries
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), part,
+                   row_group_size=5)
+    dead_pos = [0, 4, 5, len(pdf) - 1]  # first/last of groups + file edges
+    dead_refs = set(pdf.iloc[dead_pos]["media_ref"])
+    tdir = str(tmp_path / "tbl")
+    write_table(tdir, [(part, len(pdf), os.path.getsize(part))],
+                snapshot_id=1, position_deletes={part: dead_pos})
+    got = {r.media_ref for r in
+           detect_tables_python_scan(spark, tdir).collect()}
+    assert got == set(pdf["media_ref"]) - dead_refs
 
 
 def test_media_scan_reads_iceberg_table(spark, tmp_path):
