@@ -71,13 +71,24 @@ def list_row_groups(
     iceberg_files, pos_deletes = snap if snap is not None else (None, {})
     if iceberg_files is not None and not iceberg_files:
         return []  # Iceberg table with no snapshot yet
+    if pos_deletes:
+        # normalize so textual path differences (relative vs absolute,
+        # file: scheme) cannot SILENTLY skip a delete → phantom rows
+        import os
+
+        pos_deletes = {os.path.abspath(k): v for k, v in pos_deletes.items()}
     ds = pq.ParquetDataset(iceberg_files if iceberg_files is not None else path)
     splits: list[tuple[str, int, int, int, tuple[int, ...]]] = []
     for frag in ds.fragments:
         meta = frag.metadata or pq.ParquetFile(frag.path).metadata
         if meta.num_row_groups == 0:
             continue  # empty part file (zero-row commit) — nothing to scan
-        file_dels = pos_deletes.get(frag.path, ())
+        if pos_deletes:
+            import os
+
+            file_dels = pos_deletes.pop(os.path.abspath(frag.path), ())
+        else:
+            file_dels = ()
         # resolve against the parquet LEAF-column order, not the Arrow field
         # index — they diverge as soon as a nested column precedes doc_id,
         # and a wrong index would silently prune on another column's stats
@@ -111,6 +122,14 @@ def list_row_groups(
             else:
                 dels = ()
             splits.append((frag.path, rg, g.num_rows, g.total_byte_size, dels))
+    if pos_deletes:
+        # every delete target must have matched a scanned fragment —
+        # anything left means a path-resolution bug, and ignoring it would
+        # resurrect deleted rows
+        raise ValueError(
+            f"position deletes reference unmatched data files: "
+            f"{sorted(pos_deletes)[:3]}"
+        )
     return splits
 
 
