@@ -18,6 +18,7 @@ unchanged, and the splits DataFrame round-robins across the cluster.
 
 from __future__ import annotations
 
+import os
 from bisect import bisect_left
 
 import pyarrow as pa
@@ -38,7 +39,6 @@ def _iceberg_snapshot(path: str) -> tuple[list[str], dict] | None:
     snapshot isolation comes from the metadata chain (a concurrent append
     publishes a NEW metadata version; this listing is a consistent view)."""
     import glob
-    import os
 
     if not os.path.isdir(os.path.join(path, "metadata")):
         return None
@@ -73,22 +73,24 @@ def list_row_groups(
         return []  # Iceberg table with no snapshot yet
     if pos_deletes:
         # normalize so textual path differences (relative vs absolute,
-        # file: scheme) cannot SILENTLY skip a delete → phantom rows
-        import os
-
-        pos_deletes = {os.path.abspath(k): v for k, v in pos_deletes.items()}
+        # file: scheme) cannot SILENTLY skip a delete → phantom rows.
+        # MERGE on collision — two delete files can reference one data file
+        # under different spellings; overwriting would resurrect rows
+        norm: dict[str, list[int]] = {}
+        for k, v in pos_deletes.items():
+            a = os.path.abspath(k)
+            norm[a] = sorted(set(norm[a]) | set(v)) if a in norm else list(v)
+        pos_deletes = norm
     ds = pq.ParquetDataset(iceberg_files if iceberg_files is not None else path)
     splits: list[tuple[str, int, int, int, tuple[int, ...]]] = []
     for frag in ds.fragments:
         meta = frag.metadata or pq.ParquetFile(frag.path).metadata
         if meta.num_row_groups == 0:
             continue  # empty part file (zero-row commit) — nothing to scan
-        if pos_deletes:
-            import os
-
-            file_dels = pos_deletes.pop(os.path.abspath(frag.path), ())
-        else:
-            file_dels = ()
+        file_dels = (
+            pos_deletes.pop(os.path.abspath(frag.path), ())
+            if pos_deletes else ()
+        )
         # resolve against the parquet LEAF-column order, not the Arrow field
         # index — they diverge as soon as a nested column precedes doc_id,
         # and a wrong index would silently prune on another column's stats
@@ -122,14 +124,10 @@ def list_row_groups(
             else:
                 dels = ()
             splits.append((frag.path, rg, g.num_rows, g.total_byte_size, dels))
-    if pos_deletes:
-        # every delete target must have matched a scanned fragment —
-        # anything left means a path-resolution bug, and ignoring it would
-        # resurrect deleted rows
-        raise ValueError(
-            f"position deletes reference unmatched data files: "
-            f"{sorted(pos_deletes)[:3]}"
-        )
+    # deletes whose data file is not in the scan are IGNORED per the
+    # Iceberg spec — dangling delete files routinely survive compaction
+    # (rewrite_data_files leaves them until dangling-delete removal runs),
+    # so a leftover here is normal table state, not an error
     return splits
 
 
@@ -181,7 +179,14 @@ def detect_tables_python_scan(
             # ~1.2× scan tax for ~1 MB pixel pages whose decode is cheap
             small = nbytes < 65536 * max(1, nrows)
             k = min(k_target, max(1, nrows // 8)) if small else 1
-            expanded.extend((path, rg, s, k, list(dels)) for s in range(k))
+            for s in range(k):
+                # ship each slice ONLY its window's deletes (same bisect
+                # trick as the per-row-group cut above) — k copies of a
+                # large delete list would serialize k× through the driver
+                lo, hi = s * nrows // k, (s + 1) * nrows // k
+                a = bisect_left(dels, lo)
+                b = bisect_left(dels, hi)
+                expanded.append((path, rg, s, k, list(dels[a:b])))
     else:
         expanded = [(path, rg, 0, 1, list(dels))
                     for path, rg, _n, _b, dels in splits]

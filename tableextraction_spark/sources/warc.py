@@ -279,23 +279,28 @@ def iter_warc_docs(buf: bytes):
             date = h.get("warc-date", "")
             try:
                 status, hh, payload = parse_http_response(rec["content"])
-                full_ct = hh.get("content-type", "")
-                ctype = full_ct.split(";")[0].strip().lower()
-                # text payloads decode per their charset parameter here —
-                # per-row charsets can't decode JVM-side (F.decode needs a
-                # constant), and downstream html extraction wants str
-                text = (
-                    html_text(payload, full_ct)
-                    if ctype.startswith("text/")
-                    else None
-                )
-                yield (url, rid, date, status, ctype, payload, text, None)
-            except (ValueError, zlib.error, LookupError) as e:
-                # LookupError: a Content-Type naming an unknown codec
+            except (ValueError, zlib.error) as e:
                 yield (
                     url, rid, date, None, None, None, None,
                     f"{type(e).__name__}: {e}",
                 )
+                continue
+            full_ct = hh.get("content-type", "")
+            ctype = full_ct.split(";")[0].strip().lower()
+            # html payloads decode per their charset parameter here —
+            # per-row charsets can't decode JVM-side (F.decode needs a
+            # constant) and html extraction is the only str consumer;
+            # other text/* rows keep just the binary payload.  Bogus
+            # charset labels (utf8mb4 and friends are ubiquitous in real
+            # crawls) fall back to utf-8/replace — a decodable-with-mojibake
+            # doc beats a lost one
+            text = None
+            if ctype == "text/html":
+                try:
+                    text = html_text(payload, full_ct)
+                except LookupError:
+                    text = payload.decode("utf-8", errors="replace")
+            yield (url, rid, date, status, ctype, payload, text, None)
 
 
 DOCS_SCHEMA = (
@@ -348,11 +353,23 @@ def warc_html_docs(spark, files_df):
     html=True)`` for the full crawl-file → main-content-spans path; the
     boilerplate strip, table recovery, and outlink harvest then run
     exactly as they do over the parquet corpus."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     docs = warc_to_docs(spark, files_df)
     html = docs.where(
         (F.col("http_status") == 200) & (F.col("content_type") == "text/html")
+    )
+    # crawls capture the same URL repeatedly (revisits, retries); doc_id
+    # must be unique, so keep the LATEST capture per URL (WARC-Date, then
+    # record id as the deterministic tiebreak) — one shuffle keyed on url
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_date").desc(), F.col("record_id").desc()
+    )
+    html = (
+        html.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
     span = F.struct(
         F.lit("html").alias("kind"),

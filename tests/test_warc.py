@@ -237,3 +237,53 @@ def test_warc_crawl_to_main_content_spans(spark):
     assert got == want and len(got) == n
     for spans in got.values():  # markup never leaks through
         assert all(k != "html" for k, _t, _m, _o in spans)
+
+
+def test_bogus_charset_label_falls_back_not_errors():
+    """charset=utf8mb4 and friends are ubiquitous in real crawls: the doc
+    must survive with a utf-8/replace decode, not become an error row."""
+    rec = encode_warc_record(
+        "response",
+        encode_http_response(HTML, content_type="text/html; charset=utf8mb4"),
+        url="http://bogus.example/", record_id="1",
+    )
+    (row,) = list(iter_warc_docs(rec))
+    assert row[7] is None and row[3] == 200
+    assert row[6] == HTML.decode()  # text populated via the fallback
+
+
+def test_non_html_text_rows_skip_decode():
+    rec = encode_warc_record(
+        "response",
+        encode_http_response(b"body { color: red }",
+                             content_type="text/css"),
+        url="http://css.example/", record_id="1",
+    )
+    (row,) = list(iter_warc_docs(rec))
+    assert row[4] == "text/css" and row[6] is None  # payload only, no str copy
+
+
+def test_warc_html_docs_dedups_repeated_captures(spark):
+    from tableextraction_spark.sources.warc import warc_html_docs
+
+    recs = [
+        encode_warc_record(
+            "response",
+            encode_http_response(b"<html><body>OLD</body></html>"),
+            url="http://a.example/x", record_id="1",
+            date="2024-01-01T00:00:00Z",
+        ),
+        encode_warc_record(
+            "response",
+            encode_http_response(b"<html><body>NEW</body></html>"),
+            url="http://a.example/x", record_id="2",
+            date="2024-02-01T00:00:00Z",
+        ),
+    ]
+    df = spark.createDataFrame(
+        [("f.warc.gz", bytearray(encode_warc(recs)))],
+        "path string, content binary",
+    )
+    rows = warc_html_docs(spark, df).collect()
+    assert len(rows) == 1  # one doc_id per URL
+    assert "NEW" in rows[0].spans[0].text  # the latest capture wins
