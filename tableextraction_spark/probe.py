@@ -21,6 +21,7 @@ not die on it).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np  # noqa: F401  (kept for parity with sibling modules)
 
@@ -88,6 +89,22 @@ def probe_bytes(payload: bytes) -> dict:
             out.update(format="ogg", kind="audio", codec="ogg")
         elif buf[:3] == b"ID3" or (len(buf) >= 2 and buf[0] == 0xFF and buf[1] & 0xE0 == 0xE0):
             out.update(format="mp3", kind="audio", **_probe_mp3(full))
+        # dataset/crawl container formats — a raw bucket listing mixes
+        # these in with media payloads, and the inventory must name them
+        elif buf[:5] == b"WARC/":
+            out.update(format="warc", kind="container", codec="warc")
+        elif buf[:4] == b"Obj\x01":
+            out.update(format="avro", kind="container", codec="avro-ocf")
+        elif buf[:4] == b"PAR1":
+            out.update(format="parquet", kind="container", codec="parquet")
+        elif buf[:2] == b"\x1f\x8b":
+            # peek the first member's first bytes (bounded inflate) to tell
+            # a .warc.gz crawl file from generic gzip
+            head = zlib.decompressobj(wbits=31).decompress(full[:4096], 5)
+            out.update(
+                format="warc.gz" if head == b"WARC/" else "gzip",
+                kind="container", codec="gzip",
+            )
     except Exception:  # noqa: BLE001 — inventory counts malformed, never dies
         out["codec"] = "malformed"
     return out

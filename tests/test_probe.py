@@ -146,3 +146,36 @@ def test_spark_inventory_stage(spark):
     assert got["d"].format == "flac"
     assert got["e"].format == "mp4" and got["e"].height == 360
     assert got["f"].format == "unknown"
+
+
+def test_probe_container_formats():
+    """A raw crawl bucket mixes dataset containers in with media payloads:
+    WARC (plain + per-record gzip), Avro OCF, parquet, generic gzip."""
+    import zlib
+
+    from tableextraction_spark.probe import probe_bytes
+    from tableextraction_spark.sources.avro import write_container
+    from tableextraction_spark.sources.warc import (
+        encode_http_response,
+        encode_warc,
+        encode_warc_record,
+    )
+
+    recs = [encode_warc_record(
+        "response", encode_http_response(b"<html/>"), url="u", record_id="1"
+    )]
+    assert probe_bytes(encode_warc(recs))["format"] == "warc.gz"
+    assert probe_bytes(
+        encode_warc(recs, per_record_gzip=False))["format"] == "warc"
+    avro = write_container(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": "int"}]}, [{"x": 1}]
+    )
+    assert probe_bytes(avro)["format"] == "avro"
+    assert probe_bytes(b"PAR1" + b"\x00" * 20)["format"] == "parquet"
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gz = co.compress(b"plain text") + co.flush()
+    assert probe_bytes(gz)["format"] == "gzip"
+    assert probe_bytes(b"\x1f\x8bgarbage")["codec"] == "malformed"
+    for p in (encode_warc(recs), avro, gz):
+        assert probe_bytes(p)["kind"] == "container"
