@@ -17,9 +17,12 @@ from .htmlops import QUERIES as _HTML
 from .multimodalops import QUERIES as _MM
 from .scrubops import QUERIES as _SCRUB
 from .warcops import QUERIES as _WARC
+from .icebergops import QUERIES as _ICE
 
 REGISTRY: dict = {}
-for part in (_REL, _TEXT, _VEC, _EXTRACT, _PIPE, _HTML, _MM, _SCRUB, _WARC):
+for part in (
+    _REL, _TEXT, _VEC, _EXTRACT, _PIPE, _HTML, _MM, _SCRUB, _WARC, _ICE
+):
     overlap = REGISTRY.keys() & part.keys()
     if overlap:  # pragma: no cover
         raise AssertionError(f"duplicate query names: {overlap}")

@@ -1,0 +1,128 @@
+"""Jar-less Iceberg ingestion as a driver-contract query (empty-on-success).
+
+q54 gates the whole native-read chain — Avro manifest decode → snapshot
+resolution → merge-on-read position-delete masking → python-native media
+scan → decode kernel — the way q53 gates WARC ingestion: a deterministic
+Iceberg v2 table (two append snapshots, multi-manifest, position deletes
+killing known pages) is materialized once per scale under the bench tmp
+root, and the scan over the TABLE DIRECTORY is compared row-for-row
+against the scan over the same parquet parts minus the deleted pages.
+Rows = disagreements.
+
+The layout write is driver-side but tiny (metadata + a 16-doc blob table)
+and idempotent (atomic _READY marker) — at a real deployment the table
+already exists; this query's subject is the READ chain.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+
+def _n_docs_for(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.001
+    return max(8, min(24, int(round(sf * 1600))))
+
+
+def _materialize(spark, sf_dir: str) -> tuple[str, str, list[str]]:
+    """→ (iceberg table dir, plain parts dir, deleted media_refs); built
+    once per scale, atomically published via a _READY marker."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..fixtures import gen_corpus
+    from ..pipeline import BLOBS_SCHEMA
+    from ..sources.iceberg_native import write_table
+
+    n = _n_docs_for(sf_dir)
+    root = os.path.join(
+        os.environ.get("TABLEX_BENCH_DIR", "/tmp/tablex_bench"),
+        f"iceberg_q54_n{n}",
+    )
+    tdir = os.path.join(root, "tbl")
+    parts_dir = os.path.join(root, "parts")
+    dead_path = os.path.join(root, "dead_refs.txt")
+    marker = os.path.join(root, "_READY")
+    if not os.path.exists(marker):
+        os.makedirs(parts_dir, exist_ok=True)
+        _docs, blobs, _exp = gen_corpus(n)
+        pdf = (
+            spark.createDataFrame(blobs, BLOBS_SCHEMA)
+            .toPandas()
+            .sort_values(["doc_id", "page_no"])
+            .reset_index(drop=True)
+        )
+        half = len(pdf) // 2
+        parts = []
+        for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+            p = os.path.join(parts_dir, f"blobs-{i}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False), p,
+                row_group_size=5,  # several groups → deletes cross groups
+            )
+            parts.append((p, len(chunk), os.path.getsize(p)))
+        # snapshot 1: first part only; snapshot 2: both parts + deletes
+        # at row-group edges of part 0 and the last row of part 1
+        write_table(tdir, parts[:1], snapshot_id=1)
+        dead0 = [0, 4, 5]
+        dead1 = [len(pdf) - half - 1]
+        write_table(
+            tdir, parts, snapshot_id=2,
+            position_deletes={parts[0][0]: dead0, parts[1][0]: dead1},
+        )
+        dead_refs = list(pdf.iloc[dead0]["media_ref"]) + list(
+            pdf.iloc[[half + i for i in dead1]]["media_ref"]
+        )
+        with open(dead_path + ".tmp", "w") as f:
+            f.write("\n".join(dead_refs))
+        os.replace(dead_path + ".tmp", dead_path)
+        open(marker + ".tmp", "w").close()
+        os.replace(marker + ".tmp", marker)
+    with open(dead_path) as f:
+        dead_refs = [line for line in f.read().splitlines() if line]
+    return tdir, parts_dir, dead_refs
+
+
+def q54_iceberg_scan_verify(spark, sf_dir):
+    """Empty-on-success: scan(iceberg table dir) must equal
+    scan(plain parquet parts) MINUS the position-deleted pages, as a
+    multiset of (media_ref, obj_no) rows."""
+    from ..sources.media_parquet import detect_tables_python_scan
+
+    tdir, parts_dir, dead_refs = _materialize(spark, sf_dir)
+    got = detect_tables_python_scan(spark, tdir).select(
+        "media_ref", "obj_no"
+    )
+    want = (
+        detect_tables_python_scan(spark, parts_dir)
+        .where(~F.col("media_ref").isin(dead_refs))
+        .select("media_ref", "obj_no")
+    )
+    g = got.groupBy("media_ref", "obj_no").agg(F.count("*").alias("n_got"))
+    w = want.groupBy("media_ref", "obj_no").agg(F.count("*").alias("n_want"))
+    return (
+        g.join(w, ["media_ref", "obj_no"], "full")
+        .where(~F.col("n_got").eqNullSafe(F.col("n_want")))
+        .select(
+            "media_ref",
+            "obj_no",
+            F.col("n_got").cast("long").alias("n_got"),
+            F.col("n_want").cast("long").alias("n_want"),
+        )
+    )
+
+
+Q54_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS media_ref, CAST(NULL AS INT) AS obj_no,
+       CAST(NULL AS BIGINT) AS n_got, CAST(NULL AS BIGINT) AS n_want
+WHERE 1 = 0
+"""
+
+
+QUERIES = {
+    "q54_iceberg_scan_verify": (q54_iceberg_scan_verify, Q54_SQL),
+}
