@@ -99,12 +99,18 @@ def probe_bytes(payload: bytes) -> dict:
             out.update(format="parquet", kind="container", codec="parquet")
         elif buf[:2] == b"\x1f\x8b":
             # peek the first member's first bytes (bounded inflate) to tell
-            # a .warc.gz crawl file from generic gzip
+            # a .warc.gz crawl file from generic gzip; a stream that yields
+            # fewer than 5 bytes from a 4 KiB window is truncated/suspect
+            # and must not inventory as a well-formed container
             head = zlib.decompressobj(wbits=31).decompress(full[:4096], 5)
-            out.update(
-                format="warc.gz" if head == b"WARC/" else "gzip",
-                kind="container", codec="gzip",
-            )
+            if len(head) < 5 and len(full) > len(head) + 18:
+                out.update(format="gzip", kind="container",
+                           codec="truncated")
+            else:
+                out.update(
+                    format="warc.gz" if head == b"WARC/" else "gzip",
+                    kind="container", codec="gzip",
+                )
     except Exception:  # noqa: BLE001 — inventory counts malformed, never dies
         out["codec"] = "malformed"
     return out

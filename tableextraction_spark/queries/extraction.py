@@ -15,17 +15,15 @@ span-equality pytest suite (tests/test_pipeline_spark.py).
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import functions as F
 
 from ..fixtures.spark_gen import blobs_dataframe, docs_dataframe
 from ..pipeline import extract_spans
+from .common import sf_of
 
 
 def _n_docs_for(sf_dir: str) -> int:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.001
+    sf = sf_of(sf_dir)
     return max(8, int(round(sf * 2000)))
 
 

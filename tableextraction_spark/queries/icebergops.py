@@ -17,14 +17,14 @@ already exists; this query's subject is the READ chain.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import functions as F
 
+from .common import sf_of
+
 
 def _n_docs_for(sf_dir: str) -> int:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.001
+    sf = sf_of(sf_dir)
     return max(8, min(24, int(round(sf * 1600))))
 
 
@@ -70,6 +70,10 @@ def _materialize(spark, sf_dir: str) -> tuple[str, str, list[str]]:
         write_table(tdir, parts[:1], snapshot_id=1)
         dead0 = [0, 4, 5]
         dead1 = [len(pdf) - half - 1]
+        # the hard-coded positions must live inside part 0, or dead_refs
+        # would name rows of part 1 that were never deleted → phantom
+        # mismatches with no hint the FIXTURE broke (not the reader)
+        assert half > max(dead0), (half, dead0)
         write_table(
             tdir, parts, snapshot_id=2,
             position_deletes={parts[0][0]: dead0, parts[1][0]: dead1},

@@ -18,18 +18,18 @@ heights, two widths, four durations).
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 from pyspark.sql import functions as F
+
+from .common import sf_of
 
 MEDIA_SCHEMA = "media_ref string, kind string, content binary"
 EVERY_N = 2
 
 
 def _n_clips_for(sf_dir: str) -> int:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.001
+    sf = sf_of(sf_dir)
     # covers the full (i%5, i%3, i%2, i%4) lattice at every check scale;
     # capped — q47 verifies semantics, bench owns throughput
     return max(12, min(64, int(round(sf * 2000))))

@@ -17,17 +17,17 @@ scan → mapInPandas → filter, and the check frame drops out.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 from pyspark.sql import functions as F
+
+from .common import sf_of
 
 FILES_SCHEMA = "path string, content binary"
 
 
 def _n_files_for(sf_dir: str) -> int:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.001
+    sf = sf_of(sf_dir)
     return max(8, min(48, int(round(sf * 1500))))
 
 
