@@ -100,10 +100,12 @@ def probe_bytes(payload: bytes) -> dict:
         elif buf[:2] == b"\x1f\x8b":
             # peek the first member's first bytes (bounded inflate) to tell
             # a .warc.gz crawl file from generic gzip; a stream that yields
-            # fewer than 5 bytes from a 4 KiB window is truncated/suspect
-            # and must not inventory as a well-formed container
-            head = zlib.decompressobj(wbits=31).decompress(full[:4096], 5)
-            if len(head) < 5 and len(full) > len(head) + 18:
+            # fewer than 5 bytes WITHOUT completing (d.eof) is truncated
+            # and must not inventory as a well-formed container (a valid
+            # empty-payload gzip completes and stays 'gzip')
+            d = zlib.decompressobj(wbits=31)
+            head = d.decompress(full[:4096], 5)
+            if len(head) < 5 and not d.eof:
                 out.update(format="gzip", kind="container",
                            codec="truncated")
             else:

@@ -179,3 +179,16 @@ def test_probe_container_formats():
     assert probe_bytes(b"\x1f\x8bgarbage")["codec"] == "malformed"
     for p in (encode_warc(recs), avro, gz):
         assert probe_bytes(p)["kind"] == "container"
+
+
+def test_probe_truncated_vs_empty_gzip():
+    import zlib
+
+    from tableextraction_spark.probe import probe_bytes
+
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    empty_gz = co.compress(b"") + co.flush()
+    assert probe_bytes(empty_gz)["codec"] == "gzip"  # valid, just empty
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    full_gz = co.compress(b"plain text data") + co.flush()
+    assert probe_bytes(full_gz[:12])["codec"] == "truncated"
