@@ -71,10 +71,12 @@ def _chunks(buf: bytes, start: int, end: int):
 
 def _is_frame_chunk(fcc: bytes) -> bool:
     """``##dc`` (compressed) / ``##db`` (uncompressed DIB slot — MJPEG
-    writers use both) for any stream number."""
+    writers use both) for any stream number.  Stream numbers are two
+    ASCII *hex* digits (OpenDML §'Stream name'): stream 10 writes
+    ``0Adc``, so digit-only matching would silently skip streams ≥ 10."""
     return (
         fcc[2:4] in (b"dc", b"db")
-        and fcc[:2].isdigit()
+        and all(c in b"0123456789ABCDEFabcdef" for c in fcc[:2])
     )
 
 

@@ -295,7 +295,12 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             bits.read(16)
         elif sr_code == 15:
             raise ValueError("FLAC: invalid sample rate code")
-        bps = _BPS_CODES.get(bps_code, info["bps"]) if bps_code else info["bps"]
+        if bps_code == 0:
+            bps = info["bps"]
+        elif bps_code in _BPS_CODES:
+            bps = _BPS_CODES[bps_code]
+        else:  # reserved (3): refuse loudly, like sr_code==15 above
+            raise ValueError(f"FLAC: reserved bps code {bps_code}")
         hdr_end = (bits.pos + 7) >> 3
         if hdr_end >= len(buf):
             raise ValueError("FLAC: frame header truncated")

@@ -440,13 +440,17 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     nblk = [c["vs"] * c["hs"] for c in comps]
     # inlined reader state (method dispatch on 100k+ symbols is measurable);
     # the window list slides in _WIN_CHUNK slices (see _BitReader) — win
-    # covers acc[cbase:cend], accesses subtract cbase.  An MCU consumes at
-    # most ~12.3k bits (6 blocks × 64 coeffs × 32 bits), so refilling with
-    # a 16k margin at MCU granularity keeps every inner access in-chunk.
+    # covers acc[cbase:cend], accesses subtract cbase.  One MCU consumes at
+    # most blocks × 64 coeffs × 32 bits; T.81 §A.2.3 caps Σ Hi·Vi at 10
+    # blocks per MCU, so size the refill margin from THIS frame's actual
+    # block count (not a fixed 6-block guess) and refilling at MCU
+    # granularity keeps every inner access in-chunk.
     rdata, nbits, bpos = reader.data, reader.nbits, reader.pos
     cbase, cend = 0, min(nbits, _WIN_CHUNK)
     win = reader._chunk
-    _MCU_MARGIN = 16384
+    # (no cap: Hi,Vi ≤ 4 ⇒ ≤64 blocks ⇒ ≤131k bits, well under _WIN_CHUNK;
+    # sizing from the frame can only over-provision, never index past win)
+    _MCU_MARGIN = 64 * 32 * sum(nblk)
     for _my in range(mcus_y):
         for _mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:

@@ -20,6 +20,7 @@ not die on it).
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 
@@ -28,6 +29,8 @@ import numpy as np  # noqa: F401  (kept for parity with sibling modules)
 _U16B = struct.Struct(">H")
 _U32B = struct.Struct(">I")
 _U16L = struct.Struct("<H")
+# /Type /Page but NOT /Type /Pages (negative lookahead on a name char).
+_PDF_PAGE_RE = re.compile(rb"/Type\s*/Page(?![A-Za-z0-9])")
 _U32L = struct.Struct("<I")
 
 # MPEG audio: bitrate kbps table [version V1/V2][layer 3] and sample rates
@@ -65,8 +68,11 @@ def probe_bytes(payload: bytes) -> dict:
             h = abs(struct.unpack_from("<i", full, 22)[0])
             out.update(format="bmp", kind="image", width=w, height=h, n_frames=1)
         elif buf[:4] == b"%PDF":
+            # Boundary-aware: '/Type /Pages' (the page-TREE nodes) must not
+            # count as pages — a bare substring count overstates every
+            # well-formed PDF by its Pages-node count.
             out.update(format="pdf", kind="document",
-                       n_frames=full.count(b"/Type /Page") + full.count(b"/Type/Page"))
+                       n_frames=len(_PDF_PAGE_RE.findall(full)))
         elif buf[:4] == b"AUD1":
             rate = _U32L.unpack_from(full, 4)[0]
             n = (len(full) - 8) // 2

@@ -178,3 +178,20 @@ def test_sample_frames_over_real_avi(spark):
     assert [r.frame_no for r in sorted(by_ref["vid1"], key=lambda r: r.frame_no)] == [0, 2]
     [bad] = by_ref["bad"]
     assert bad.error and bad.content is None
+
+
+def test_hex_stream_ids_are_frame_chunks():
+    """AVI stream numbers are two ASCII *hex* chars (OpenDML): stream 10
+    writes '0Adc'.  Digit-only matching silently dropped streams >= 10
+    (ADVICE r3)."""
+    from tableextraction_spark.avi import _is_frame_chunk
+
+    assert _is_frame_chunk(b"0Adc") and _is_frame_chunk(b"1fdb")
+    assert not _is_frame_chunk(b"zQdc") and not _is_frame_chunk(b"00dd")
+    # end-to-end: relabel the encoder's stream 00 to 0A everywhere
+    frames, payload = _mjpeg(n=2)
+    patched = payload.replace(b"00dc", b"0Adc")
+    out = list(iter_avi_mjpeg_frames(patched))
+    assert [i for i, _n, _f in out] == [0, 1]
+    for orig, (_i, _n, dec) in zip(frames, out):
+        assert np.abs(dec.astype(int) - orig.astype(int)).mean() < 5

@@ -139,3 +139,15 @@ def test_truncated_at_header_crc_is_value_error_not_index_error():
     for cut in range(info["frames_start"], min(info["frames_start"] + 12, len(blob))):
         with pytest.raises(ValueError):
             decode_flac(blob[:cut])
+
+
+def test_reserved_bps_code_raises_not_guesses():
+    """Frame-header bps code 3 is reserved (RFC 9639 §9.1.4): the decoder
+    must refuse loudly like sr_code==15 does, never fall back to the
+    STREAMINFO bit depth (ADVICE r3)."""
+    payload = bytearray(encode_flac(_sig(600), 16000))
+    start = parse_streaminfo(bytes(payload))["frames_start"]
+    # byte 3 of the frame header: ch_code(4) | bps_code(3) | reserved(1)
+    payload[start + 3] = (payload[start + 3] & 0xF1) | (3 << 1)
+    with pytest.raises(ValueError, match="reserved bps code 3"):
+        decode_flac(bytes(payload))

@@ -192,3 +192,20 @@ def test_probe_truncated_vs_empty_gzip():
     co = zlib.compressobj(6, zlib.DEFLATED, 31)
     full_gz = co.compress(b"plain text data") + co.flush()
     assert probe_bytes(full_gz[:12])["codec"] == "truncated"
+
+
+def test_pdf_page_count_excludes_pages_tree_nodes():
+    """'/Type /Pages' tree nodes must not count as pages: a substring
+    count overstates every well-formed PDF (ADVICE r3)."""
+    from tableextraction_spark import pdfx
+
+    for n in (1, 3):
+        pdf = pdfx.build_pdf(
+            [{"rects": [], "texts": [(2, 2, "x")]} for _ in range(n)], 40, 30
+        )
+        out = probe_bytes(pdf)
+        assert out["format"] == "pdf" and out["kind"] == "document"
+        assert out["n_frames"] == n
+    # unspaced variant + a Pages node, hand-built
+    raw = b"%PDF-1.4\n<< /Type/Pages /Kids [] >>\n<< /Type/Page >>\n<< /Type /Page >>"
+    assert probe_bytes(raw)["n_frames"] == 2
