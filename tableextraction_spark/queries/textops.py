@@ -109,16 +109,39 @@ FROM {_DUCK_SH_SUB}
 # doc O(1) at any N while identical signatures still collide at every width
 # (same hash ⇒ same prefix).  Width comes from a 1-row count broadcast — no
 # collect, same device as q21's dynamic bits.
+#
+# Scale shape (r3 verdict's one remaining dedup scale-killer, fixed here):
+# the self-join is a SHUFFLE join hash-partitioned on `band` — the old
+# `F.broadcast(b)` shipped every doc's distinct-shingle array (~5 KB/doc,
+# O(corpus) bytes) to every executor, an OOM at production N.  And instead
+# of C(n,2) pairs per band, pairing is SORTED-NEIGHBORHOOD capped: docs in
+# a band are row-numbered by doc_id and each pairs only with the next
+# BAND_WINDOW neighbors (Hernández & Stolfo, SIGMOD '95).  A crawl's
+# template band of n near-identical docs emits ≤ n·BAND_WINDOW pairs (work
+# linear in n, never quadratic) while staying CHAIN-CONNECTED — adjacent
+# pairs alone connect the whole band, so q33/q43's connected-component
+# clustering still merges it into one cluster (strictly better than
+# dropping over-cap bands as q22 does: identical docs still dedup).  Bands
+# of ≤ BAND_WINDOW+1 docs — every band on a non-adversarial corpus at the
+# 16·N bucket sizing above — emit exactly the all-pairs output.
 
 _BAND_HEX_EXPR = (
     "CAST(LEAST(32, GREATEST(2, CEIL(LOG2(COUNT(*)) / 4) + 1)) AS INT)"
 )
 
+# max forward neighbors a doc pairs with inside one band (see above)
+BAND_WINDOW = 32
 
-def q14_minhash_band_pairs(spark, sf_dir):
+
+def minhash_banded_sigs(spark, sf_dir):
+    """(doc_id, shd, band, rn) signature frame shared by q14 and the
+    hot-band report: band = corpus-width hash of the 2-minhash signature,
+    rn = position within the band in doc_id order."""
+    from pyspark.sql.window import Window as W
+
     sh = _with_shingles(spark, sf_dir)
     whex = sh.groupBy().agg(F.expr(_BAND_HEX_EXPR).alias("whex"))
-    sigs = (
+    return (
         sh.crossJoin(F.broadcast(whex))
         .selectExpr("doc_id", "array_distinct(sh) AS shd", "whex")
         .selectExpr(
@@ -131,20 +154,34 @@ def q14_minhash_band_pairs(spark, sf_dir):
         .selectExpr(
             "doc_id", "shd", "substring(md5(concat(m0, m1)), 1, whex) AS band"
         )
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("band").orderBy("doc_id"))
+        )
+    )
+
+
+def q14_minhash_band_pairs(spark, sf_dir):
+    sigs = (
+        minhash_banded_sigs(spark, sf_dir)
         # cache: both self-join branches reuse the signatures; without it each
         # branch re-evaluates the shingle+md5 pipeline (measured 28.6 s → 7 s
         # at sf0.1).  ~5 KB/doc — safe to keep resident.
         .cache()
     )
-    # the build side broadcasts (sigs are small); the probe side does all the
-    # intersect work, so spread it across cores even when the scan is one
-    # tiny file — hash on band keeps each bucket's pairs in one task.
-    par = spark.sparkContext.defaultParallelism
-    a = sigs.selectExpr("doc_id AS a_id", "shd AS a_shd", "band").repartition(par, "band")
-    b = sigs.selectExpr("doc_id AS b_id", "shd AS b_shd", "band")
+    a = sigs.selectExpr("doc_id AS a_id", "shd AS a_shd", "band", "rn AS a_rn")
+    b = sigs.selectExpr(
+        "doc_id AS b_id", "shd AS b_shd", "band AS b_band", "rn AS b_rn"
+    )
     return (
-        a.join(F.broadcast(b), "band")
-        .where(F.col("a_id") < F.col("b_id"))
+        # band-partitioned shuffle join (NEVER a broadcast of the signature
+        # frame); the rn window condition caps per-band pair work — see the
+        # block comment above.  b_rn > a_rn ⇒ b_id > a_id (rn orders doc_id).
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("band") == F.col("b_band"))
+            & (F.col("b_rn") > F.col("a_rn"))
+            & (F.col("b_rn") <= F.col("a_rn") + BAND_WINDOW),
+        )
         .selectExpr(
             "a_id",
             "b_id",
@@ -160,19 +197,47 @@ def q14_minhash_band_pairs(spark, sf_dir):
     )
 
 
+def q14_hot_band_report(spark, sf_dir):
+    """(band, bsize, pairs_emitted, pairs_skipped) for every band whose
+    size exceeds BAND_WINDOW+1 — the bands where the sorted-neighborhood
+    cap engaged.  Run (and log) this beside any production dedup job: a
+    non-empty report is the drop-count evidence the cap demands."""
+    return (
+        minhash_banded_sigs(spark, sf_dir)
+        .groupBy("band")
+        .agg(F.count("*").alias("bsize"))
+        .where(F.col("bsize") > BAND_WINDOW + 1)
+        .selectExpr(
+            "band",
+            "bsize",
+            # emitted: full windows for the first bsize-W docs, shrinking
+            # tail afterwards = W*(bsize-W) + C(W,2); skipped = C(bsize,2) - emitted
+            f"CAST({BAND_WINDOW} * (bsize - {BAND_WINDOW}) "
+            f"+ {BAND_WINDOW * (BAND_WINDOW - 1) // 2} AS BIGINT) AS pairs_emitted",
+            f"CAST(bsize * (bsize - 1) / 2 - ({BAND_WINDOW} * (bsize - {BAND_WINDOW}) "
+            f"+ {BAND_WINDOW * (BAND_WINDOW - 1) // 2}) AS BIGINT) AS pairs_skipped",
+        )
+    )
+
+
 Q14_SQL = f"""
 WITH wh AS (SELECT {_BAND_HEX_EXPR} AS whex FROM documents),
-sigs AS (
+sigs0 AS (
   SELECT doc_id, shd,
          substring(md5(list_aggregate(list_transform(shd, s -> md5('0' || s)), 'min')
                        || list_aggregate(list_transform(shd, s -> md5('1' || s)), 'min')),
                    1, whex) AS band
   FROM (SELECT doc_id, list_distinct(sh) AS shd FROM {_DUCK_SH_SUB}), wh),
+sigs AS (
+  SELECT doc_id, shd, band,
+         ROW_NUMBER() OVER (PARTITION BY band ORDER BY doc_id) AS rn
+  FROM sigs0),
 pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          len(list_filter(a.shd, x -> list_contains(b.shd, x))) AS inter,
          len(a.shd) AS na, len(b.shd) AS nb
-  FROM sigs a JOIN sigs b ON a.band = b.band AND a.doc_id < b.doc_id)
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND b.rn > a.rn AND b.rn <= a.rn + {BAND_WINDOW})
 SELECT a_id, b_id, ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
 FROM pairs
 """

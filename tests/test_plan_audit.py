@@ -177,3 +177,18 @@ def test_q35_histogram_single_partial_agg(spark):
 def test_q33_label_propagation_no_cartesian(spark):
     plan = plan_of(spark, "q33_neardup_clusters")
     assert "CartesianProduct" not in plan
+
+
+def test_q14_band_join_is_shuffle_never_signature_broadcast(spark):
+    """r3 verdict's last dedup scale-killer: the band self-join must be a
+    shuffle join hash-partitioned on band — broadcasting the signature
+    frame ships ~5 KB/doc × corpus to every executor (OOM at production N).
+    The only legal broadcast is the 1-row corpus-width scalar."""
+    plan = plan_of(spark, "q14_minhash_band_pairs")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "Cartesian" not in plan and "SortMergeJoin" not in plan
+    # every BroadcastExchange in the plan is the 1-row whex scalar
+    assert plan.count("BroadcastExchange") == plan.count(
+        "BroadcastExchange IdentityBroadcastMode"
+    )
