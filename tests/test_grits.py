@@ -47,3 +47,11 @@ def test_disjoint_tables_score_low():
 def test_empty_grid_edge():
     assert grits_content([], []) == 1.0
     assert grits_content([["a"]], []) == 0.0
+
+
+def test_bench_grits_goldens_score_one(spark):
+    """The bench headline (BENCH_r4+ grits_content_golden): extracted vs
+    plan-derived golden tables score exactly 1.0 under span equality."""
+    import bench
+
+    assert bench.bench_grits(spark, n_docs=48) == 1.0
