@@ -86,9 +86,16 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_CORPUS_VERSION = "v2"  # bump when a codec's fixture output changes
+# (v2: 'mixed' rotation grew a 7th format — pdfscan/CCITT — in round 4)
+
+
 def ensure_corpus(spark, n_docs: int, codec: str = "img1") -> tuple[str, str]:
     """Materialize the synthetic corpus parquet once per (n_docs, codec)."""
-    tag = f"n{n_docs}" if codec == "img1" else f"{codec}_n{n_docs}"
+    tag = (
+        f"n{n_docs}" if codec == "img1"
+        else f"{codec}_{_CORPUS_VERSION}_n{n_docs}"
+    )
     base = os.path.join(BENCH_ROOT, tag)
     docs_path, blobs_path = f"{base}/docs.parquet", f"{base}/blobs.parquet"
     marker = f"{base}/_READY"

@@ -340,7 +340,7 @@ def expected_plot_json(pp: dict) -> str:
 # ---------------------------------------------------------------- corpus
 
 
-_MIXED_CODECS = ("img1", "png", "jpeg", "gif", "bmp", "pdf")
+_MIXED_CODECS = ("img1", "png", "jpeg", "gif", "bmp", "pdf", "pdfscan")
 
 
 def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
@@ -353,10 +353,12 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
     container (default), real ``png`` (stdlib encoder, ``png.py``), real
     near-lossless ``jpeg`` (from-scratch baseline codec, ``jpeg.py``),
     ``jpeg_prog`` (SOF2 progressive, multi-scan), lossless ``gif``
-    (from-scratch LZW, ``gif.py``), or vector ``pdf`` — same expected
-    spans, so end-to-end tests pin format routing.  ``mixed`` rotates the
-    format per document across all six (the web-crawl shape: one corpus,
-    every payload format interleaved).
+    (from-scratch LZW, ``gif.py``), vector ``pdf``, or ``pdfscan`` (a PDF
+    whose page is ONE full-page 1-bit CCITT G4 image — the real scanned-
+    document shape; lossless here because fixture pages are binary) — same
+    expected spans, so end-to-end tests pin format routing.  ``mixed``
+    rotates the format per document across all seven (the web-crawl shape:
+    one corpus, every payload format interleaved).
     """
     if codec == "mixed":
         codec = _MIXED_CODECS[doc_num % len(_MIXED_CODECS)]
@@ -381,6 +383,8 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
         from ..bmp import encode_bmp_gray as encode  # lossless DIB
     elif codec == "pdf":
         encode = None  # vector path: primitives → PDF, no canvas stamp
+    elif codec == "pdfscan":
+        from ..pdfx import build_scanned_page_pdf as encode
     else:
         raise ValueError(f"unknown blob codec {codec!r}")
     plan = plan_doc(doc_num)

@@ -21,7 +21,10 @@ Implemented:
   indirect references, streams with indirect ``/Length``.
 - **Filters**: ``FlateDecode`` (with PNG predictors 10-15),
   ``ASCIIHexDecode``; ``DCTDecode`` image data routes to the from-scratch
-  baseline/progressive JPEG codec (``jpeg.py``).  Anything else raises a
+  baseline/progressive JPEG codec (``jpeg.py``); ``CCITTFaxDecode`` (G4
+  ``K<0``, G3 ``K>=0``, ``BlackIs1``/``EncodedByteAlign``) routes to the
+  from-scratch ITU T.4/T.6 codec (``ccitt.py``) — the dominant encoding of
+  real scanned-document corpora.  Anything else raises a
   ``NotImplementedError`` naming the filter (captured per-row upstream).
 - **Rendering**: page tree walk with attribute inheritance, content-stream
   interpretation — graphics state stack (``q/Q/cm/w/g/G/rg/RG/k/K``), path
@@ -42,7 +45,7 @@ Named seams (deliberate, raise with the feature name so the decode stage
 captures a per-row error, never a task failure): embedded-outline fonts
 (Type1/TrueType/CFF glyph rasterization needs a font renderer — slot
 pypdfium2 via ``sources/pdf_adapter.py``), non-axis-aligned image placement,
-shading patterns, encryption, JBIG2/JPX/CCITT image codecs.
+shading patterns, encryption, JBIG2/JPX image codecs.
 
 Nonzero winding fill is approximated by even-odd (documented; the writer
 never emits self-overlapping paths, and axis-aligned document geometry is
@@ -350,8 +353,9 @@ _IMAGE_FILTERS = {"DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "JBIG2Decod
 
 
 def _stream_data(st: Stream, resolve, keep_image_codecs: bool = False):
-    """Decoded stream bytes.  Returns ``(data, remaining_image_filter|None)``
-    when ``keep_image_codecs`` — image codecs are handled at the draw site."""
+    """Decoded stream bytes.  Returns ``(data, remaining_image_filter|None,
+    its_decode_parms|None)`` when ``keep_image_codecs`` — image codecs are
+    handled at the draw site (CCITT needs its DecodeParms there)."""
     filters = resolve(st.dict.get("Filter"))
     parms = resolve(st.dict.get("DecodeParms"))
     if filters is None:
@@ -382,11 +386,11 @@ def _stream_data(st: Stream, resolve, keep_image_codecs: bool = False):
             data = bytes.fromhex(hx.decode("latin-1"))
         elif f in _IMAGE_FILTERS:
             if keep_image_codecs:
-                return data, f
+                return data, f, resolve(p)
             raise NotImplementedError(f"PDF stream filter {f} outside image context")
         else:
             raise NotImplementedError(f"PDF stream filter {f}")
-    return (data, None) if keep_image_codecs else data
+    return (data, None, None) if keep_image_codecs else data
 
 
 # ------------------------------------------------------------ document
@@ -1022,13 +1026,40 @@ class _Raster:
         ih = int(r(d.get("Height")))
         bpc = int(r(d.get("BitsPerComponent", 8)) or 8)
         mask = bool(r(d.get("ImageMask", False)))
-        data, img_filter = _stream_data(st, r, keep_image_codecs=True)
+        data, img_filter, img_parms = _stream_data(st, r, keep_image_codecs=True)
         if img_filter in ("DCTDecode", "DCT"):
             from .jpeg import decode_jpeg
 
             from .media import rgb_to_gray
 
             arr = rgb_to_gray(decode_jpeg(data))
+        elif img_filter == "CCITTFaxDecode":
+            from .ccitt import decode_ccitt
+
+            p = img_parms or {}
+            black = decode_ccitt(
+                data,
+                columns=int(r(p.get("Columns", 1728)) or 1728),
+                rows=int(r(p.get("Rows", 0)) or ih),
+                k=int(r(p.get("K", 0)) or 0),
+                byte_align=bool(r(p.get("EncodedByteAlign", False))),
+            )
+            # CCITT 1 = black.  Decoded SAMPLE convention (ISO 32000-1
+            # table 11): BlackIs1 false (default) → 0 bits are black.
+            black_is_1 = bool(r(p.get("BlackIs1", False)))
+            bits = black if black_is_1 else 1 - black
+            if bits.shape[0] > ih:
+                bits = bits[:ih]
+            if bits.shape[1] > iw:
+                bits = bits[:, :iw]
+            if mask:
+                arr = bits
+            else:
+                # 1-bit DeviceGray: sample 0 = black unless /Decode [1 0]
+                dec = r(d.get("Decode"))
+                if dec is not None and float(r(dec[0])) == 1:
+                    bits = 1 - bits
+                arr = (bits * 255).astype(np.uint8)
         elif img_filter is not None:
             raise NotImplementedError(f"PDF image filter {img_filter}")
         else:
@@ -1582,3 +1613,46 @@ def build_pdf(pages: list[dict], page_w: int, page_h: int) -> bytes:
 def build_page_pdf(rects, texts, page_w: int, page_h: int) -> bytes:
     """Single-page convenience wrapper over :func:`build_pdf`."""
     return build_pdf([{"rects": rects, "texts": texts}], page_w, page_h)
+
+
+def build_scanned_page_pdf(img: np.ndarray) -> bytes:
+    """uint8 H×W gray page → the SCANNED-document PDF shape: one page whose
+    content is a single full-page 1-bit **CCITT G4** image XObject — how
+    real scanner/archive pipelines (and the reference's steel-standard
+    corpus ``data/1.pdf…7.pdf``) store pages.  Ink = pixels ≤ the kernel's
+    binarization threshold, so for the binary {0,255} fixture pages the
+    rasterized result is pixel-exact to the raster codecs and span
+    equality is preserved end-to-end."""
+    from .ccitt import encode_ccitt_g4
+    from .kernel.binarize import THRESHOLD
+
+    ih, iw = img.shape
+    data = encode_ccitt_g4(np.asarray(img) <= THRESHOLD)
+    b = _Builder()
+    im_num = b.add_stream(
+        {
+            "Subtype": b"/Image",
+            "Width": b"%d" % iw,
+            "Height": b"%d" % ih,
+            "BitsPerComponent": b"1",
+            "ColorSpace": b"/DeviceGray",
+            "Filter": b"/CCITTFaxDecode",
+            "DecodeParms": b"<< /K -1 /Columns %d /Rows %d >>" % (iw, ih),
+        },
+        data,
+        compress=False,
+    )
+    content_num = b.add_stream({}, b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (iw, ih))
+    page_num = b.add(
+        b"<< /Type /Page /Parent PAGES 0 R /MediaBox [0 0 %d %d] "
+        b"/Resources << /XObject << /Im0 %d 0 R >> >> /Contents %d 0 R >>"
+        % (iw, ih, im_num, content_num)
+    )
+    pages_num = b.add(
+        b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page_num
+    )
+    b.objs[page_num - 1] = b.objs[page_num - 1].replace(
+        b"PAGES 0 R", b"%d 0 R" % pages_num
+    )
+    root = b.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    return b.finish(root)

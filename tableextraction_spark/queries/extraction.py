@@ -143,9 +143,36 @@ def q46_pdf_extract_golden_verify(spark, sf_dir):
     )
 
 
+def q55_scanned_pdf_golden_verify(spark, sf_dir):
+    """q46's golden verify over SCANNED-PDF payloads: every blob is a PDF
+    whose page is one full-page 1-bit **CCITT G4** image
+    (``pdfx.build_scanned_page_pdf`` → ``ccitt.py``, ITU T.6 from scratch)
+    — the dominant encoding of real scanned-document corpora, and the shape
+    of the reference's own ``data/1.pdf…7.pdf`` steel scans.  Fixture pages
+    are binary, so the G4 round-trip is pixel-exact and the extracted spans
+    must equal the plan goldens exactly.  Empty-on-success."""
+    from ..fixtures.spark_gen import expected_dataframe
+
+    n = max(8, _n_docs_for(sf_dir) // 2)
+    docs = docs_dataframe(spark, n)
+    blobs = blobs_dataframe(spark, n, codec="pdfscan")
+    out = extract_spans(spark, docs, blobs)
+    exp = expected_dataframe(spark, n).withColumnRenamed("spans", "expected")
+    return (
+        out.join(exp, "doc_id", "full")
+        .where(~F.col("spans").eqNullSafe(F.col("expected")))
+        .selectExpr(
+            "doc_id",
+            "size(spans) AS n_spans",
+            "size(expected) AS n_expected",
+        )
+    )
+
+
 QUERIES = {
     "q00_extract_spans": (q00_extract_spans, None),
     "q24_extract_golden_verify": (q24_extract_golden_verify, Q24_SQL),
     "q30_extract_count_invariant": (q30_extract_count_invariant, Q30_SQL),
     "q46_pdf_extract_golden_verify": (q46_pdf_extract_golden_verify, Q24_SQL),
+    "q55_scanned_pdf_golden_verify": (q55_scanned_pdf_golden_verify, Q24_SQL),
 }
