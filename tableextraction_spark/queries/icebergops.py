@@ -1,8 +1,11 @@
 """Jar-less Iceberg ingestion as a driver-contract query (empty-on-success).
 
 q54 gates the whole native-read chain — Avro manifest decode → snapshot
-resolution → merge-on-read position-delete masking → python-native media
-scan → decode kernel — the way q53 gates WARC ingestion: a deterministic
+resolution → FIELD-ID schema resolution (a data file predating a column
+rename stores the payload under its historical physical name; the current
+schema also carries an added column no file contains) → merge-on-read
+position-delete masking → python-native media scan → decode kernel — the
+way q53 gates WARC ingestion: a deterministic
 Iceberg v2 table (two append snapshots, multi-manifest, position deletes
 killing known pages) is materialized once per scale under the bench tmp
 root, and the scan over the TABLE DIRECTORY is compared row-for-row
@@ -41,7 +44,7 @@ def _materialize(spark, sf_dir: str) -> tuple[str, str, list[str]]:
     n = _n_docs_for(sf_dir)
     root = os.path.join(
         os.environ.get("TABLEX_BENCH_DIR", "/tmp/tablex_bench"),
-        f"iceberg_q54_n{n}",
+        f"iceberg_q54_v2_n{n}",  # v2: field-id schema evolution added (r4)
     )
     tdir = os.path.join(root, "tbl")
     parts_dir = os.path.join(root, "parts")
@@ -49,6 +52,7 @@ def _materialize(spark, sf_dir: str) -> tuple[str, str, list[str]]:
     marker = os.path.join(root, "_READY")
     if not os.path.exists(marker):
         os.makedirs(parts_dir, exist_ok=True)
+        os.makedirs(tdir, exist_ok=True)
         _docs, blobs, _exp = gen_corpus(n)
         pdf = (
             spark.createDataFrame(blobs, BLOBS_SCHEMA)
@@ -57,6 +61,7 @@ def _materialize(spark, sf_dir: str) -> tuple[str, str, list[str]]:
             .reset_index(drop=True)
         )
         half = len(pdf) // 2
+        # plain-parquet reference copies (current column names, no ids)
         parts = []
         for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
             p = os.path.join(parts_dir, f"blobs-{i}.parquet")
@@ -65,9 +70,49 @@ def _materialize(spark, sf_dir: str) -> tuple[str, str, list[str]]:
                 row_group_size=5,  # several groups → deletes cross groups
             )
             parts.append((p, len(chunk), os.path.getsize(p)))
+        # Iceberg data files carry FIELD IDS 1-4; part 0 predates a rename,
+        # storing the payload under the HISTORICAL physical name 'blob' —
+        # the reader must resolve it by id, never by name
+        schema_v1 = [
+            {"id": 1, "name": "doc_id", "type": "string", "required": True},
+            {"id": 2, "name": "media_ref", "type": "string", "required": True},
+            {"id": 3, "name": "page_no", "type": "long", "required": True},
+            {"id": 4, "name": "content", "type": "binary", "required": True},
+        ]
+        # snapshot 2's schema additionally ADDS a column (id 5) that no
+        # data file contains — resolution must null-fill, not error
+        schema_v2 = schema_v1 + [
+            {"id": 5, "name": "lang", "type": "string", "required": False}
+        ]
+        ice_parts = []
+        for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+            cname = "blob" if i == 0 else "content"
+            fields = pa.schema([
+                pa.field("doc_id", pa.string(),
+                         metadata={b"PARQUET:field.id": b"1"}),
+                pa.field("media_ref", pa.string(),
+                         metadata={b"PARQUET:field.id": b"2"}),
+                pa.field("page_no", pa.int64(),
+                         metadata={b"PARQUET:field.id": b"3"}),
+                pa.field(cname, pa.binary(),
+                         metadata={b"PARQUET:field.id": b"4"}),
+            ])
+            t = pa.table(
+                {
+                    "doc_id": chunk["doc_id"].tolist(),
+                    "media_ref": chunk["media_ref"].tolist(),
+                    "page_no": chunk["page_no"].tolist(),
+                    cname: chunk["content"].tolist(),
+                },
+                schema=fields,
+            )
+            p = os.path.join(tdir, f"data-{i}.parquet")
+            pq.write_table(t, p, row_group_size=5)
+            ice_parts.append((p, len(chunk), os.path.getsize(p)))
         # snapshot 1: first part only; snapshot 2: both parts + deletes
         # at row-group edges of part 0 and the last row of part 1
-        write_table(tdir, parts[:1], snapshot_id=1)
+        write_table(tdir, ice_parts[:1], snapshot_id=1,
+                    schema_fields=schema_v1)
         dead0 = [0, 4, 5]
         dead1 = [len(pdf) - half - 1]
         # the hard-coded positions must live inside part 0, or dead_refs
@@ -75,8 +120,9 @@ def _materialize(spark, sf_dir: str) -> tuple[str, str, list[str]]:
         # mismatches with no hint the FIXTURE broke (not the reader)
         assert half > max(dead0), (half, dead0)
         write_table(
-            tdir, parts, snapshot_id=2,
-            position_deletes={parts[0][0]: dead0, parts[1][0]: dead1},
+            tdir, ice_parts, snapshot_id=2,
+            position_deletes={ice_parts[0][0]: dead0, ice_parts[1][0]: dead1},
+            schema_fields=schema_v2,
         )
         dead_refs = list(pdf.iloc[dead0]["media_ref"]) + list(
             pdf.iloc[[half + i for i in dead1]]["media_ref"]

@@ -142,6 +142,59 @@ def read_table_snapshot(
     return {"data_files": data, "position_deletes": deletes}
 
 
+def table_schema(table_dir: str) -> list[dict] | None:
+    """CURRENT Iceberg schema fields ``[{"id", "name", "type", ...}]`` from
+    the metadata JSON, or None when the table records no schema (minimal
+    fixtures).  Field ids — not names — are a column's identity in Iceberg:
+    a rename keeps the id, so readers must resolve parquet columns by the
+    ``PARQUET:field.id`` metadata real writers stamp, falling back to names
+    only for files without ids (see ``resolve_columns``)."""
+    with open(_latest_metadata(table_dir)) as f:
+        meta = json.load(f)
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        return None
+    cur = meta.get("current-schema-id", 0)
+    for s in schemas:
+        if s.get("schema-id", 0) == cur:
+            return s.get("fields") or None
+    raise ValueError(f"current-schema-id {cur} not in table schemas")
+
+
+def resolve_columns(
+    physical_schema, wanted: list[str], schema_fields: list[dict] | None
+) -> dict[str, str | None]:
+    """Map CURRENT-schema column names → the physical column names of one
+    parquet file: current name → field id (table schema) → the file column
+    carrying that ``PARQUET:field.id`` → its physical name.
+
+    Falls back to name matching when the table has no schema or the file
+    has no field ids (pre-Iceberg imports).  ``None`` = the column does not
+    exist in this (older) file — the caller null-fills, per the spec's
+    add-column semantics."""
+    phys_by_id: dict[int, str] = {}
+    phys_names = set()
+    for fld in physical_schema:
+        phys_names.add(fld.name)
+        fid = (fld.metadata or {}).get(b"PARQUET:field.id")
+        if fid is not None:
+            try:
+                phys_by_id[int(fid)] = fld.name
+            except ValueError:
+                pass
+    ids_by_name = (
+        {f["name"]: f["id"] for f in schema_fields} if schema_fields else {}
+    )
+    out: dict[str, str | None] = {}
+    for name in wanted:
+        fid = ids_by_name.get(name)
+        if fid is not None and phys_by_id:
+            out[name] = phys_by_id.get(fid)  # None = added after this file
+        else:
+            out[name] = name if name in phys_names else None
+    return out
+
+
 def read_table_files(
     table_dir: str, snapshot_id: int | None = None
 ) -> list[dict]:
@@ -226,6 +279,7 @@ def write_table(
     files_per_manifest: int = 4,
     position_deletes: dict[str, list[int]] | None = None,
     equality_deletes: bool = False,
+    schema_fields: list[dict] | None = None,
 ) -> None:
     """Author a minimal spec-shaped Iceberg v2 table over existing parquet
     files: ``data_files`` = [(path, record_count, file_size)], split across
@@ -238,7 +292,10 @@ def write_table(
     writes a position-delete parquet (file_path, pos) referenced from a
     content=1 manifest — the merge-on-read shape.  ``equality_deletes``
     stamps that manifest's entry content=2 instead (for the loud-refusal
-    test)."""
+    test).  ``schema_fields`` records the snapshot's CURRENT schema
+    (``[{"id", "name", "type", "required"}]``) so readers resolve columns
+    by field id; later calls may pass an evolved schema (rename keeps the
+    id, adds append new ids)."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     manifests = []
@@ -362,7 +419,11 @@ def write_table(
                 "summary": {"operation": "append"},
             }
         ],
-        "schemas": [],
+        "schemas": (
+            [{"type": "struct", "schema-id": 0, "fields": schema_fields}]
+            if schema_fields else []
+        ),
+        "current-schema-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
     }
     with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:

@@ -18,6 +18,7 @@ unchanged, and the splits DataFrame round-robins across the cluster.
 
 from __future__ import annotations
 
+import json
 import os
 from bisect import bisect_left
 
@@ -28,26 +29,63 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.decode_detect import TABLES_SCHEMA, process_content_rows
 
 
-def _iceberg_snapshot(path: str) -> tuple[list[str], dict] | None:
+def _iceberg_snapshot(path: str) -> tuple[list[str], dict, list | None] | None:
     """When ``path`` is an Iceberg table directory (has metadata/
     v*.metadata.json), resolve the CURRENT snapshot via the jar-less reader
-    (sources/iceberg_native.py) → (live parquet files, position-delete map);
-    otherwise None and the caller treats ``path`` as a plain parquet
-    dataset.  This is what lets the python-native media scan — and
-    therefore the whole extraction pipeline — read the north rule's Iceberg
-    corpus layout directly, merge-on-read position deletes included:
-    snapshot isolation comes from the metadata chain (a concurrent append
-    publishes a NEW metadata version; this listing is a consistent view)."""
+    (sources/iceberg_native.py) → (live parquet files, position-delete map,
+    current schema fields); otherwise None and the caller treats ``path``
+    as a plain parquet dataset.  This is what lets the python-native media
+    scan — and therefore the whole extraction pipeline — read the north
+    rule's Iceberg corpus layout directly, merge-on-read position deletes
+    included: snapshot isolation comes from the metadata chain (a
+    concurrent append publishes a NEW metadata version; this listing is a
+    consistent view).  The schema fields drive FIELD-ID column resolution:
+    a column renamed after a file was written still reads correctly, and a
+    column added later null-fills (iceberg_native.resolve_columns)."""
     import glob
 
     if not os.path.isdir(os.path.join(path, "metadata")):
         return None
     if not glob.glob(os.path.join(path, "metadata", "v*.metadata.json")):
         return None
-    from .iceberg_native import read_table_snapshot
+    from .iceberg_native import read_table_snapshot, table_schema
 
     snap = read_table_snapshot(path)
-    return [f["path"] for f in snap["data_files"]], snap["position_deletes"]
+    return (
+        [f["path"] for f in snap["data_files"]],
+        snap["position_deletes"],
+        table_schema(path),
+    )
+
+
+# the four columns the decode stage consumes, with their null-fill types.
+# doc_id and content are REQUIRED (a scan without payload or identity is
+# meaningless); media_ref/page_no may be null-filled for pre-add files.
+_SCAN_COLS = ("doc_id", "media_ref", "page_no", "content")
+_REQUIRED_COLS = ("doc_id", "content")
+_NULL_TYPES = {"media_ref": "string", "page_no": "long"}
+
+
+def _fragment_colmap(physical_schema, schema_fields) -> str:
+    """JSON ``{current_name: physical_name|null}`` for one file, or ""
+    when it is the identity map (the overwhelmingly common case — avoids
+    shipping a JSON blob per split).  Tables without a recorded schema
+    (minimal fixtures / pre-schema layouts) keep pure name-based reads."""
+    from .iceberg_native import resolve_columns
+
+    if schema_fields is None:
+        return ""
+    cmap = resolve_columns(physical_schema, list(_SCAN_COLS), schema_fields)
+    missing = [c for c in _REQUIRED_COLS if cmap.get(c) is None]
+    if missing:
+        raise ValueError(
+            f"Iceberg schema resolution: required column(s) {missing} have "
+            "no physical column in a data file (field id absent) — refusing "
+            "a scan that would fabricate identities or payloads"
+        )
+    if all(cmap.get(c) == c for c in _SCAN_COLS):
+        return ""
+    return json.dumps(cmap)
 
 
 def list_row_groups(
@@ -68,7 +106,9 @@ def list_row_groups(
     """
     keep_sorted = sorted(keep_doc_ids) if keep_doc_ids is not None else None
     snap = _iceberg_snapshot(path)
-    iceberg_files, pos_deletes = snap if snap is not None else (None, {})
+    iceberg_files, pos_deletes, schema_fields = (
+        snap if snap is not None else (None, {}, None)
+    )
     if iceberg_files is not None and not iceberg_files:
         return []  # Iceberg table with no snapshot yet
     if pos_deletes:
@@ -91,13 +131,18 @@ def list_row_groups(
             pos_deletes.pop(os.path.abspath(frag.path), ())
             if pos_deletes else ()
         )
+        cmap_json = (
+            _fragment_colmap(frag.physical_schema, schema_fields)
+            if iceberg_files is not None else ""
+        )
+        doc_phys = json.loads(cmap_json)["doc_id"] if cmap_json else "doc_id"
         # resolve against the parquet LEAF-column order, not the Arrow field
         # index — they diverge as soon as a nested column precedes doc_id,
         # and a wrong index would silently prune on another column's stats
         doc_idx = next(
             (
                 i for i in range(meta.row_group(0).num_columns)
-                if meta.row_group(0).column(i).path_in_schema == "doc_id"
+                if meta.row_group(0).column(i).path_in_schema == doc_phys
             ),
             None,
         )
@@ -123,7 +168,9 @@ def list_row_groups(
                 dels = tuple(p - start for p in file_dels[a:b])
             else:
                 dels = ()
-            splits.append((frag.path, rg, g.num_rows, g.total_byte_size, dels))
+            splits.append(
+                (frag.path, rg, g.num_rows, g.total_byte_size, dels, cmap_json)
+            )
     # deletes whose data file is not in the scan are IGNORED per the
     # Iceberg spec — dangling delete files routinely survive compaction
     # (rewrite_data_files leaves them until dangling-delete removal runs),
@@ -170,7 +217,7 @@ def detect_tables_python_scan(
     if 0 < len(splits) < 4 * par:
         k_target = -(-4 * par // len(splits))  # ceil
         expanded = []
-        for path, rg, nrows, nbytes, dels in splits:
+        for path, rg, nrows, nbytes, dels, cmap in splits:
             # keep slices ≥8 rows: even 8 pages is ~0.2 s of decode — real
             # work per task — while hostile/tiny row groups stay unsliced.
             # Sub-split only SMALL-payload groups (<64 KB/row): each slice
@@ -186,10 +233,10 @@ def detect_tables_python_scan(
                 lo, hi = s * nrows // k, (s + 1) * nrows // k
                 a = bisect_left(dels, lo)
                 b = bisect_left(dels, hi)
-                expanded.append((path, rg, s, k, list(dels[a:b])))
+                expanded.append((path, rg, s, k, list(dels[a:b]), cmap))
     else:
-        expanded = [(path, rg, 0, 1, list(dels))
-                    for path, rg, _n, _b, dels in splits]
+        expanded = [(path, rg, 0, 1, list(dels), cmap)
+                    for path, rg, _n, _b, dels, cmap in splits]
     # Slice count: one task per split while that stays cheap (row groups
     # are written ~8 MB ≈ uniform work, so 1:1 gives perfectly even tasks —
     # measured 10% faster at local[16] than 73 splits / 64 slices, where
@@ -203,7 +250,7 @@ def detect_tables_python_scan(
         n_slices = 4 * par
     rdd = spark.sparkContext.parallelize(expanded, n_slices)
     sdf = spark.createDataFrame(
-        rdd, "path string, rg int, sl int, k int, dels array<long>"
+        rdd, "path string, rg int, sl int, k int, dels array<long>, cmap string"
     )
     bc_keep = (
         spark.sparkContext.broadcast(frozenset(keep_doc_ids))
@@ -221,8 +268,19 @@ def detect_tables_python_scan(
             sls = b.column("sl").to_pylist()
             ks = b.column("k").to_pylist()
             delss = b.column("dels").to_pylist()
-            for path, rg, sl, k, dels in zip(paths, rgs, sls, ks, delss):
+            cmaps = b.column("cmap").to_pylist()
+            for path, rg, sl, k, dels, cmap_j in zip(
+                paths, rgs, sls, ks, delss, cmaps
+            ):
                 delset = set(dels) if dels else None
+                # field-id column resolution (Iceberg schema evolution):
+                # cmap maps current names → this file's physical names
+                # (None = column added after the file was written)
+                cmap = json.loads(cmap_j) if cmap_j else None
+                read_cols = (
+                    [cmap[c] for c in _SCAN_COLS if cmap[c] is not None]
+                    if cmap else list(_SCAN_COLS)
+                )
                 # stream the row group in bounded batches — a media row group
                 # can hold hundreds of MB of pixels; never materialize it
                 pf = pq.ParquetFile(path)
@@ -233,10 +291,29 @@ def detect_tables_python_scan(
                 for rb in pf.iter_batches(
                     batch_size=64,
                     row_groups=[rg],
-                    columns=["doc_id", "media_ref", "page_no", "content"],
+                    columns=read_cols,
                 ):
                     b_lo, b_hi = off, off + rb.num_rows
                     off = b_hi
+                    if cmap:
+                        # physical → current names, null-filling added cols
+                        arrs = []
+                        for c in _SCAN_COLS:
+                            phys = cmap[c]
+                            if phys is None:
+                                arrs.append(pa.nulls(
+                                    rb.num_rows,
+                                    type=pa.int64()
+                                    if _NULL_TYPES.get(c) == "long"
+                                    else pa.string(),
+                                ))
+                            else:
+                                arrs.append(
+                                    rb.column(rb.schema.get_field_index(phys))
+                                )
+                        rb = pa.RecordBatch.from_arrays(
+                            arrs, names=list(_SCAN_COLS)
+                        )
                     if b_hi <= lo:
                         continue  # before this slice's window
                     if b_lo >= hi:

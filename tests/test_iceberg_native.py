@@ -264,4 +264,106 @@ def test_dangling_delete_targets_are_ignored_per_spec(spark, tmp_path):
     write_table(tdir, files, snapshot_id=1,
                 position_deletes={str(tmp_path / "ghost.parquet"): [0]})
     splits = list_row_groups(tdir)
-    assert splits and all(d == () for *_x, d in splits)
+    assert splits and all(d == () for _p, _rg, _n, _b, d, _c in splits)
+
+
+# --- field-id schema resolution (r3 verdict ask #4) ---
+
+def _blob_parts_with_field_ids(tmp_path, n_docs, rename_content=False,
+                               tag="fid"):
+    """Fixture blob parquet carrying Iceberg field ids 1-4.  With
+    ``rename_content`` the PHYSICAL column is named 'blob' (the historical
+    name) while keeping field id 4 — the rename-evolution shape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tableextraction_spark.fixtures import gen_corpus
+
+    _docs, blobs, _exp = gen_corpus(n_docs)
+    cname = "blob" if rename_content else "content"
+    schema = pa.schema([
+        pa.field("doc_id", pa.string(), metadata={b"PARQUET:field.id": b"1"}),
+        pa.field("media_ref", pa.string(),
+                 metadata={b"PARQUET:field.id": b"2"}),
+        pa.field("page_no", pa.int64(), metadata={b"PARQUET:field.id": b"3"}),
+        pa.field(cname, pa.binary(), metadata={b"PARQUET:field.id": b"4"}),
+    ])
+    t = pa.table({
+        "doc_id": [b["doc_id"] for b in blobs],
+        "media_ref": [b["media_ref"] for b in blobs],
+        "page_no": [b["page_no"] for b in blobs],
+        cname: [b["content"] for b in blobs],
+    }, schema=schema)
+    p = str(tmp_path / f"{tag}.parquet")
+    pq.write_table(t, p, row_group_size=6)
+    import os
+    return p, len(blobs), os.path.getsize(p)
+
+
+ICEBERG_BLOB_SCHEMA = [
+    {"id": 1, "name": "doc_id", "type": "string", "required": True},
+    {"id": 2, "name": "media_ref", "type": "string", "required": True},
+    {"id": 3, "name": "page_no", "type": "long", "required": True},
+    {"id": 4, "name": "content", "type": "binary", "required": True},
+]
+
+
+def test_resolve_columns_by_field_id_and_name_fallback(tmp_path, spark):
+    import pyarrow.parquet as pq
+
+    from tableextraction_spark.sources.iceberg_native import resolve_columns
+
+    p, _n, _s = _blob_parts_with_field_ids(tmp_path, 2, rename_content=True)
+    phys = pq.ParquetFile(p).schema_arrow
+    got = resolve_columns(
+        phys, ["doc_id", "content", "lang"],
+        ICEBERG_BLOB_SCHEMA + [{"id": 5, "name": "lang", "type": "string"}],
+    )
+    assert got == {"doc_id": "doc_id", "content": "blob", "lang": None}
+    # no table schema → pure name matching
+    got = resolve_columns(phys, ["doc_id", "content"], None)
+    assert got == {"doc_id": "doc_id", "content": None}
+
+
+def test_scan_resolves_renamed_column_between_snapshots(tmp_path, spark):
+    """Snapshot 1's data file stores the payload under the HISTORICAL
+    physical name 'blob' (field id 4); the current schema calls it
+    'content'.  The scan must resolve by id and produce results identical
+    to a plain-parquet scan of the same pages under the current name."""
+    from tableextraction_spark.sources.media_parquet import (
+        detect_tables_python_scan,
+    )
+
+    old = _blob_parts_with_field_ids(tmp_path, 3, rename_content=True,
+                                     tag="old")
+    new = _blob_parts_with_field_ids(tmp_path, 2, rename_content=False,
+                                     tag="new")
+    tdir = str(tmp_path / "tbl")
+    write_table(tdir, [old], snapshot_id=1,
+                schema_fields=ICEBERG_BLOB_SCHEMA)
+    # schema evolves: a column is ADDED (id 5) after snapshot 1's file —
+    # resolution must null-fill it for old files without erroring
+    write_table(tdir, [old, new], snapshot_id=2,
+                schema_fields=ICEBERG_BLOB_SCHEMA
+                + [{"id": 5, "name": "lang", "type": "string"}])
+    got = sorted(
+        (r.media_ref, r.obj_no)
+        for r in detect_tables_python_scan(spark, tdir).collect()
+    )
+    # reference: same pages via plain parquet scans with current names
+    plain_dir = str(tmp_path / "plain")
+    import os
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    os.makedirs(plain_dir)
+    for i, (p, _n, _s) in enumerate((old, new)):
+        t = pq.read_table(p)
+        t = t.rename_columns(
+            ["doc_id", "media_ref", "page_no", "content"]
+        )
+        pq.write_table(t, f"{plain_dir}/p{i}.parquet")
+    want = sorted(
+        (r.media_ref, r.obj_no)
+        for r in detect_tables_python_scan(spark, plain_dir).collect()
+    )
+    assert got == want and len(got) > 0
