@@ -92,7 +92,8 @@ def probe_bytes(payload: bytes) -> dict:
         elif buf[:4] == b"\x1aE\xdf\xa3":
             out.update(format="mkv/webm", kind="video", codec="ebml")
         elif buf[:4] == b"OggS":
-            out.update(format="ogg", kind="audio", codec="ogg")
+            out.update(format="ogg", kind="audio")
+            out.update(_probe_ogg(full))
         elif buf[:3] == b"ID3" or (len(buf) >= 2 and buf[0] == 0xFF and buf[1] & 0xE0 == 0xE0):
             out.update(format="mp3", kind="audio", **_probe_mp3(full))
         # dataset/crawl container formats — a raw bucket listing mixes
@@ -242,7 +243,10 @@ def _probe_mp4(buf: bytes) -> dict:
 
 def _probe_mp3(buf: bytes) -> dict:
     """First MPEG audio frame header (after any ID3v2 tag): version/layer/
-    bitrate/samplerate; duration estimated as filesize/bitrate (CBR)."""
+    bitrate/samplerate.  Duration: a **Xing/Info or VBRI** header inside the
+    first frame gives the exact frame count (the accurate number for VBR
+    files — filesize/first-frame-bitrate can be off by 2-3×); CBR files
+    fall back to filesize/bitrate."""
     pos = 0
     if buf[:3] == b"ID3" and len(buf) >= 10:
         # syncsafe 28-bit tag size
@@ -260,14 +264,82 @@ def _probe_mp3(buf: bytes) -> dict:
                 table = _MP3_BITRATE_V1_L3 if ver == 3 else _MP3_BITRATE_V2_L3
                 kbps = table[brx]
                 rate = rates[srx] if rates else 0
-                dur = len(buf) * 8 / (kbps * 1000) if kbps else 0.0
+                spf = 1152 if ver == 3 else 576  # Layer III samples/frame
+                vbr_frames = _mp3_vbr_frames(buf, pos, ver)
+                if vbr_frames and rate:
+                    dur = vbr_frames * spf / rate
+                    tag = "vbr"
+                else:
+                    dur = len(buf) * 8 / (kbps * 1000) if kbps else 0.0
+                    tag = f"{kbps}kbps"
                 return {
                     "sample_rate": rate,
                     "duration_s": round(dur, 3),
-                    "codec": f"mpeg{'1' if ver == 3 else '2'}-l3@{kbps}kbps",
+                    "codec": f"mpeg{'1' if ver == 3 else '2'}-l3@{tag}",
                 }
         pos += 1
     return {"codec": "mpeg-audio"}
+
+
+def _mp3_vbr_frames(buf: bytes, frame: int, ver: int) -> int:
+    """Frame count from a Xing/Info or VBRI header in the first frame, or
+    0 when absent.  Xing sits after the side-info block (offset depends on
+    version + channel mode); VBRI sits at a fixed 32 bytes past the
+    header (Fraunhofer encoders)."""
+    mono = ((buf[frame + 3] >> 6) & 0x3) == 3 if frame + 3 < len(buf) else False
+    if ver == 3:  # MPEG1
+        off = frame + 4 + (17 if mono else 32)
+    else:  # MPEG2/2.5
+        off = frame + 4 + (9 if mono else 17)
+    if buf[off : off + 4] in (b"Xing", b"Info") and off + 12 <= len(buf):
+        flags = _U32B.unpack_from(buf, off + 4)[0]
+        if flags & 1:  # frames field present
+            return _U32B.unpack_from(buf, off + 8)[0]
+        return 0
+    vb = frame + 4 + 32
+    if buf[vb : vb + 4] == b"VBRI" and vb + 18 <= len(buf):
+        return _U32B.unpack_from(buf, vb + 14)[0]
+    return 0
+
+
+def _probe_ogg(buf: bytes) -> dict:
+    """OGG page walk (RFC 3533): codec id from the first page's packet
+    (Vorbis/Opus/Theora/FLAC-in-Ogg), sample rate from its id header, and
+    duration from the LAST page's granule position — found by scanning the
+    tail for 'OggS', so bytes touched stay O(header), not O(payload)."""
+    out: dict = {"codec": "ogg"}
+    if len(buf) < 28 or buf[:4] != b"OggS":
+        return out
+    nseg = buf[26]
+    body = 27 + nseg
+    pkt = buf[body : body + 64]
+    rate = 0
+    if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+        rate = _U32L.unpack_from(pkt, 12)[0]
+        out["codec"] = "vorbis"
+    elif pkt[:8] == b"OpusHead":
+        rate = 48000  # Opus granules are ALWAYS 48 kHz regardless of input
+        out["codec"] = "opus"
+        out["sample_rate"] = (
+            _U32L.unpack_from(pkt, 12)[0] if len(pkt) >= 16 else 48000
+        )
+    elif pkt[:7] == b"\x80theora":
+        out["codec"] = "theora"
+        out["kind"] = "video"
+    elif pkt[:5] == b"\x7fFLAC":
+        out["codec"] = "flac-in-ogg"
+    if rate and "sample_rate" not in out:
+        out["sample_rate"] = rate
+    # last page: granule position of the final 'OggS' with a sane header
+    tail_start = max(0, len(buf) - 65536)
+    p = buf.rfind(b"OggS", tail_start)
+    while p > 0 and (p + 14 > len(buf) or buf[p + 4] != 0):
+        p = buf.rfind(b"OggS", tail_start, p)
+    if p >= 0 and p + 14 <= len(buf) and rate:
+        granule = struct.unpack_from("<q", buf, p + 6)[0]
+        if granule > 0:
+            out["duration_s"] = round(granule / rate, 3)
+    return out
 
 
 # ------------------------------------------------------------ Spark stage
