@@ -42,30 +42,54 @@ _MAX_MEMBERS = 1_000_000       # gzip members per file (backstop, not a limit)
 
 # --- gzip member walk (Common Crawl layout: one record per member) ---
 
+_INFLATE_CHUNK = 1 << 18  # 256 KB compressed bytes fed per decompress call
+
+
+def _inflate_member(mv, pos: int) -> tuple[bytes, int]:
+    """One gzip member starting at ``pos`` of a bytes/memoryview →
+    (decoded bytes, end offset).  Feeds the decompressor BOUNDED chunks:
+    ``d.decompress(buf[pos:])`` + ``unused_data`` copies the whole file
+    tail per member — O(n²) memcpy over a 100k-member crawl file — while
+    chunked feeding is O(member).  Raises ValueError on corrupt/truncated
+    data (callers capture per unit)."""
+    if bytes(mv[pos : pos + 2]) != b"\x1f\x8b":
+        raise ValueError(f"not a gzip member at offset {pos}")
+    d = zlib.decompressobj(wbits=31)
+    out = []
+    p = pos
+    n = len(mv)
+    try:
+        while p < n:
+            chunk = mv[p : p + _INFLATE_CHUNK]
+            out.append(d.decompress(chunk))
+            if d.eof:
+                consumed = len(chunk) - len(d.unused_data)
+                end = p + consumed
+                if end <= pos:
+                    raise ValueError("gzip member walk did not advance")
+                return b"".join(out), end
+            p += len(chunk)
+    except zlib.error as e:
+        raise ValueError(f"corrupt gzip member at offset {pos}: {e}")
+    raise ValueError(f"truncated gzip member at offset {pos}")
+
+
 def gunzip_members(buf: bytes) -> list[tuple[int, int, bytes]]:
     """All gzip members of ``buf`` → [(offset, compressed_len, data)].
 
-    Uses ``zlib.decompressobj(wbits=31)`` per member; ``unused_data`` marks
-    the next member's offset, so the walk needs no magic-byte scanning (a
-    deflate stream can contain 1f 8b legitimately).  Raises ValueError on a
-    corrupt/truncated member — callers capture per row.
+    ``unused_data``-free chunked inflation per member (see
+    ``_inflate_member``); no magic-byte scanning (a deflate stream can
+    contain 1f 8b legitimately).  Raises ValueError on a corrupt/truncated
+    member — callers capture per row.
     """
     out = []
     pos = 0
+    mv = memoryview(buf)
     n = len(buf)
     while pos < n:
-        if buf[pos : pos + 2] != b"\x1f\x8b":
-            raise ValueError(f"not a gzip member at offset {pos}")
-        d = zlib.decompressobj(wbits=31)
-        try:
-            data = d.decompress(buf[pos:])
-        except zlib.error as e:
-            raise ValueError(f"corrupt gzip member at offset {pos}: {e}")
-        if not d.eof:
-            raise ValueError(f"truncated gzip member at offset {pos}")
-        end = n - len(d.unused_data)
+        data, end = _inflate_member(mv, pos)
         out.append((pos, end - pos, data))
-        if end <= pos or len(out) >= _MAX_MEMBERS:
+        if len(out) >= _MAX_MEMBERS:
             raise ValueError("gzip member walk did not advance")
         pos = end
     return out
@@ -164,19 +188,12 @@ def _iter_members_tolerant(buf: bytes):
     bad member costs one error unit, not the rest of the file."""
     pos = 0
     n = len(buf)
+    mv = memoryview(buf)
     while pos < n:
         try:
-            if buf[pos : pos + 2] != b"\x1f\x8b":
-                raise ValueError(f"not a gzip member at offset {pos}")
-            d = zlib.decompressobj(wbits=31)
-            data = d.decompress(buf[pos:])
-            if not d.eof:
-                raise ValueError(f"truncated gzip member at offset {pos}")
-            end = n - len(d.unused_data)
-            if end <= pos:
-                raise ValueError("gzip member walk did not advance")
-        except (zlib.error, ValueError) as e:
-            yield None, f"{type(e).__name__}: {e}"
+            data, end = _inflate_member(mv, pos)
+        except ValueError as e:
+            yield None, f"ValueError: {e}"
             nxt = buf.find(b"\x1f\x8b\x08", pos + 1)
             if nxt < 0:
                 return
@@ -263,6 +280,12 @@ def iter_warc_docs(buf: bytes):
         units = _iter_members_tolerant(buf)
     else:
         units = iter([(buf, None)])
+    yield from _docs_from_units(units)
+
+
+def _docs_from_units(units):
+    """(decoded unit bytes | None, error | None) stream → doc row tuples
+    (shared by the whole-file and byte-range walks)."""
     for raw, unit_err in units:
         if unit_err is not None:
             yield ("", "", "", None, None, None, None, unit_err)
@@ -344,6 +367,177 @@ def warc_to_docs(spark, files_df):
             )
 
     return files_df.select("path", "content").mapInPandas(gen, DOCS_SCHEMA)
+
+
+# --- byte-range splits WITHIN a .warc.gz file (crawl-scale parallelism) ---
+#
+# Real crawl files are ~1 GB; one-task-per-file caps parallelism at the
+# file count and makes a single hot file a straggler.  Because Common
+# Crawl gzips each record as its OWN member, a task can own a byte range
+# [start, end) of the file and process exactly the members that START in
+# its range (the member crossing `end` belongs to the left task; the right
+# task scans forward from `end` to the first member boundary — the same
+# ownership rule Hadoop input splits use).  Candidate boundaries are the
+# 1f 8b 08 magic; a false positive inside compressed data fails to inflate
+# and is skipped, never mis-parsed.
+
+_SPLIT_READ_MARGIN = 4 << 20  # eager over-read past `end` (covers the
+# trailing member for crawl-typical ≤1 MB records without re-reading)
+_SPLIT_MEMBER_MARGIN = 32 << 20  # hard cap: a member overrunning `end` by
+# more than this errors loudly (re-read path below)
+
+
+def list_warc_splits(
+    paths: list[str], split_bytes: int = 64 << 20
+) -> list[tuple[str, int, int]]:
+    """[(path, start, end)] byte-range splits over .warc.gz files
+    (driver-side, size metadata only)."""
+    import os
+
+    out = []
+    for p in paths:
+        size = os.path.getsize(p)
+        n = max(1, -(-size // split_bytes))
+        for i in range(n):
+            out.append((p, i * size // n, (i + 1) * size // n))
+    return out
+
+
+def iter_warc_docs_range(path: str, start: int, end: int):
+    """Doc rows of the gzip members STARTING in ``[start, end)`` of a
+    .warc.gz file.  Reads ``[start, end + margin)`` — the margin covers the
+    last owned member's overrun past ``end`` (a member larger than the
+    margin errors loudly rather than silently truncating).  Plain
+    (non-member-gzip) WARC files are not splittable: the split containing
+    offset 0 processes the whole file; others yield nothing."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        if start == 0:
+            head = f.read(2)
+            if head != b"\x1f\x8b":
+                f.seek(0)
+                yield from iter_warc_docs(f.read())
+                return
+        f.seek(start)
+        # eager read = range + small margin (2× amplification worst case);
+        # the rare member longer than the margin re-reads below under the
+        # hard cap instead of inflating every split's read by 32 MB
+        buf = f.read(min(size, end + _SPLIT_READ_MARGIN) - start)
+    mv = memoryview(buf)
+    window = end - start  # member starts are owned while local pos < window
+    pos = 0
+    synced = start == 0  # split 0 starts ON a boundary by format definition
+    while pos < window:
+        if not synced:
+            nxt = buf.find(b"\x1f\x8b\x08", pos, window)
+            if nxt < 0:
+                return
+            pos = nxt
+        try:
+            try:
+                data, mend = _inflate_member(mv, pos)
+            except ValueError:
+                if start + len(buf) >= size:
+                    raise  # not a buffer-end artifact: really corrupt
+                # trailing member longer than the eager margin: re-read it
+                # alone under the hard cap
+                with open(path, "rb") as f:
+                    f.seek(start + pos)
+                    big = f.read(min(size - start - pos, _SPLIT_MEMBER_MARGIN))
+                data, bend = _inflate_member(memoryview(big), 0)
+                mend = pos + bend
+        except ValueError as e:
+            if synced:
+                # a real mid-split corruption: error unit, resync forward
+                yield ("", "", "", None, None, None, None,
+                       f"ValueError: {e}")
+            # false-positive magic before first sync: skip silently — the
+            # bytes belong to the left split's trailing member
+            nxt = buf.find(b"\x1f\x8b\x08", pos + 1, window)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        synced = True
+        yield from _docs_from_units(iter([(data, None)]))
+        pos = mend
+
+
+_DOCS_ARROW_TYPES = [
+    ("warc_path", "string"), ("url", "string"), ("record_id", "string"),
+    ("warc_date", "string"), ("http_status", "int32"),
+    ("content_type", "string"), ("payload", "binary"), ("text", "string"),
+    ("error", "string"),
+]
+
+
+def warc_scan_docs(
+    spark,
+    paths: list[str],
+    split_bytes: int = 64 << 20,
+    columns: list[str] | None = None,
+):
+    """Byte-range-parallel crawl scan: ``paths`` → the same rows as
+    ``warc_to_docs`` but with tasks owning ranges WITHIN each file, so
+    parallelism scales with total bytes, not file count.
+
+    Splits are enumerated driver-side (size metadata only), coalesced to
+    ~4·parallelism tasks (per-split tasks are ~100 ms of work — 1:1 tasks
+    measured 1.5× slower at local[16] from per-task protocol overhead),
+    and pinned against AQE coalescing exactly like the media scan's
+    row-group splits.  Rows leave each task as one Arrow batch per split
+    (``mapInArrow`` — no pandas object round-trip on payload bytes).
+
+    ``columns`` projects INSIDE the task: a ``.select()`` after the stage
+    cannot reach into the generator, so an inventory-shaped job (url,
+    status, content_type) would otherwise ship every payload byte into
+    the JVM just to drop it — measured ~2.4× the wall of the projected
+    scan.  Omit it (or include 'payload'/'text') when downstream actually
+    consumes the bytes."""
+    splits = list_warc_splits(paths, split_bytes)
+    par = spark.sparkContext.defaultParallelism
+    n_slices = max(1, min(len(splits), 4 * par))
+    rdd = spark.sparkContext.parallelize(splits, n_slices)
+    sdf = spark.createDataFrame(rdd, "path string, start long, end long")
+
+    import pyarrow as pa
+
+    fields = [
+        (n, t) for n, t in _DOCS_ARROW_TYPES
+        if columns is None or n in columns
+    ]
+    arrow_schema = pa.schema([(n, getattr(pa, t)()) for n, t in fields])
+    idx = [i for i, (n, _t) in enumerate(_DOCS_ARROW_TYPES)
+           if columns is None or n in columns]
+    out_schema = ", ".join(
+        f"{n} {'int' if t == 'int32' else t}" for n, t in fields
+    )
+
+    def gen(batches):
+        for b in batches:
+            for path, s, e in zip(
+                b.column("path").to_pylist(),
+                b.column("start").to_pylist(),
+                b.column("end").to_pylist(),
+            ):
+                try:
+                    rows = [(path, *r)
+                            for r in iter_warc_docs_range(path, int(s), int(e))]
+                except (OSError, ValueError, zlib.error) as exc:
+                    rows = [(path, None, None, None, None, None, None,
+                             None, f"{type(exc).__name__}: {exc}")]
+                if not rows:
+                    continue
+                cols = list(zip(*rows))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols[i], type=f.type)
+                     for i, f in zip(idx, arrow_schema)],
+                    schema=arrow_schema,
+                )
+
+    return sdf.mapInArrow(gen, out_schema)
 
 
 def warc_html_docs(spark, files_df):

@@ -287,3 +287,103 @@ def test_warc_html_docs_dedups_repeated_captures(spark):
     rows = warc_html_docs(spark, df).collect()
     assert len(rows) == 1  # one doc_id per URL
     assert "NEW" in rows[0].spans[0].text  # the latest capture wins
+
+
+# --- byte-range splits within one .warc.gz (r3 verdict item 5) ---
+
+def _big_warc(tmp_path, n=120, name="big.warc.gz"):
+    from tableextraction_spark.sources.warc import encode_http_response
+
+    recs = []
+    for i in range(n):
+        body = (f"<html><body>doc {i} " + "filler " * (20 + i % 67)
+                + "</body></html>").encode()
+        recs.append(encode_warc_record(
+            "response", encode_http_response(body),
+            url=f"http://ex.org/{i}", record_id=str(i),
+        ))
+    p = tmp_path / name
+    p.write_bytes(encode_warc(recs))
+    return str(p), n
+
+
+def test_range_splits_tile_file_exactly(tmp_path):
+    """Union of per-range walks == whole-file walk, for MANY split sizes
+    (boundaries land inside members, on members, inside gzip headers)."""
+    from tableextraction_spark.sources.warc import (
+        iter_warc_docs_range,
+        list_warc_splits,
+    )
+    import os
+
+    path, n = _big_warc(tmp_path)
+    whole = sorted(r[0] for r in iter_warc_docs(open(path, "rb").read())
+                   if r[0])
+    assert len(whole) == n
+    for split_bytes in (999, 4096, 17001, os.path.getsize(path) * 2):
+        splits = list_warc_splits([path], split_bytes)
+        got = []
+        for p, s, e in splits:
+            got.extend(r[0] for r in iter_warc_docs_range(p, s, e) if r[0])
+        assert sorted(got) == whole, f"split_bytes={split_bytes}"
+
+
+def test_range_split_corruption_contained(tmp_path):
+    """A corrupt member inside one range costs one error unit; every other
+    record in every range survives."""
+    from tableextraction_spark.sources.warc import (
+        gunzip_members,
+        iter_warc_docs_range,
+        list_warc_splits,
+    )
+
+    path, n = _big_warc(tmp_path, n=40, name="corrupt.warc.gz")
+    buf = bytearray(open(path, "rb").read())
+    members = gunzip_members(bytes(buf))
+    off, clen, _ = members[7]
+    buf[off + clen // 2] ^= 0xFF  # flip a payload bit mid-member
+    open(path, "wb").write(bytes(buf))
+    urls, errors = [], 0
+    for p, s, e in list_warc_splits([path], 4096):
+        for r in iter_warc_docs_range(p, s, e):
+            if r[-1] is not None:
+                errors += 1
+            elif r[0]:
+                urls.append(r[0])
+    assert errors >= 1
+    assert len(urls) >= n - 2  # at most the corrupt record (+1 resync) lost
+
+
+def test_plain_warc_not_splittable_single_owner(tmp_path):
+    from tableextraction_spark.sources.warc import (
+        iter_warc_docs_range,
+        list_warc_splits,
+    )
+
+    recs = _fixture_records()
+    p = tmp_path / "plain.warc"
+    p.write_bytes(encode_warc(recs, per_record_gzip=False))
+    splits = list_warc_splits([str(p)], 256)
+    assert len(splits) > 1
+    rows = []
+    for path, s, e in splits:
+        rows.extend(r for r in iter_warc_docs_range(path, s, e))
+    assert len([r for r in rows if r[0]]) == 3  # split 0 owns the file
+
+
+def test_warc_scan_docs_matches_whole_file_stage(spark, tmp_path):
+    """The distributed byte-range scan returns exactly warc_to_docs' rows
+    (same file handed as one blob) and actually ran multiple tasks."""
+    from tableextraction_spark.sources.warc import warc_scan_docs
+
+    path, n = _big_warc(tmp_path, n=80)
+    out = warc_scan_docs(spark, [path], split_bytes=2048)
+    got = sorted(r.url for r in out.collect() if r.url)
+    files_df = spark.createDataFrame(
+        [(path, open(path, "rb").read())], "path string, content binary"
+    )
+    want = sorted(r.url for r in warc_to_docs(spark, files_df).collect()
+                  if r.url)
+    assert got == want and len(got) == n
+    from tableextraction_spark.sources.warc import list_warc_splits
+    assert len(list_warc_splits([path], 2048)) > 4

@@ -55,6 +55,71 @@ print(json.dumps({{"cores": cores, "sec": round(best, 3), "n_pages": n_pages,
 spark.stop()
 """
 
+_WARC_PREGEN = r"""
+import json, os, sys, zlib
+sys.path.insert(0, {repo!r})
+from tableextraction_spark.sources.warc import (
+    encode_http_response, encode_warc_record,
+)
+
+root = sys.argv[1]; n_files = int(sys.argv[2]); recs_per = int(sys.argv[3])
+os.makedirs(root, exist_ok=True)
+marker = os.path.join(root, "_READY")
+if not os.path.exists(marker):
+    for fi in range(n_files):
+        path = os.path.join(root, f"crawl-{{fi:02d}}.warc.gz")
+        with open(path, "wb") as f:
+            for i in range(recs_per):
+                # varied tokens: realistic ~3-6 KB/record compressed (a
+                # constant filler word gzips 100x and makes records ~300 B,
+                # so the run measures scheduling, not parse+decode)
+                words = " ".join(
+                    f"w{{(i * 131 + j * 17) % 99991}}x{{j % 613}}"
+                    for j in range(400 + (i * 37) % 800)
+                )
+                body = ("<html><head><title>p%d</title></head><body><p>" % i
+                        + words + "</p></body></html>").encode()
+                rec = encode_warc_record(
+                    "response", encode_http_response(body),
+                    url=f"http://host{{fi}}.ex/{{i}}", record_id=f"{{fi}}-{{i}}",
+                )
+                co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                f.write(co.compress(rec) + co.flush())
+    open(marker, "w").close()
+sizes = [os.path.getsize(os.path.join(root, x))
+         for x in sorted(os.listdir(root)) if x.endswith(".warc.gz")]
+print(json.dumps({{"generated": True, "files": len(sizes),
+                   "total_mb": round(sum(sizes) / 1048576, 1)}}))
+"""
+
+_WARC_CHILD = r"""
+import glob, json, os, sys, time
+sys.path.insert(0, {repo!r})
+from tableextraction_spark.session import get_spark
+from tableextraction_spark.sources.warc import warc_scan_docs
+
+cores = int(sys.argv[1]); root = sys.argv[2]; reps = int(sys.argv[3])
+spark = get_spark(app=f"warcscale{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+paths = sorted(glob.glob(os.path.join(root, "*.warc.gz")))
+def consume(df):
+    df.write.format("noop").mode("overwrite").save()
+# warm: code paths + page cache (the timed runs measure decode+parse)
+n_recs = warc_scan_docs(spark, paths, split_bytes=4 << 20).count()
+best = None
+for _ in range(reps):
+    t0 = time.time()
+    consume(warc_scan_docs(spark, paths, split_bytes=4 << 20))
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({{"cores": cores, "sec": round(best, 3),
+                   "n_records": n_recs, "n_files": len(paths),
+                   "pages_per_sec": round(n_recs / best, 2),
+                   "records_per_sec": round(n_recs / best, 2)}}))
+spark.stop()
+"""
+
 _POOL_CHILD = r"""
 import json, sys, time, multiprocessing as mp
 sys.path.insert(0, {repo!r})
@@ -127,12 +192,28 @@ def main():
     # regime as 24k IMG1 docs
     codec = sys.argv[5] if len(sys.argv) > 5 else "img1"
 
-    child = _CHILD.format(repo=REPO)
     pool = _POOL_CHILD.format(repo=REPO)
-    # generate the corpus once at full width, outside any measured child
-    _run(_PREGEN.format(repo=REPO), [str(n_docs), codec])
-    r_lo = _run(child, [str(lo), str(n_docs), str(reps), codec])
-    r_hi = _run(child, [str(hi), str(n_docs), str(reps), codec])
+    if codec == "warc":
+        # WARC lane: byte-range splits WITHIN .warc.gz files (few big files,
+        # many tasks) — the within-file splittability evidence.  n_docs is
+        # interpreted as records per file across 2 files.
+        import os
+
+        root = os.path.join(
+            os.environ.get("TABLEX_BENCH_DIR", "/tmp/tablex_bench"),
+            f"warc_scaling_{n_docs}",
+        )
+        gen = _run(_WARC_PREGEN.format(repo=REPO), [root, "2", str(n_docs)])
+        child = _WARC_CHILD.format(repo=REPO)
+        r_lo = _run(child, [str(lo), root, str(reps)])
+        r_hi = _run(child, [str(hi), root, str(reps)])
+        r_lo["fixture"] = gen
+    else:
+        child = _CHILD.format(repo=REPO)
+        # generate the corpus once at full width, outside any measured child
+        _run(_PREGEN.format(repo=REPO), [str(n_docs), codec])
+        r_lo = _run(child, [str(lo), str(n_docs), str(reps), codec])
+        r_hi = _run(child, [str(hi), str(n_docs), str(reps), codec])
     p_lo = _run(pool, [str(lo), str(reps)])
     p_hi = _run(pool, [str(hi), str(reps)])
 
