@@ -140,20 +140,41 @@ for _c, _m in _MODE_CODES:
     _MODE_LUT[_v : _v + (1 << (16 - _n))] = [(_m, _n)] * (1 << (16 - _n))
 
 
-class _Reader:
-    """MSB-first bit reader with the jpeg-style 16-bit window list.
+_WIN_CHUNK = 1 << 20  # window entries materialized at a time
 
-    CCITT streams are small relative to JPEG scans (1 bit/pixel before
-    compression), so one window list over the whole stream is fine — no
-    chunked sliding needed."""
+
+class _Reader:
+    """MSB-first bit reader with the jpeg-style 16-bit window list,
+    materialized in bounded ``_WIN_CHUNK`` slices exactly like
+    ``jpeg._BitReader``: a window entry is ~36 B of heap per input BIT, so
+    a whole-stream list over an attacker-sized /CCITTFaxDecode stream
+    (/Length is attacker-controlled) would be a multi-GB allocation before
+    any validation — the executor-OOM class the per-row error capture
+    cannot catch.  Peak heap here is ~36 MB regardless of stream size."""
+
+    _MARGIN = 128  # bits any single access sequence may read past pos
 
     def __init__(self, data: bytes):
+        self.data = data
         self.nbits = len(data) * 8
-        self.win = _win_slice_msb(data, 0, self.nbits)
         self.pos = 0
+        self._cbase = 0
+        self._cend = min(self.nbits, _WIN_CHUNK)
+        self._chunk = _win_slice_msb(data, 0, self._cend)
+
+    def _w(self, pos: int) -> int:
+        """16-bit window at ``pos``, sliding the chunk forward as needed
+        (positions only ever advance)."""
+        if pos >= self.nbits:
+            return 0
+        if pos < self._cbase or pos + 16 > self._cend and self._cend < self.nbits:
+            self._cbase = pos
+            self._cend = min(self.nbits, pos + _WIN_CHUNK)
+            self._chunk = _win_slice_msb(self.data, pos, self._cend)
+        return self._chunk[pos - self._cbase]
 
     def peek16(self) -> int:
-        return self.win[self.pos] if self.pos < self.nbits else 0
+        return self._w(self.pos)
 
     def read_run(self, black: bool) -> int:
         """One complete MH run length (makeup* + terminating)."""
@@ -162,7 +183,7 @@ class _Reader:
         while True:
             if self.pos >= self.nbits:
                 raise ValueError("CCITT: truncated run code")
-            e = lut[self.win[self.pos]]
+            e = lut[self._w(self.pos)]
             if e == 0:
                 raise ValueError(
                     f"CCITT: invalid {'black' if black else 'white'} code at "
@@ -181,9 +202,7 @@ class _Reader:
         # fill bits are zeros; EOL is 11 zeros + 1.  Scan a bounded window
         # of zeros (T.4 allows fill before EOL) then demand the EOL tail.
         zeros = 0
-        while p + zeros < self.nbits and not (
-            self.win[p + zeros] & 0x8000
-        ):
+        while p + zeros < self.nbits and not (self._w(p + zeros) & 0x8000):
             zeros += 1
             if zeros > 64 + 11:  # bounded: more fill than any writer emits
                 return False
@@ -279,6 +298,7 @@ def decode_ccitt(
     rd = _Reader(data)
     out: list[np.ndarray] = []
     ref: list[int] = []  # imaginary all-white reference line
+    has_eol: bool | None = None  # K=0: decided on the first row (below)
     while rows == 0 or len(out) < rows:
         if byte_align and k < 0:
             rd.byte_align()  # G4: each coded row starts byte-aligned
@@ -292,15 +312,26 @@ def decode_ccitt(
                 break  # trailing byte-pad zeros
             trans = _decode_row_2d(rd, ref, columns)
         elif k == 0:
-            rd.try_eol()  # optional EOL (+fill) before each row
+            # EOL usage is decided ONCE, on the first row: a K=0 stream
+            # either prefixes every row with EOL or none (writers are
+            # consistent), and at stream start there are no pad bits, so
+            # ≥11 zeros can only be an EOL (the longest white-code zero
+            # prefix is 7).  Deciding per-row instead is ambiguous under
+            # EncodedByteAlign: pad zeros + a long white makeup code's
+            # leading zeros can reach 11 and masquerade as an EOL
+            # (found in review — silently corrupted aligned K=0 streams).
+            if has_eol is None:
+                has_eol = rd.try_eol()
+            elif has_eol:
+                rd.try_eol()
             if byte_align:
-                # rows start byte-aligned whether or not an EOL preceded
-                # (a row can't open with 11 zeros, so try_eol above never
-                # eats row data)
+                # aligned layout: each row's CODES start on a byte
+                # boundary (fill precedes the EOL, so consuming it lands
+                # aligned; without EOLs this eats the ≤7 pad zeros)
                 rd.byte_align()
             if rd.pos >= rd.nbits:
                 break
-            if rd.try_eol():  # consecutive EOLs = RTC
+            if has_eol and rd.try_eol():  # consecutive EOLs = RTC
                 break
             if rd.nbits - rd.pos < 8 and rd.peek16() == 0:
                 break  # trailing byte-pad zeros
@@ -319,7 +350,7 @@ def decode_ccitt(
                 rd.byte_align()
             if rd.pos >= rd.nbits:
                 break
-            tag = (rd.win[rd.pos] >> 15) & 1
+            tag = (rd.peek16() >> 15) & 1
             rd.pos += 1
             trans = (
                 _decode_row_1d(rd, columns)
@@ -429,14 +460,21 @@ def encode_ccitt_g3_1d(
     wr = _Writer()
     for y in range(h):
         if with_eol:
+            if byte_align:
+                # T.4/TIFF aligned layout: FILL precedes the EOL so the
+                # EOL's terminating 1 lands on a byte boundary and the
+                # row's codes start aligned
+                pad = -(wr.n + len(_EOL)) % 8
+                if pad:
+                    wr.put("0" * pad)
             wr.put(_EOL)
-        if byte_align:
+        elif byte_align:
             wr.byte_align()
         trans = _transitions(bm[y]) + [w]
         prev, black = 0, False
         for t in trans:
             wr.put_run(t - prev, black)
             prev, black = t, not black
-        if prev < w:  # trailing run to the row end
-            wr.put_run(w - prev, black)
+        # (trans ends with the sentinel w, so prev == w here: rows always
+        # terminate exactly — no trailing-run branch needed)
     return wr.tobytes()

@@ -90,7 +90,9 @@ def gunzip_members(buf: bytes) -> list[tuple[int, int, bytes]]:
         data, end = _inflate_member(mv, pos)
         out.append((pos, end - pos, data))
         if len(out) >= _MAX_MEMBERS:
-            raise ValueError("gzip member walk did not advance")
+            raise ValueError(
+                f"gzip member count exceeds the {_MAX_MEMBERS} backstop"
+            )
         pos = end
     return out
 
@@ -429,20 +431,28 @@ def iter_warc_docs_range(path: str, start: int, end: int):
     window = end - start  # member starts are owned while local pos < window
     pos = 0
     synced = start == 0  # split 0 starts ON a boundary by format definition
+    # magic scans pass `window + 2` as the end bound: find() bounds the
+    # END of the 3-byte match, so a member starting at local offset
+    # window-1 or window-2 (still OWNED: its start is < end) would
+    # otherwise be found by NO split and its record silently lost
+    # (found in review); ownership is enforced by `nxt < window` below.
     while pos < window:
         if not synced:
-            nxt = buf.find(b"\x1f\x8b\x08", pos, window)
-            if nxt < 0:
+            nxt = buf.find(b"\x1f\x8b\x08", pos, window + 2)
+            if nxt < 0 or nxt >= window:
                 return
             pos = nxt
         try:
             try:
                 data, mend = _inflate_member(mv, pos)
-            except ValueError:
-                if start + len(buf) >= size:
-                    raise  # not a buffer-end artifact: really corrupt
-                # trailing member longer than the eager margin: re-read it
-                # alone under the hard cap
+            except ValueError as e:
+                # re-read under the hard cap ONLY for a buffer-end
+                # truncation (the trailing owned member overran the eager
+                # margin) — zlib corruption and false-positive magics fail
+                # identically on a bigger buffer, so re-reading them is
+                # pure wasted I/O
+                if "truncated" not in str(e) or start + len(buf) >= size:
+                    raise
                 with open(path, "rb") as f:
                     f.seek(start + pos)
                     big = f.read(min(size - start - pos, _SPLIT_MEMBER_MARGIN))
@@ -455,8 +465,8 @@ def iter_warc_docs_range(path: str, start: int, end: int):
                        f"ValueError: {e}")
             # false-positive magic before first sync: skip silently — the
             # bytes belong to the left split's trailing member
-            nxt = buf.find(b"\x1f\x8b\x08", pos + 1, window)
-            if nxt < 0:
+            nxt = buf.find(b"\x1f\x8b\x08", pos + 1, window + 2)
+            if nxt < 0 or nxt >= window:
                 return
             pos = nxt
             continue

@@ -98,18 +98,23 @@ class IdempotentSink:
         self._wrote_any = False
 
     def _verify_suspects(self, suspects: list[str]) -> set[str]:
-        """Exact subset of ``suspects`` already present in the output —
-        a doc_id-column read with an isin pushdown filter (tiny: suspects
-        are true dups + bloom false positives, not the whole run)."""
+        """Exact subset of ``suspects`` already present in the output — a
+        doc_id-column read joined against a broadcast suspects frame.  (A
+        literal ``isin(<suspects>)`` predicate would grow the Catalyst plan
+        by one literal per id — multi-MB plans exactly in the saturation
+        regime where most of a batch becomes suspect.)"""
         if not self._wrote_any:
             return set()
         from pyspark.sql import functions as F
 
+        sus_df = self.spark.createDataFrame(
+            [(s,) for s in suspects], "doc_id string"
+        )
         try:
             seen = (
                 self.spark.read.parquet(self.out_path)
                 .select("doc_id")
-                .where(F.col("doc_id").isin(suspects))
+                .join(F.broadcast(sus_df), "doc_id")
                 .distinct()
                 .collect()
             )
@@ -125,24 +130,31 @@ class IdempotentSink:
         rows = df.dropDuplicates(["doc_id"]).cache()
         try:
             ids = [r.doc_id for r in rows.select("doc_id").collect()]
-            suspects = [i for i in ids if self._bloom.might_contain(i)]
+            # None ids can't hash into the bloom; they pass straight
+            # through, matching the old set/anti-join behavior (SQL null
+            # never equals null, so nulls were always re-written there too)
+            suspects = [
+                i for i in ids if i is not None and self._bloom.might_contain(i)
+            ]
+            dup: set[str] = set()
             if suspects:
                 dup = self._verify_suspects(suspects)
-                if dup:
-                    from pyspark.sql import functions as F
+            if dup:
+                from pyspark.sql import functions as F
 
-                    rows_w = rows.where(~F.col("doc_id").isin(list(dup)))
-                else:
-                    rows_w = rows
-                written = [i for i in ids if i not in dup]
+                dup_df = self.spark.createDataFrame(
+                    [(d,) for d in dup], "doc_id string"
+                )
+                rows_w = rows.join(F.broadcast(dup_df), "doc_id", "left_anti")
             else:
                 rows_w = rows
-                written = ids
+            written = [i for i in ids if i not in dup]
             if written:
                 rows_w.write.mode("append").parquet(self.out_path)
                 self._wrote_any = True
                 for i in written:
-                    self._bloom.add(i)
+                    if i is not None:
+                        self._bloom.add(i)
         finally:
             rows.unpersist()
 

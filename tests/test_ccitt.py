@@ -210,3 +210,40 @@ def test_pdf_ccitt_imagemask_stencil():
     arr = pdfx.rasterize_pdf_page(_ccitt_pdf(bm, black_is_1=False, mask=True))
     assert (arr[4:12, 8:24] == 0).all()
     assert (arr[0:4, :] == 255).all()
+
+
+@pytest.mark.parametrize("with_eol", [False, True])
+def test_g3_byte_align_wide_rows_exact(with_eol):
+    """Review regression: pad zeros + a long white makeup code's leading
+    zeros could reach 11 and be consumed as a fake EOL, silently
+    corrupting aligned K=0 streams (e.g. width 1900, first white run
+    1800).  EOL usage is now decided once per stream."""
+    rng = np.random.default_rng(11)
+    wide = np.zeros((9, 1900), np.uint8)
+    wide[:, 1800:1850] = 1  # rows open with a 1800-pixel white run
+    cases = [wide, (rng.random((16, 157)) < 0.5).astype(np.uint8),
+             (rng.random((12, 118)) < 0.2).astype(np.uint8)]
+    for bm in cases:
+        data = encode_ccitt_g3_1d(bm, with_eol=with_eol, byte_align=True)
+        out = decode_ccitt(data, columns=bm.shape[1], rows=bm.shape[0],
+                           k=0, byte_align=True)
+        assert np.array_equal(out, bm)
+
+
+def test_reader_window_memory_is_bounded():
+    """Review regression: the bit reader materialized ~36 B of heap per
+    input BIT for the whole stream — a multi-GB allocation for an
+    attacker-sized stream.  Chunks are now bounded, and a stream larger
+    than one chunk still decodes exactly."""
+    from tableextraction_spark.ccitt import _WIN_CHUNK, _Reader
+
+    rng = np.random.default_rng(2)
+    bm = (rng.random((420, 2400)) < 0.5).astype(np.uint8)  # ~large stream
+    data = encode_ccitt_g4(bm)
+    assert len(data) * 8 > _WIN_CHUNK  # stream really exceeds one chunk
+    rd = _Reader(data)
+    assert len(rd._chunk) <= _WIN_CHUNK
+    out = decode_ccitt(data, columns=2400, rows=420, k=-1)
+    assert np.array_equal(out, bm)
+    big = _Reader(b"\x00" * (8 << 20))  # 8 MB hostile stream: bounded alloc
+    assert len(big._chunk) <= _WIN_CHUNK

@@ -226,3 +226,23 @@ def test_sink_cross_run_snapshot_still_dedups(spark, tmp_path):
     s2.close()
     rows = spark.read.parquet(out).collect()
     assert sorted((r.doc_id, r.v) for r in rows) == [("a", 1), ("b", 1), ("c", 2)]
+
+
+def test_sink_null_doc_id_does_not_crash(spark, tmp_path):
+    """Review regression: a NULL doc_id reached _Bloom.might_contain and
+    raised AttributeError, failing the whole streaming batch."""
+    from tableextraction_spark.streaming.sink import IdempotentSink
+
+    out = str(tmp_path / "spans_out")
+    sink = IdempotentSink(spark, out)
+    sink.append_new_docs(
+        spark.createDataFrame(
+            [("a", 1), (None, 2), ("b", 3)], "doc_id string, v int"
+        )
+    )
+    sink.append_new_docs(
+        spark.createDataFrame([(None, 4)], "doc_id string, v int")
+    )
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.v for r in rows) == [1, 2, 3, 4]
+    sink.close()

@@ -387,3 +387,23 @@ def test_warc_scan_docs_matches_whole_file_stage(spark, tmp_path):
     assert got == want and len(got) == n
     from tableextraction_spark.sources.warc import list_warc_splits
     assert len(list_warc_splits([path], 2048)) > 4
+
+
+def test_range_member_starting_at_window_edge_not_lost(tmp_path):
+    """Review regression: the magic scan bounded its END at `window`, so a
+    member starting at local offset window-1/-2 of an unsynced split was
+    found by NO split and its record silently lost."""
+    from tableextraction_spark.sources.warc import iter_warc_docs_range
+
+    path, n = _big_warc(tmp_path, n=12, name="edge.warc.gz")
+    members = gunzip_members(open(path, "rb").read())
+    off = members[5][0]  # member 5's absolute start
+    # split A: starts mid-member-4, ends 1 byte past member 5's start
+    start_a = members[4][0] + 3
+    cuts = [(start_a, off + 1), (off + 1, members[-1][0] + members[-1][1])]
+    got = []
+    for s, e in cuts:
+        got.extend(r[0] for r in iter_warc_docs_range(path, s, e) if r[0])
+    # members 5..11 are owned by exactly one of the two splits
+    assert sorted(got) == sorted(f"http://ex.org/{i}" for i in range(5, 12))
+    assert len(got) == 7
