@@ -4,13 +4,14 @@ q54 gates the whole native-read chain — Avro manifest decode → snapshot
 resolution → FIELD-ID schema resolution (a data file predating a column
 rename stores the payload under its historical physical name; the current
 schema also carries an added column no file contains) → merge-on-read
-position-delete masking → python-native media scan → decode kernel — the
-way q53 gates WARC ingestion: a deterministic
-Iceberg v2 table (two append snapshots, multi-manifest, position deletes
-killing known pages) is materialized once per scale under the bench tmp
-root, and the scan over the TABLE DIRECTORY is compared row-for-row
-against the scan over the same parquet parts minus the deleted pages.
-Rows = disagreements.
+position-delete masking → EQUALITY-delete masking (a CDC-shaped delete of
+one whole doc_id at a later sequence number) → python-native media scan →
+decode kernel — the way q53 gates WARC ingestion: a deterministic
+Iceberg v2 table (three snapshots, multi-manifest, position deletes
+killing known pages, an equality delete killing a known doc) is
+materialized once per scale under the bench tmp root, and the scan over
+the TABLE DIRECTORY is compared row-for-row against the scan over the
+same parquet parts minus the deleted pages.  Rows = disagreements.
 
 The layout write is driver-side but tiny (metadata + a 16-doc blob table)
 and idempotent (atomic _READY marker) — at a real deployment the table
@@ -44,7 +45,7 @@ def _materialize(spark, sf_dir: str) -> tuple[str, str, list[str]]:
     n = _n_docs_for(sf_dir)
     root = os.path.join(
         os.environ.get("TABLEX_BENCH_DIR", "/tmp/tablex_bench"),
-        f"iceberg_q54_v2_n{n}",  # v2: field-id schema evolution added (r4)
+        f"iceberg_q54_v3_n{n}",  # v3: equality-delete snapshot added (r4)
     )
     tdir = os.path.join(root, "tbl")
     parts_dir = os.path.join(root, "parts")
@@ -124,8 +125,25 @@ def _materialize(spark, sf_dir: str) -> tuple[str, str, list[str]]:
             position_deletes={ice_parts[0][0]: dead0, ice_parts[1][0]: dead1},
             schema_fields=schema_v2,
         )
-        dead_refs = list(pdf.iloc[dead0]["media_ref"]) + list(
-            pdf.iloc[[half + i for i in dead1]]["media_ref"]
+        # snapshot 3: a CDC-shaped EQUALITY delete kills one whole doc —
+        # the one spanning the part boundary when any does.  Data files are
+        # re-listed with their ORIGINAL sequence numbers (spec: explicit
+        # beats manifest inheritance) so the seq-3 delete applies to both;
+        # the position deletes ride along (each snapshot's manifest list is
+        # the complete current view).
+        dead_doc = str(pdf["doc_id"].iloc[half])
+        write_table(
+            tdir,
+            [(*ice_parts[0], {}, 1), (*ice_parts[1], {}, 2)],
+            snapshot_id=3,
+            position_deletes={ice_parts[0][0]: dead0, ice_parts[1][0]: dead1},
+            equality_deletes=[{"ids": [1], "rows": [{"doc_id": dead_doc}]}],
+            schema_fields=schema_v2,
+        )
+        dead_refs = (
+            list(pdf.iloc[dead0]["media_ref"])
+            + list(pdf.iloc[[half + i for i in dead1]]["media_ref"])
+            + list(pdf[pdf["doc_id"] == dead_doc]["media_ref"])
         )
         with open(dead_path + ".tmp", "w") as f:
             f.write("\n".join(dead_refs))

@@ -38,6 +38,87 @@ from .avro import read_container, write_container
 _STATUS_DELETED = 2
 
 
+# --- partition transforms (Iceberg spec "Partition Transforms" + Appendix B) ---
+
+def murmur3_32(data: bytes) -> int:
+    """32-bit Murmur3 (x86, seed 0) — the hash the Iceberg spec mandates for
+    bucket transforms (Appendix B), implemented from the published algorithm.
+    Returns the UNSIGNED 32-bit value; bucket() masks to the spec's
+    non-negative int."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = 0
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n:]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if tail:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _bucket_hash(v) -> int:
+    """Spec hash input: int/long as 8-byte little-endian two's complement,
+    string as UTF-8 bytes (Appendix B test vectors pinned in tests)."""
+    if isinstance(v, bool) or not isinstance(v, (int, str, bytes)):
+        raise NotImplementedError(f"bucket transform over {type(v).__name__}")
+    if isinstance(v, int):
+        data = (v & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    elif isinstance(v, str):
+        data = v.encode("utf-8")
+    else:
+        data = v
+    return murmur3_32(data)
+
+
+def apply_transform(transform: str, v):
+    """Value of ``transform`` applied to ``v``, or raises NotImplementedError
+    for transforms this reader cannot evaluate (callers treat that as
+    "cannot prune" — over-scanning is always correct, mis-pruning never is).
+    ``None`` source values map to ``None`` for every transform (spec)."""
+    if v is None:
+        return None
+    if transform == "identity":
+        return v
+    m = re.fullmatch(r"bucket\[(\d+)\]", transform)
+    if m:
+        n = int(m.group(1))
+        return (_bucket_hash(v) & 0x7FFFFFFF) % n
+    m = re.fullmatch(r"truncate\[(\d+)\]", transform)
+    if m:
+        w = int(m.group(1))
+        if isinstance(v, int) and not isinstance(v, bool):
+            return v - (((v % w) + w) % w)
+        if isinstance(v, str):
+            return v[:w]
+        raise NotImplementedError(
+            f"truncate transform over {type(v).__name__}"
+        )
+    if transform == "void":
+        return None
+    raise NotImplementedError(f"Iceberg partition transform {transform!r}")
+
+
 def _local(path: str) -> str:
     """Iceberg metadata stores absolute URIs; strip a file: scheme for
     local access (other schemes are returned as-is for the caller's
@@ -76,29 +157,46 @@ def read_table_snapshot(
     """Live file sets of an Iceberg table directory at a snapshot.
 
     → ``{"data_files": [{"path", "record_count", "file_size_in_bytes",
-    "manifest"}], "position_deletes": {data_path: sorted positions}}`` for
-    the CURRENT snapshot by default or ``snapshot_id`` for time travel.
+    "manifest", "sequence_number", "partition"}],
+    "position_deletes": {data_path: sorted positions},
+    "equality_deletes": [{"path", "equality_ids", "sequence_number"}],
+    "partition_spec": [spec field dicts]}`` for the CURRENT snapshot by
+    default or ``snapshot_id`` for time travel.
 
     Deleted entries (status=2) are dropped.  v2 POSITION delete files
     (content=1) are read — parquet of (file_path, pos), the merge-on-read
     shape compacting writers emit — and returned as per-data-file sorted
-    row positions for the scan to mask.  EQUALITY deletes (content=2)
-    are rejected loudly: applying them needs value comparison against
-    the table schema, and silently ignoring any delete would return
-    phantom rows.
+    row positions for the scan to mask.  EQUALITY deletes (content=2) are
+    returned as file references with their equality field ids and sequence
+    numbers; per the spec they apply to data files whose sequence number is
+    STRICTLY LOWER than the delete's (rows added in the same or a later
+    commit are not affected), and matching uses null-safe equality on the
+    id-resolved columns — the scan applies them
+    (sources/media_parquet.py).  Sequence numbers are the entry's when
+    explicit, else inherited from the manifest (spec inheritance rule).
     """
     with open(_latest_metadata(table_dir)) as f:
         meta = json.load(f)
     snap_id = snapshot_id or meta.get("current-snapshot-id")
+    spec_id = meta.get("default-spec-id", 0)
+    spec_fields: list[dict] = []
+    for spec in meta.get("partition-specs", []):
+        if spec.get("spec-id", 0) == spec_id:
+            spec_fields = spec.get("fields", [])
     if not snap_id or snap_id == -1:
-        return {"data_files": [], "position_deletes": {}}
+        return {
+            "data_files": [],
+            "position_deletes": {},
+            "equality_deletes": [],
+            "partition_spec": spec_fields,
+        }
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if snap_id not in snaps:
         raise ValueError(f"snapshot {snap_id} not in table metadata")
     manifest_list = _local(snaps[snap_id]["manifest-list"])
     with open(manifest_list, "rb") as f:
         _, manifests = read_container(f.read())
-    data, delete_paths = [], []
+    data, delete_paths, eq_deletes = [], [], []
     for m in manifests:
         is_delete = m.get("content", 0) == 1
         with open(_local(m["manifest_path"]), "rb") as f:
@@ -106,6 +204,9 @@ def read_table_snapshot(
         for e in entries:
             if e.get("status") == _STATUS_DELETED:
                 continue
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number", 0)
             df = e["data_file"]
             content = df.get("content", 1 if is_delete else 0)
             fmt = str(df.get("file_format", "")).upper()
@@ -118,14 +219,25 @@ def read_table_snapshot(
                         "record_count": df.get("record_count"),
                         "file_size_in_bytes": df.get("file_size_in_bytes"),
                         "manifest": m["manifest_path"],
+                        "sequence_number": seq,
+                        "partition": df.get("partition") or {},
                     }
                 )
             elif content == 1:
                 delete_paths.append(_local(df["file_path"]))
             else:
-                raise NotImplementedError(
-                    "Iceberg EQUALITY deletes require the Iceberg runtime "
-                    "(value-level filtering) — refusing phantom rows"
+                ids = df.get("equality_ids")
+                if not ids:
+                    raise ValueError(
+                        "Iceberg equality-delete file without equality_ids "
+                        "— cannot apply, refusing phantom rows"
+                    )
+                eq_deletes.append(
+                    {
+                        "path": _local(df["file_path"]),
+                        "equality_ids": [int(i) for i in ids],
+                        "sequence_number": seq,
+                    }
                 )
     deletes: dict[str, list[int]] = {}
     if delete_paths:
@@ -139,7 +251,12 @@ def read_table_snapshot(
                 deletes.setdefault(_local(fp), []).append(int(pos))
         for fp in deletes:
             deletes[fp] = sorted(set(deletes[fp]))
-    return {"data_files": data, "position_deletes": deletes}
+    return {
+        "data_files": data,
+        "position_deletes": deletes,
+        "equality_deletes": eq_deletes,
+        "partition_spec": spec_fields,
+    }
 
 
 def table_schema(table_dir: str) -> list[dict] | None:
@@ -202,11 +319,11 @@ def read_table_files(
     the snapshot carries row-level deletes — a caller that only lists files
     cannot apply them, and ignoring them would return phantom rows; use
     ``read_table_snapshot`` (as the media scan does) to get the delete
-    positions alongside."""
+    positions/values alongside."""
     snap = read_table_snapshot(table_dir, snapshot_id)
-    if snap["position_deletes"]:
+    if snap["position_deletes"] or snap["equality_deletes"]:
         raise NotImplementedError(
-            "snapshot carries position deletes — use read_table_snapshot "
+            "snapshot carries row-level deletes — use read_table_snapshot "
             "and apply them; a bare file list would contain phantom rows"
         )
     return snap["data_files"]
@@ -241,48 +358,70 @@ _MANIFEST_FILE_SCHEMA = {
     ],
 }
 
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "default": None,
-         "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"], "default": None,
-         "field-id": 3},
-        {"name": "file_sequence_number", "type": ["null", "long"],
-         "default": None, "field-id": 4},
-        {
-            "name": "data_file",
-            "field-id": 2,
-            "type": {
-                "type": "record",
-                "name": "r2",
-                "fields": [
-                    {"name": "content", "type": "int", "field-id": 134},
-                    {"name": "file_path", "type": "string", "field-id": 100},
-                    {"name": "file_format", "type": "string", "field-id": 101},
-                    {"name": "record_count", "type": "long", "field-id": 103},
-                    {"name": "file_size_in_bytes", "type": "long",
-                     "field-id": 104},
-                ],
-            },
-        },
-    ],
-}
+def _manifest_entry_schema(
+    partition_fields: list[tuple[str, str]] | None = None,
+) -> dict:
+    """Manifest-entry Avro schema with the published field ids.  The
+    ``partition`` struct (field-id 102) is table-specific, so the schema is
+    built per table from ``partition_fields`` = [(name, avro_type)];
+    ``equality_ids`` (field-id 135) rides along for delete manifests."""
+    data_fields = [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+    ]
+    if partition_fields:
+        data_fields.append(
+            {
+                "name": "partition",
+                "field-id": 102,
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [
+                        {"name": n, "type": ["null", t], "default": None}
+                        for n, t in partition_fields
+                    ],
+                },
+            }
+        )
+    data_fields += [
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int"}],
+         "default": None, "field-id": 135},
+    ]
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+             "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {"name": "data_file", "field-id": 2,
+             "type": {"type": "record", "name": "r2", "fields": data_fields}},
+        ],
+    }
 
 
 def write_table(
     table_dir: str,
-    data_files: list[tuple[str, int, int]],
+    data_files: list[tuple],
     snapshot_id: int = 1,
     files_per_manifest: int = 4,
     position_deletes: dict[str, list[int]] | None = None,
-    equality_deletes: bool = False,
+    equality_deletes: list[dict] | None = None,
     schema_fields: list[dict] | None = None,
+    partition_spec: list[dict] | None = None,
 ) -> None:
     """Author a minimal spec-shaped Iceberg v2 table over existing parquet
-    files: ``data_files`` = [(path, record_count, file_size)], split across
+    files: ``data_files`` = [(path, record_count, file_size)] or
+    [(path, record_count, file_size, partition_values_dict)], split across
     ⌈n/files_per_manifest⌉ manifests so the reader's manifest walk is
     exercised, plus metadata JSON + version hint.  Append-only: calling
     again with a higher ``snapshot_id`` adds a snapshot (old ones remain
@@ -290,38 +429,73 @@ def write_table(
 
     ``position_deletes`` = {data_file_path: [row positions]} additionally
     writes a position-delete parquet (file_path, pos) referenced from a
-    content=1 manifest — the merge-on-read shape.  ``equality_deletes``
-    stamps that manifest's entry content=2 instead (for the loud-refusal
-    test).  ``schema_fields`` records the snapshot's CURRENT schema
+    content=1 manifest — the merge-on-read shape.  ``equality_deletes`` =
+    [{"ids": [field ids], "rows": [{column_name: value}]}] writes one
+    equality-delete parquet per spec (columns stamped with their
+    ``PARQUET:field.id``) referenced from a content=2 manifest entry
+    carrying ``equality_ids`` — the CDC merge-on-read shape; per the spec
+    it applies only to data files of STRICTLY LOWER sequence number, so
+    deletes written at snapshot N affect snapshots < N.
+    ``schema_fields`` records the snapshot's CURRENT schema
     (``[{"id", "name", "type", "required"}]``) so readers resolve columns
     by field id; later calls may pass an evolved schema (rename keeps the
-    id, adds append new ids)."""
+    id, adds append new ids).  ``partition_spec`` records spec-0 fields
+    (``[{"name", "transform", "source-id", "field-id"}]``) and each data
+    file's partition values travel in its manifest entry (field-id 102) —
+    what the scan's partition pruning reads."""
     meta_dir = os.path.join(table_dir, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
+    # per-file tuples may carry a partition dict (4th) and an explicit data
+    # sequence number (5th — how a re-listed EXISTING file keeps its
+    # original sequence so later equality deletes still apply to it; None
+    # inherits the manifest's, i.e. this snapshot's)
+    norm_files = [
+        (
+            df[0], df[1], df[2],
+            df[3] if len(df) > 3 else {},
+            df[4] if len(df) > 4 else None,
+        )
+        for df in data_files
+    ]
+    part_avro_fields: list[tuple[str, str]] = []
+    if partition_spec:
+        seen_vals: dict[str, object] = {}
+        for _p, _rc, _sz, pv, _seq in norm_files:
+            for k, v in pv.items():
+                if k not in seen_vals or seen_vals[k] is None:
+                    seen_vals[k] = v
+        for f in partition_spec:
+            v = seen_vals.get(f["name"])
+            part_avro_fields.append(
+                (f["name"], "string" if isinstance(v, str) else "long")
+            )
+    entry_schema = _manifest_entry_schema(part_avro_fields or None)
     manifests = []
     groups = [
-        data_files[i : i + files_per_manifest]
-        for i in range(0, len(data_files), files_per_manifest)
+        norm_files[i : i + files_per_manifest]
+        for i in range(0, len(norm_files), files_per_manifest)
     ]
     for gi, group in enumerate(groups):
         entries = [
             {
                 "status": 1,
                 "snapshot_id": snapshot_id,
-                "sequence_number": None,
+                "sequence_number": seq,
                 "file_sequence_number": None,
                 "data_file": {
                     "content": 0,
                     "file_path": os.path.abspath(p),
                     "file_format": "PARQUET",
+                    **({"partition": pv} if part_avro_fields else {}),
                     "record_count": int(rc),
                     "file_size_in_bytes": int(sz),
+                    "equality_ids": None,
                 },
             }
-            for p, rc, sz in group
+            for p, rc, sz, pv, seq in group
         ]
         mpath = os.path.join(meta_dir, f"snap{snapshot_id}-m{gi}.avro")
-        buf = write_container(_MANIFEST_ENTRY_SCHEMA, entries)
+        buf = write_container(entry_schema, entries)
         with open(mpath, "wb") as f:
             f.write(buf)
         manifests.append(
@@ -336,39 +510,30 @@ def write_table(
                 "added_files_count": len(group),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": sum(int(rc) for _p, rc, _s in group),
+                "added_rows_count": sum(int(rc) for _p, rc, *_ in group),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }
         )
-    if position_deletes:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        fps, poss = [], []
-        for p, positions in sorted(position_deletes.items()):
-            for pos in positions:
-                fps.append(os.path.abspath(p))
-                poss.append(int(pos))
-        del_path = os.path.join(meta_dir, f"snap{snapshot_id}-deletes.parquet")
-        pq.write_table(
-            pa.table({"file_path": fps, "pos": poss}), del_path
-        )
+    def _delete_manifest(del_path: str, n_rows: int, tag: str,
+                         content: int, equality_ids: list[int] | None):
         entry = {
             "status": 1,
             "snapshot_id": snapshot_id,
             "sequence_number": None,
             "file_sequence_number": None,
             "data_file": {
-                "content": 2 if equality_deletes else 1,
+                "content": content,
                 "file_path": os.path.abspath(del_path),
                 "file_format": "PARQUET",
-                "record_count": len(poss),
+                **({"partition": {}} if part_avro_fields else {}),
+                "record_count": n_rows,
                 "file_size_in_bytes": os.path.getsize(del_path),
+                "equality_ids": equality_ids,
             },
         }
-        mpath = os.path.join(meta_dir, f"snap{snapshot_id}-del-m0.avro")
-        buf = write_container(_MANIFEST_ENTRY_SCHEMA, [entry])
+        mpath = os.path.join(meta_dir, f"snap{snapshot_id}-{tag}.avro")
+        buf = write_container(entry_schema, [entry])
         with open(mpath, "wb") as f:
             f.write(buf)
         manifests.append(
@@ -383,11 +548,56 @@ def write_table(
                 "added_files_count": 1,
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": len(poss),
+                "added_rows_count": n_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }
         )
+
+    if position_deletes:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fps, poss = [], []
+        for p, positions in sorted(position_deletes.items()):
+            for pos in positions:
+                fps.append(os.path.abspath(p))
+                poss.append(int(pos))
+        del_path = os.path.join(meta_dir, f"snap{snapshot_id}-deletes.parquet")
+        pq.write_table(
+            pa.table({"file_path": fps, "pos": poss}), del_path
+        )
+        _delete_manifest(del_path, len(poss), "del-m0", 1, None)
+    if equality_deletes:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ids_by_name = (
+            {f["name"]: f["id"] for f in schema_fields} if schema_fields else {}
+        )
+        for di, spec in enumerate(equality_deletes):
+            ids = [int(i) for i in spec["ids"]]
+            rows = spec["rows"]
+            cols = list(rows[0].keys()) if rows else []
+            fields = []
+            for c in cols:
+                fid = ids_by_name.get(c)
+                v = next((r[c] for r in rows if r.get(c) is not None), "")
+                typ = pa.string() if isinstance(v, str) else pa.int64()
+                md = (
+                    {b"PARQUET:field.id": str(fid).encode()}
+                    if fid is not None else None
+                )
+                fields.append(pa.field(c, typ, metadata=md))
+            t = pa.table(
+                {c: [r.get(c) for r in rows] for c in cols},
+                schema=pa.schema(fields),
+            )
+            del_path = os.path.join(
+                meta_dir, f"snap{snapshot_id}-eqdel-{di}.parquet"
+            )
+            pq.write_table(t, del_path)
+            _delete_manifest(del_path, len(rows), f"eqdel-m{di}", 2, ids)
     ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-fixture.avro")
     with open(ml_path, "wb") as f:
         f.write(write_container(_MANIFEST_FILE_SCHEMA, manifests))
@@ -424,7 +634,8 @@ def write_table(
             if schema_fields else []
         ),
         "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [{"spec-id": 0, "fields": partition_spec or []}],
+        "default-spec-id": 0,
     }
     with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f, indent=1)

@@ -29,14 +29,14 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.decode_detect import TABLES_SCHEMA, process_content_rows
 
 
-def _iceberg_snapshot(path: str) -> tuple[list[str], dict, list | None] | None:
+def _iceberg_snapshot(path: str) -> tuple[dict, list | None] | None:
     """When ``path`` is an Iceberg table directory (has metadata/
     v*.metadata.json), resolve the CURRENT snapshot via the jar-less reader
-    (sources/iceberg_native.py) → (live parquet files, position-delete map,
-    current schema fields); otherwise None and the caller treats ``path``
-    as a plain parquet dataset.  This is what lets the python-native media
-    scan — and therefore the whole extraction pipeline — read the north
-    rule's Iceberg corpus layout directly, merge-on-read position deletes
+    (sources/iceberg_native.py) → (snapshot dict, current schema fields);
+    otherwise None and the caller treats ``path`` as a plain parquet
+    dataset.  This is what lets the python-native media scan — and
+    therefore the whole extraction pipeline — read the north rule's Iceberg
+    corpus layout directly, merge-on-read position AND equality deletes
     included: snapshot isolation comes from the metadata chain (a
     concurrent append publishes a NEW metadata version; this listing is a
     consistent view).  The schema fields drive FIELD-ID column resolution:
@@ -50,12 +50,7 @@ def _iceberg_snapshot(path: str) -> tuple[list[str], dict, list | None] | None:
         return None
     from .iceberg_native import read_table_snapshot, table_schema
 
-    snap = read_table_snapshot(path)
-    return (
-        [f["path"] for f in snap["data_files"]],
-        snap["position_deletes"],
-        table_schema(path),
-    )
+    return read_table_snapshot(path), table_schema(path)
 
 
 # the four columns the decode stage consumes, with their null-fill types.
@@ -64,6 +59,98 @@ def _iceberg_snapshot(path: str) -> tuple[list[str], dict, list | None] | None:
 _SCAN_COLS = ("doc_id", "media_ref", "page_no", "content")
 _REQUIRED_COLS = ("doc_id", "content")
 _NULL_TYPES = {"media_ref": "string", "page_no": "long"}
+# equality deletes may target any non-payload scan column; a delete over a
+# column this scan does not read cannot be applied → loud error, never
+# phantom rows
+_EQ_DELETABLE = ("doc_id", "media_ref", "page_no")
+
+# per-executor cache of equality-delete key sets: (path, ids) → frozenset of
+# value tuples.  Delete files are small relative to data (they hold deleted
+# KEYS), and every task over the same table would otherwise re-read them;
+# bounded — cleared wholesale past 64 files (a snapshot rarely carries more;
+# correctness never depends on a hit)
+_EQ_KEY_CACHE: dict[tuple, frozenset] = {}
+
+
+def _eq_delete_keys(path: str, ids: tuple[int, ...]) -> frozenset:
+    """Key tuples of one equality-delete parquet, columns resolved by
+    ``PARQUET:field.id`` (the ids travel in the manifest entry), name-order
+    fallback for id-less writers.  Null delete values match null row values
+    (spec's null-safe equality) — tuples carry None through naturally."""
+    key = (path, ids)
+    got = _EQ_KEY_CACHE.get(key)
+    if got is not None:
+        return got
+    t = pq.read_table(path)
+    by_id: dict[int, str] = {}
+    for fld in t.schema:
+        fid = (fld.metadata or {}).get(b"PARQUET:field.id")
+        if fid is not None:
+            try:
+                by_id[int(fid)] = fld.name
+            except ValueError:
+                pass
+    cols = []
+    for i, fid in enumerate(ids):
+        name = by_id.get(fid)
+        if name is None:
+            if by_id:
+                raise ValueError(
+                    f"equality-delete file {path} carries field ids but "
+                    f"not {fid} — cannot resolve delete column"
+                )
+            name = t.schema.names[i]  # id-less writer: positional order
+        cols.append(name)
+    keys = frozenset(
+        zip(*(t.column(c).to_pylist() for c in cols))
+        if cols else ()
+    )
+    if len(_EQ_KEY_CACHE) >= 64:
+        _EQ_KEY_CACHE.clear()
+    _EQ_KEY_CACHE[key] = keys
+    return keys
+
+
+def _partition_pruned(
+    data_files: list[dict],
+    spec_fields: list[dict],
+    schema_fields: list | None,
+    keep_doc_ids,
+) -> list[dict]:
+    """Drop data files whose partition value proves they hold NO kept
+    doc_id — the Iceberg-native analogue of partition pruning for the
+    resume prune's pushed id set.  A spec field qualifies when its source
+    column is doc_id and its transform is one this reader can evaluate
+    (identity / bucket[N] / truncate[W]); kept ids map to at most
+    |keep| distinct partition values, so membership is a set probe.
+    Files with a missing/None partition value are never pruned (unknown ≠
+    excluded), and an unevaluable transform skips pruning entirely —
+    over-scan is correct, mis-pruning is not."""
+    if not spec_fields or not schema_fields or keep_doc_ids is None:
+        return data_files
+    from .iceberg_native import apply_transform
+
+    doc_fid = next(
+        (f["id"] for f in schema_fields if f["name"] == "doc_id"), None
+    )
+    if doc_fid is None:
+        return data_files
+    for sf in spec_fields:
+        if sf.get("source-id") != doc_fid:
+            continue
+        try:
+            kept_vals = {
+                apply_transform(sf["transform"], d) for d in keep_doc_ids
+            }
+        except NotImplementedError:
+            continue
+        data_files = [
+            f
+            for f in data_files
+            if f.get("partition", {}).get(sf["name"]) is None
+            or f["partition"][sf["name"]] in kept_vals
+        ]
+    return data_files
 
 
 def _fragment_colmap(physical_schema, schema_fields) -> str:
@@ -90,12 +177,14 @@ def _fragment_colmap(physical_schema, schema_fields) -> str:
 
 def list_row_groups(
     path: str, keep_doc_ids: frozenset[str] | set[str] | None = None
-) -> list[tuple[str, int, int, int, tuple[int, ...]]]:
-    """Enumerate (file, row_group, num_rows, byte_size, local_deletes)
-    splits of a parquet dataset (driver-side, metadata only).
-    ``local_deletes`` is the row group's position-delete rows (row-group-
-    local indices) when the path is a merge-on-read Iceberg table; empty
-    otherwise.
+) -> list[tuple]:
+    """Enumerate (file, row_group, num_rows, byte_size, local_deletes,
+    colmap_json, eq_deletes_json) splits of a parquet dataset (driver-side,
+    metadata only).  ``local_deletes`` is the row group's position-delete
+    rows (row-group-local indices) when the path is a merge-on-read Iceberg
+    table; ``eq_deletes_json`` the equality-delete files applicable to this
+    data file (sequence-number rule) — tasks load each delete file's key
+    set once per executor and value-filter; empty otherwise.
 
     With ``keep_doc_ids``, row groups whose ``doc_id`` min/max statistics
     exclude every kept id are pruned here — the resume path then skips the
@@ -105,12 +194,47 @@ def list_row_groups(
     doc_id-clustered (ours is: pages are generated in doc order).
     """
     keep_sorted = sorted(keep_doc_ids) if keep_doc_ids is not None else None
-    snap = _iceberg_snapshot(path)
-    iceberg_files, pos_deletes, schema_fields = (
-        snap if snap is not None else (None, {}, None)
-    )
+    res = _iceberg_snapshot(path)
+    if res is not None:
+        snap, schema_fields = res
+        data_files = _partition_pruned(
+            snap["data_files"], snap["partition_spec"], schema_fields,
+            keep_doc_ids,
+        )
+        iceberg_files = [f["path"] for f in data_files]
+        pos_deletes = snap["position_deletes"]
+        eq_deletes = snap["equality_deletes"]
+        file_seq = {
+            os.path.abspath(f["path"]): f["sequence_number"]
+            for f in data_files
+        }
+    else:
+        iceberg_files, pos_deletes, schema_fields = None, {}, None
+        eq_deletes, file_seq = [], {}
+    if eq_deletes:
+        # resolve each delete's equality field ids → CURRENT column names
+        # once (driver-side); the per-task reader re-resolves the delete
+        # parquet's physical columns by the same ids
+        name_by_id = (
+            {f["id"]: f["name"] for f in schema_fields}
+            if schema_fields else {}
+        )
+        for d in eq_deletes:
+            cols = [name_by_id.get(i) for i in d["equality_ids"]]
+            bad = [
+                (i, c)
+                for i, c in zip(d["equality_ids"], cols)
+                if c is None or c not in _EQ_DELETABLE
+            ]
+            if bad:
+                raise NotImplementedError(
+                    f"Iceberg equality delete {d['path']} targets field "
+                    f"ids {bad} outside the scan's readable columns "
+                    f"{_EQ_DELETABLE} — cannot apply, refusing phantom rows"
+                )
+            d["cols"] = cols
     if iceberg_files is not None and not iceberg_files:
-        return []  # Iceberg table with no snapshot yet
+        return []  # Iceberg table with no snapshot yet (or fully pruned)
     if pos_deletes:
         # normalize so textual path differences (relative vs absolute,
         # file: scheme) cannot SILENTLY skip a delete → phantom rows.
@@ -135,6 +259,19 @@ def list_row_groups(
             _fragment_colmap(frag.physical_schema, schema_fields)
             if iceberg_files is not None else ""
         )
+        eq_json = ""
+        if eq_deletes:
+            seq = file_seq.get(os.path.abspath(frag.path), 0)
+            applicable = [
+                {"path": d["path"], "ids": d["equality_ids"],
+                 "cols": d["cols"]}
+                for d in eq_deletes
+                # spec: equality deletes hit STRICTLY OLDER rows only —
+                # a row added in the same commit as the delete survives
+                if d["sequence_number"] > seq
+            ]
+            if applicable:
+                eq_json = json.dumps(applicable)
         doc_phys = json.loads(cmap_json)["doc_id"] if cmap_json else "doc_id"
         # resolve against the parquet LEAF-column order, not the Arrow field
         # index — they diverge as soon as a nested column precedes doc_id,
@@ -169,7 +306,8 @@ def list_row_groups(
             else:
                 dels = ()
             splits.append(
-                (frag.path, rg, g.num_rows, g.total_byte_size, dels, cmap_json)
+                (frag.path, rg, g.num_rows, g.total_byte_size, dels,
+                 cmap_json, eq_json)
             )
     # deletes whose data file is not in the scan are IGNORED per the
     # Iceberg spec — dangling delete files routinely survive compaction
@@ -217,7 +355,7 @@ def detect_tables_python_scan(
     if 0 < len(splits) < 4 * par:
         k_target = -(-4 * par // len(splits))  # ceil
         expanded = []
-        for path, rg, nrows, nbytes, dels, cmap in splits:
+        for path, rg, nrows, nbytes, dels, cmap, eqj in splits:
             # keep slices ≥8 rows: even 8 pages is ~0.2 s of decode — real
             # work per task — while hostile/tiny row groups stay unsliced.
             # Sub-split only SMALL-payload groups (<64 KB/row): each slice
@@ -233,10 +371,10 @@ def detect_tables_python_scan(
                 lo, hi = s * nrows // k, (s + 1) * nrows // k
                 a = bisect_left(dels, lo)
                 b = bisect_left(dels, hi)
-                expanded.append((path, rg, s, k, list(dels[a:b]), cmap))
+                expanded.append((path, rg, s, k, list(dels[a:b]), cmap, eqj))
     else:
-        expanded = [(path, rg, 0, 1, list(dels), cmap)
-                    for path, rg, _n, _b, dels, cmap in splits]
+        expanded = [(path, rg, 0, 1, list(dels), cmap, eqj)
+                    for path, rg, _n, _b, dels, cmap, eqj in splits]
     # Slice count: one task per split while that stays cheap (row groups
     # are written ~8 MB ≈ uniform work, so 1:1 gives perfectly even tasks —
     # measured 10% faster at local[16] than 73 splits / 64 slices, where
@@ -250,7 +388,9 @@ def detect_tables_python_scan(
         n_slices = 4 * par
     rdd = spark.sparkContext.parallelize(expanded, n_slices)
     sdf = spark.createDataFrame(
-        rdd, "path string, rg int, sl int, k int, dels array<long>, cmap string"
+        rdd,
+        "path string, rg int, sl int, k int, dels array<long>, "
+        "cmap string, eq string",
     )
     bc_keep = (
         spark.sparkContext.broadcast(frozenset(keep_doc_ids))
@@ -269,10 +409,22 @@ def detect_tables_python_scan(
             ks = b.column("k").to_pylist()
             delss = b.column("dels").to_pylist()
             cmaps = b.column("cmap").to_pylist()
-            for path, rg, sl, k, dels, cmap_j in zip(
-                paths, rgs, sls, ks, delss, cmaps
+            eqs = b.column("eq").to_pylist()
+            for path, rg, sl, k, dels, cmap_j, eq_j in zip(
+                paths, rgs, sls, ks, delss, cmaps, eqs
             ):
                 delset = set(dels) if dels else None
+                # equality deletes applicable to this data file: each is
+                # (key columns in equality_ids order, executor-cached key
+                # set); rows whose key tuple is in the set are dropped
+                eq_specs = (
+                    [
+                        (d["cols"], _eq_delete_keys(
+                            d["path"], tuple(d["ids"])))
+                        for d in json.loads(eq_j)
+                    ]
+                    if eq_j else None
+                )
                 # field-id column resolution (Iceberg schema evolution):
                 # cmap maps current names → this file's physical names
                 # (None = column added after the file was written)
@@ -332,6 +484,24 @@ def detect_tables_python_scan(
                         if not keep_idx:
                             continue
                         if len(keep_idx) < rb.num_rows:
+                            rb = rb.take(pa.array(keep_idx, type=pa.int32()))
+                    if eq_specs:
+                        # merge-on-read equality deletes: null-safe tuple
+                        # match against the delete file's key set
+                        drop = [False] * rb.num_rows
+                        for cols, keys in eq_specs:
+                            if not keys:
+                                continue
+                            vals = [rb.column(c).to_pylist() for c in cols]
+                            for i, tup in enumerate(zip(*vals)):
+                                if tup in keys:
+                                    drop[i] = True
+                        if any(drop):
+                            keep_idx = [
+                                i for i, d in enumerate(drop) if not d
+                            ]
+                            if not keep_idx:
+                                continue
                             rb = rb.take(pa.array(keep_idx, type=pa.int32()))
                     if bc_keep is not None:
                         keep = bc_keep.value

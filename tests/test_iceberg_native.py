@@ -169,17 +169,103 @@ def test_position_deletes_read_and_files_api_refuses(tmp_path, spark):
         read_table_files(tdir)
 
 
-def test_equality_deletes_refused_loudly(tmp_path, spark):
+def test_equality_deletes_listed_with_sequence_numbers(tmp_path, spark):
+    """Equality-delete files surface with their field ids and sequence
+    numbers; data files keep EXPLICIT sequence numbers when re-listed
+    (the spec's inheritance rule: entry's explicit beats manifest's)."""
+    import os
+
+    from tableextraction_spark.sources.iceberg_native import (
+        read_table_snapshot,
+    )
+
+    files = _write_parts(tmp_path, spark, n_files=2)
+    tdir = str(tmp_path / "tbl")
+    schema = [{"id": 1, "name": "n", "type": "long", "required": True}]
+    write_table(tdir, files[:1], snapshot_id=1, schema_fields=schema)
+    # snapshot 2 re-lists file 0 with its ORIGINAL sequence 1, adds file 1,
+    # and deletes n=2 via an equality delete (seq 2 → applies to file 0 only)
+    write_table(
+        tdir,
+        [(files[0][0], files[0][1], files[0][2], {}, 1), files[1]],
+        snapshot_id=2,
+        equality_deletes=[{"ids": [1], "rows": [{"n": 2}]}],
+        schema_fields=schema,
+    )
+    snap = read_table_snapshot(tdir)
+    seqs = {
+        os.path.abspath(f["path"]): f["sequence_number"]
+        for f in snap["data_files"]
+    }
+    assert seqs[os.path.abspath(files[0][0])] == 1
+    assert seqs[os.path.abspath(files[1][0])] == 2
+    (d,) = snap["equality_deletes"]
+    assert d["equality_ids"] == [1] and d["sequence_number"] == 2
+    with pytest.raises(NotImplementedError):
+        read_table_files(tdir)  # bare file list cannot apply deletes
+
+
+def test_equality_delete_without_ids_refused(tmp_path, spark):
+    """A content=2 entry with no equality_ids cannot be applied — loud
+    error, never phantom rows."""
+    import json as _json
+    import os
+
     from tableextraction_spark.sources.iceberg_native import (
         read_table_snapshot,
     )
 
     files = _write_parts(tmp_path, spark, n_files=1)
     tdir = str(tmp_path / "tbl")
+    schema = [{"id": 1, "name": "n", "type": "long", "required": True}]
     write_table(tdir, files, snapshot_id=1,
-                position_deletes={files[0][0]: [0]}, equality_deletes=True)
-    with pytest.raises(NotImplementedError):
+                equality_deletes=[{"ids": [1], "rows": [{"n": 0}]}],
+                schema_fields=schema)
+    # corrupt the manifest: strip equality_ids from the delete entry
+    meta_dir = os.path.join(tdir, "metadata")
+    mpath = os.path.join(meta_dir, "snap1-eqdel-m0.avro")
+    with open(mpath, "rb") as f:
+        meta, entries = read_container(f.read())
+    entries[0]["data_file"]["equality_ids"] = None
+    with open(mpath, "wb") as f:
+        f.write(write_container(_json.loads(meta["avro.schema"]), entries))
+    with pytest.raises(ValueError, match="equality_ids"):
         read_table_snapshot(tdir)
+
+
+def test_murmur3_spec_vectors():
+    """Pin the bucket-transform hash to the Iceberg spec's Appendix B test
+    vectors (published reference values)."""
+    from tableextraction_spark.sources.iceberg_native import (
+        _bucket_hash,
+        murmur3_32,
+    )
+
+    def signed(h):
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    # spec: int/long 34 hash as 8-byte little-endian → 2017239379
+    assert signed(_bucket_hash(34)) == 2017239379
+    # spec: string "iceberg" hashes UTF-8 bytes → 1210000089
+    assert signed(_bucket_hash("iceberg")) == 1210000089
+    # murmur3_x86_32 published check value: hash of b"" (seed 0) is 0
+    assert murmur3_32(b"") == 0
+
+
+def test_partition_transforms():
+    from tableextraction_spark.sources.iceberg_native import apply_transform
+
+    assert apply_transform("identity", "abc") == "abc"
+    assert apply_transform("truncate[10]", 37) == 30
+    assert apply_transform("truncate[10]", -1) == -10  # floor semantics
+    assert apply_transform("truncate[3]", "iceberg") == "ice"
+    assert apply_transform("void", 5) is None
+    assert apply_transform("bucket[16]", 34) == 2017239379 % 16
+    assert apply_transform("identity", None) is None
+    with pytest.raises(NotImplementedError):
+        apply_transform("year", 17167)  # date transforms not evaluated
+    with pytest.raises(NotImplementedError):
+        apply_transform("bucket[4]", 1.5)  # unsupported source type
 
 
 def test_media_scan_applies_position_deletes(spark, tmp_path):
@@ -264,7 +350,7 @@ def test_dangling_delete_targets_are_ignored_per_spec(spark, tmp_path):
     write_table(tdir, files, snapshot_id=1,
                 position_deletes={str(tmp_path / "ghost.parquet"): [0]})
     splits = list_row_groups(tdir)
-    assert splits and all(d == () for _p, _rg, _n, _b, d, _c in splits)
+    assert splits and all(d == () for _p, _rg, _n, _b, d, _c, _e in splits)
 
 
 # --- field-id schema resolution (r3 verdict ask #4) ---
@@ -367,3 +453,166 @@ def test_scan_resolves_renamed_column_between_snapshots(tmp_path, spark):
         for r in detect_tables_python_scan(spark, plain_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def _media_schema_fields():
+    return [
+        {"id": 1, "name": "doc_id", "type": "string", "required": True},
+        {"id": 2, "name": "media_ref", "type": "string", "required": True},
+        {"id": 3, "name": "page_no", "type": "long", "required": True},
+        {"id": 4, "name": "content", "type": "binary", "required": True},
+    ]
+
+
+def test_media_scan_applies_equality_deletes_with_sequence_rule(
+    spark, tmp_path
+):
+    """End-to-end CDC shape: an equality delete on doc_id removes that
+    doc's rows from STRICTLY OLDER data files, while rows of the same doc
+    added in the SAME commit as the delete survive (spec sequence rule)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.pipeline import BLOBS_SCHEMA
+    from tableextraction_spark.sources.media_parquet import (
+        detect_tables_python_scan,
+    )
+
+    _docs, blobs, _exp = gen_corpus(6)
+    pdf = spark.createDataFrame(blobs, BLOBS_SCHEMA).toPandas()
+    pdf = pdf.sort_values(["doc_id", "page_no"]).reset_index(drop=True)
+    dead = sorted(pdf["doc_id"].unique())[1]
+    part_a = str(tmp_path / "a.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), part_a,
+                   row_group_size=5)
+    # part B: the dead doc re-ingested in the delete's own commit
+    b = pdf[pdf["doc_id"] == dead].copy()
+    b["media_ref"] = b["media_ref"] + "_b2"
+    part_b = str(tmp_path / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(b, preserve_index=False), part_b)
+
+    tdir = str(tmp_path / "tbl")
+    fields = _media_schema_fields()
+    write_table(tdir, [(part_a, len(pdf), os.path.getsize(part_a))],
+                snapshot_id=1, schema_fields=fields)
+    write_table(
+        tdir,
+        [
+            (part_a, len(pdf), os.path.getsize(part_a), {}, 1),  # existing
+            (part_b, len(b), os.path.getsize(part_b)),           # seq 2
+        ],
+        snapshot_id=2,
+        equality_deletes=[{"ids": [1], "rows": [{"doc_id": dead}]}],
+        schema_fields=fields,
+    )
+    got = {r.media_ref for r in
+           detect_tables_python_scan(spark, tdir).collect()}
+    dead_refs_a = set(pdf[pdf["doc_id"] == dead]["media_ref"])
+    want = (set(pdf["media_ref"]) - dead_refs_a) | set(b["media_ref"])
+    assert got == want
+
+
+def test_equality_delete_on_unreadable_column_refused(spark, tmp_path):
+    """An equality delete over a column the scan cannot read (e.g. an id
+    outside the scan schema) must fail loudly, never return phantom rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.pipeline import BLOBS_SCHEMA
+    from tableextraction_spark.sources.media_parquet import list_row_groups
+
+    _docs, blobs, _exp = gen_corpus(2)
+    pdf = spark.createDataFrame(blobs, BLOBS_SCHEMA).toPandas()
+    part = str(tmp_path / "a.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), part)
+    tdir = str(tmp_path / "tbl")
+    fields = _media_schema_fields() + [
+        {"id": 9, "name": "lang", "type": "string", "required": False}
+    ]
+    write_table(tdir, [(part, len(pdf), os.path.getsize(part), {}, 1)],
+                snapshot_id=2,
+                equality_deletes=[{"ids": [9], "rows": [{"lang": "xx"}]}],
+                schema_fields=fields)
+    with pytest.raises(NotImplementedError, match="equality delete"):
+        list_row_groups(tdir)
+
+
+def test_partition_pruning_skips_files(spark, tmp_path):
+    """Resume-prune partition pruning: with a spec over doc_id, data files
+    whose partition value excludes every kept id are never listed — for
+    identity and bucket[N] transforms; an unevaluable transform skips
+    pruning (over-scan, never mis-prune)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.pipeline import BLOBS_SCHEMA
+    from tableextraction_spark.sources.iceberg_native import apply_transform
+    from tableextraction_spark.sources.media_parquet import list_row_groups
+
+    _docs, blobs, _exp = gen_corpus(3)
+    pdf = spark.createDataFrame(blobs, BLOBS_SCHEMA).toPandas()
+    docs = sorted(pdf["doc_id"].unique())
+    parts = []
+    for i, d in enumerate(docs):
+        chunk = pdf[pdf["doc_id"] == d]
+        p = str(tmp_path / f"p{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), p)
+        parts.append((p, len(chunk), os.path.getsize(p), d))
+    fields = _media_schema_fields()
+
+    def mk(tdir, transform, field_name):
+        write_table(
+            str(tdir),
+            [(p, n, s, {field_name: apply_transform(transform, d)})
+             for p, n, s, d in parts],
+            snapshot_id=1, schema_fields=fields,
+            partition_spec=[{"name": field_name, "transform": transform,
+                             "source-id": 1, "field-id": 1000}],
+        )
+
+    t_id = tmp_path / "tbl_identity"
+    mk(t_id, "identity", "doc_id")
+    pruned = list_row_groups(str(t_id), keep_doc_ids={docs[1]})
+    assert {os.path.basename(p) for p, *_ in pruned} == {
+        os.path.basename(parts[1][0])
+    }
+
+    # transform-level file pruning, isolated from the row-group stats prune
+    from tableextraction_spark.sources.media_parquet import _partition_pruned
+
+    spec_b = [{"name": "doc_id_bucket", "transform": "bucket[8]",
+               "source-id": 1, "field-id": 1000}]
+    dfs = [
+        {"path": p,
+         "partition": {"doc_id_bucket": apply_transform("bucket[8]", d)}}
+        for p, _n, _s, d in parts
+    ]
+    keep_bucket = apply_transform("bucket[8]", docs[0])
+    expect = [
+        f for f, (_p, _n, _s, d) in zip(dfs, parts)
+        if apply_transform("bucket[8]", d) == keep_bucket
+    ]
+    assert _partition_pruned(dfs, spec_b, fields, {docs[0]}) == expect
+
+    # unevaluable transform: _partition_pruned must keep every file (the
+    # row-group stats prune downstream may still narrow — that's separate)
+    from tableextraction_spark.sources.media_parquet import _partition_pruned
+
+    dfs = [{"path": p, "partition": {"doc_id_day": 123}} for p, *_ in parts]
+    spec = [{"name": "doc_id_day", "transform": "day",
+             "source-id": 1, "field-id": 1000}]
+    assert _partition_pruned(dfs, spec, fields, {docs[0]}) == dfs
+    # and a None partition value never prunes, even with identity
+    dfs_none = [{"path": p, "partition": {"doc_id": None}} for p, *_ in parts]
+    spec_id = [{"name": "doc_id", "transform": "identity",
+                "source-id": 1, "field-id": 1000}]
+    assert _partition_pruned(dfs_none, spec_id, fields, {docs[0]}) == dfs_none

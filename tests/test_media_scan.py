@@ -148,7 +148,7 @@ def test_empty_part_file_is_skipped(spark, tmp_path):
     )
     pq.ParquetWriter(f"{path}/part-empty.parquet", schema).close()
     splits = list_row_groups(path)
-    assert splits and all("part-empty" not in p for p, _rg, _n, _b, _d, _c in splits)
+    assert splits and all("part-empty" not in p for p, *_rest in splits)
 
 
 def test_estimate_scan_splits_bin_packs_small_files(spark, tmp_path):
