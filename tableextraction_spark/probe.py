@@ -238,6 +238,18 @@ def _probe_mp4(buf: bytes) -> dict:
                 return  # refuse to loop on garbage sizes
             pos += size
     walk(0, len(buf))
+    # video-track sample count from the stsz table — still header-only (no
+    # payload decode); any malformed table just leaves n_frames at 0
+    try:
+        from .mp4 import _find, _full_box, _require, _video_stbl
+
+        moov = _find(buf, 0, len(buf), b"moov")
+        if moov is not None:
+            stbl = _video_stbl(buf, moov)
+            _, pos = _full_box(buf, *_require(buf, stbl, b"stsz"))
+            out["n_frames"] = _U32B.unpack_from(buf, pos + 4)[0]
+    except (ValueError, struct.error):
+        pass
     return out
 
 

@@ -3,8 +3,9 @@
 The frame-sample and audio-feature stages (``multimodal.py``) were pinned by
 pytest only; q47 puts them in the driver's hard rows+schema+hash gate the
 same way q24/q46 gate the raster/PDF lanes.  A deterministic clip corpus —
-real AVI/MJPEG containers (``avi.py`` + the from-scratch JPEG codec) and
-real RIFF/WAVE PCM clips — is synthesized DISTRIBUTED (mapInPandas over a
+real AVI/MJPEG containers (``avi.py``), animated GIFs, MP4/ISO-BMFF with
+MJPEG samples (``mp4.py``), and real RIFF/WAVE + FLAC PCM clips — is
+synthesized DISTRIBUTED (mapInPandas over a
 range frame; no driver-side payload bytes), run through the real Spark
 stages, and compared against plan-derived expectations computed RELATIONALLY
 from the same index arithmetic.  Rows = failed checks; oracle = the same
@@ -43,6 +44,7 @@ def _clip_batches(batches: Iterator) -> Iterator:
     from ..flac import encode_flac
     from ..gif import encode_gif_animation
     from ..jpeg import encode_jpeg_gray
+    from ..mp4 import encode_mp4_mjpeg
     from ..multimodal import encode_wav
 
     for pdf in batches:
@@ -54,12 +56,15 @@ def _clip_batches(batches: Iterator) -> Iterator:
             frames = [
                 ((x * 2 + y + f * 16) % 256).astype(np.uint8) for f in range(nf)
             ]
-            avi = encode_avi_mjpeg([encode_jpeg_gray(f) for f in frames], w, h)
+            jpgs = [encode_jpeg_gray(f) for f in frames]
+            avi = encode_avi_mjpeg(jpgs, w, h)
             gif = encode_gif_animation(frames)  # same lattice, second container
+            mp4 = encode_mp4_mjpeg(jpgs, w, h)  # third container: ISO-BMFF
             ln = 4000 + 500 * (i % 4)
             pcm = ((np.arange(ln) * 37) % 4096 - 2048).astype(np.int16)
             rows.append((f"vid-{i:04d}", "video", avi))
             rows.append((f"gifv-{i:04d}", "video", gif))
+            rows.append((f"mp4-{i:04d}", "video", mp4))
             rows.append((f"aud-{i:04d}", "audio", encode_wav(pcm, 8000)))
             rows.append((f"flac-{i:04d}", "audio", encode_flac(pcm, 8000)))
         yield pd.DataFrame(rows, columns=["media_ref", "kind", "content"])
@@ -96,7 +101,9 @@ def q47_multimodal_verify(spark, sf_dir):
     # animated GIF) — one union over two format prefixes ---
     nf = F.lit(3) + F.col("i") % 5
     exp_v = idx.crossJoin(
-        spark.createDataFrame([("vid-",), ("gifv-",)], "prefix string")
+        spark.createDataFrame(
+            [("vid-",), ("gifv-",), ("mp4-",)], "prefix string"
+        )
     ).select(
         F.concat("prefix", F.lpad(F.col("i").cast("string"), 4, "0")).alias(
             "media_ref"

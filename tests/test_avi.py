@@ -154,9 +154,14 @@ def test_wave_riff_in_video_path_is_value_error():
         mm.decode_video(mm.encode_wav(pcm, 8000))
 
 
-def test_mp4_still_stubbed():
-    with pytest.raises(NotImplementedError, match="pyav/ffmpeg"):
+def test_mp4_routes_to_native_lane_and_mkv_stays_stubbed():
+    # MP4 structure now parses natively (mp4.py): a headerless ftyp stub is
+    # a malformed container (ValueError), not a library seam any more
+    with pytest.raises(ValueError, match="moov"):
         mm.decode_video(b"\x00\x00\x00\x18ftypisom")
+    # MKV/WebM (EBML magic) remains the named deploy-time seam
+    with pytest.raises(NotImplementedError, match="pyav/ffmpeg"):
+        mm.decode_video(b"\x1a\x45\xdf\xa3" + b"\x00" * 16)
 
 
 def test_sample_frames_over_real_avi(spark):
