@@ -16,7 +16,7 @@ lane), the HTML path by q37-q39/q41/q42/q44 (golden verify, count
 invariant, boilerplate no-leak, object-row table harvest, outlink harvest
 + normalization), the multimodal lane (AVI/MJPEG frame sampling + WAV
 audio features) by q47, the magic-routed resize stage across every
-lossless raster codec (IMG1/PNG/GIF/BMP) by q48, and the header-only
+lossless raster codec (IMG1/PNG/GIF/BMP/LZW-TIFF) by q48, and the header-only
 crawl-inventory stage (probe_media over all eight native formats) by q49.
 """
 

@@ -86,8 +86,9 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-_CORPUS_VERSION = "v2"  # bump when a codec's fixture output changes
-# (v2: 'mixed' rotation grew a 7th format — pdfscan/CCITT — in round 4)
+_CORPUS_VERSION = "v3"  # bump when a codec's fixture output changes
+# (v2: 'mixed' rotation grew a 7th format — pdfscan/CCITT — in round 4;
+#  v3: an 8th — G4 TIFF, the fax-archive shape)
 
 
 def ensure_corpus(spark, n_docs: int, codec: str = "img1") -> tuple[str, str]:
@@ -147,7 +148,7 @@ def bench_html(spark, n_docs: int, passes: int = 2) -> dict:
 def bench_interleaved(spark, n_media: int, n_html: int, passes: int = 2) -> dict:
     """The north rule's corpus shape verbatim: ONE docs table interleaving
     media docs (payload format rotating per doc across
-    IMG1/PNG/JPEG/GIF/BMP/%PDF — codec='mixed') and html-markup docs,
+    IMG1/PNG/JPEG/GIF/BMP/%PDF/%PDF-scan/TIFF — codec='mixed') and html-markup docs,
     through ONE extract_spans(html=True) call."""
     from tableextraction_spark.pipeline import extract_spans
 

@@ -340,7 +340,7 @@ def expected_plot_json(pp: dict) -> str:
 # ---------------------------------------------------------------- corpus
 
 
-_MIXED_CODECS = ("img1", "png", "jpeg", "gif", "bmp", "pdf", "pdfscan")
+_MIXED_CODECS = ("img1", "png", "jpeg", "gif", "bmp", "pdf", "pdfscan", "tiff")
 
 
 def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
@@ -355,9 +355,10 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
     ``jpeg_prog`` (SOF2 progressive, multi-scan), lossless ``gif``
     (from-scratch LZW, ``gif.py``), vector ``pdf``, or ``pdfscan`` (a PDF
     whose page is ONE full-page 1-bit CCITT G4 image — the real scanned-
-    document shape; lossless here because fixture pages are binary) — same
+    document shape; lossless here because fixture pages are binary), or
+    ``tiff`` (a 1-bit G4 TIFF page — the fax-archive shape) — same
     expected spans, so end-to-end tests pin format routing.  ``mixed``
-    rotates the format per document across all seven (the web-crawl shape:
+    rotates the format per document across all eight (the web-crawl shape:
     one corpus, every payload format interleaved).
     """
     if codec == "mixed":
@@ -385,6 +386,12 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
         encode = None  # vector path: primitives → PDF, no canvas stamp
     elif codec == "pdfscan":
         from ..pdfx import build_scanned_page_pdf as encode
+    elif codec == "tiff":
+        from ..tiff import encode_tiff_gray
+
+        # the fax-archive shape: a 1-bit G4 TIFF page (lossless for the
+        # binary {0,255} fixture pages, same reasoning as pdfscan)
+        encode = lambda img: encode_tiff_gray(img, "g4")  # noqa: E731
     else:
         raise ValueError(f"unknown blob codec {codec!r}")
     plan = plan_doc(doc_num)

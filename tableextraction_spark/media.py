@@ -94,6 +94,15 @@ def decode_page(payload: bytes) -> np.ndarray:
         from .bmp import decode_bmp
 
         return decode_bmp(payload)  # real BMP pages: uncompressed DIB
+    if head[:2] in (b"II", b"MM") and head[2:4] in (
+        b"*\x00", b"\x00*", b"+\x00", b"\x00+"
+    ):
+        from .tiff import decode_tiff
+
+        # real TIFF pages (scanner/fax archives): from-scratch TIFF 6.0 /
+        # BigTIFF reader reusing the CCITT/JPEG/zlib codecs; page 0 — the
+        # scan unit is one page per blob, same as the PDF lane
+        return decode_tiff(payload)
     if head == b"%PDF":
         from .sources.pdf_adapter import rasterize_pdf, pdf_renderer_available
 

@@ -14,12 +14,14 @@ image path): **WAV** (RIFF/WAVE, PCM 8/16-bit, mono or multi-channel —
 stdlib ``wave``) decodes natively; stereo downmixes to mono by channel mean
 (the conventional feature-extraction reduction).  **FLAC** (``flac.py``
 from-scratch decoder — the format real speech corpora ship) and
-**AVI/MJPEG** video (``avi.py`` RIFF walk + the from-scratch JPEG codec)
+**AVI/MJPEG** video (``avi.py`` RIFF walk + the from-scratch JPEG codec),
+**MP4/ISO-BMFF with MJPEG samples** (``mp4.py`` box walk + sample tables)
 and **animated GIF** decode natively too.  The *Spark-side plumbing is
 real* — schemas, 1→N frame explode, Arrow batch shapes, per-row error
 capture — and fully tested; only genuinely-library-bound formats
-(MP3/OGG audio, MP4/MKV/WebM video) remain stubbed: such payloads raise
-``NotImplementedError`` naming the deploy-time library.
+(MP3/OGG audio, MKV/WebM containers, non-MJPEG MP4 codecs) remain
+stubbed: such payloads raise a named error pointing at the deploy-time
+library.
 
 Reference parity note: the reference handles images only
 (``table_extraction/preprocessing.py:10-62``); audio/video are engine-side
@@ -200,8 +202,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """(media_ref, content) image rows → nearest-neighbor resized IMG1 rows.
 
     Payloads are magic-routed through ``media.decode_page`` — IMG1, PNG,
-    JPEG (baseline/progressive), GIF, BMP, and ``%PDF`` (first page) all
-    resize natively.  1→1 map; the decode/resize/encode loop is NumPy over each
+    JPEG (baseline/progressive), GIF, BMP, TIFF, and ``%PDF`` (first page)
+    all resize natively.  1→1 map; the decode/resize/encode loop is NumPy over each
     Arrow batch.  Undecodable payloads yield an ``error`` row (null
     content) instead of failing the task — the pipeline's per-row
     failure-isolation rule.
@@ -216,7 +218,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             out = []
             for ref, blob in zip(pdf["media_ref"], pdf["content"]):
                 try:
-                    # magic-routed: IMG1 / PNG / JPEG / GIF / BMP / %PDF (page 1)
+                    # magic-routed: IMG1/PNG/JPEG/GIF/BMP/TIFF/%PDF (page 1)
                     img = decode_page(bytes(blob))
                     h, w = img.shape
                     yi = (np.arange(out_h) * h // out_h).astype(np.intp)

@@ -5,14 +5,16 @@ header walk that answers *what formats, what dimensions, what durations*
 so the real pipeline can be capacity-planned and routed.  ``probe_bytes``
 reads ONLY fixed headers / box trees / frame headers — a few hundred
 bytes per payload regardless of size — and identifies every format the
-engine decodes (IMG1/PNG/JPEG/GIF/BMP/PDF pages, AUD1/WAV/FLAC audio,
-VID1/AVI/animated-GIF video) PLUS the library-bound ones (MP4/ISO-BMFF
-box walk, MP3 frame header + Xing/duration estimate, MKV/WebM, OGG), so
-a crawl inventory covers payloads the decode lanes would reject.
+engine decodes (IMG1/PNG/JPEG/GIF/BMP/TIFF/PDF pages, AUD1/WAV/FLAC
+audio, VID1/AVI/GIF/MP4-MJPEG video) PLUS the library-bound ones
+(MP4/ISO-BMFF box walk with stsz frame counts, MP3 frame header +
+Xing/VBRI duration, MKV/WebM EBML walk — DocType/codec/dims/duration,
+OGG page walk), so a crawl inventory covers payloads the decode lanes
+would reject.
 
 All header formats here are public specifications (PNG ISO 15948, T.81,
-GIF89a, BMP/DIB, ISO 14496-12 BMFF, MPEG-1/2 audio frame headers, RFC
-9639 FLAC, RIFF).  Hostile-input bounds: every length clamps to the
+GIF89a, BMP/DIB, TIFF 6.0, ISO 14496-12 BMFF, RFC 8794 EBML + RFC 9559
+Matroska, MPEG-1/2 audio frame headers, RFC 9639 FLAC, RIFF).  Hostile-input bounds: every length clamps to the
 buffer; box/frame walks strictly advance; unknown magics return
 format='unknown' rather than raising (an inventory must count garbage,
 not die on it).
@@ -67,6 +69,13 @@ def probe_bytes(payload: bytes) -> dict:
             w = struct.unpack_from("<i", full, 18)[0]
             h = abs(struct.unpack_from("<i", full, 22)[0])
             out.update(format="bmp", kind="image", width=w, height=h, n_frames=1)
+        elif buf[:2] in (b"II", b"MM") and buf[2:4] in (
+            b"*\x00", b"\x00*", b"+\x00", b"\x00+"
+        ):
+            from .tiff import tiff_probe
+
+            # header-only: IFD tags of page 0 + page count, no pixel decode
+            out.update(format="tiff", kind="image", **tiff_probe(full))
         elif buf[:4] == b"%PDF":
             # Boundary-aware: '/Type /Pages' (the page-TREE nodes) must not
             # count as pages — a bare substring count overstates every
@@ -91,6 +100,7 @@ def probe_bytes(payload: bytes) -> dict:
             out.update(format="mp4", kind="video", **_probe_mp4(full))
         elif buf[:4] == b"\x1aE\xdf\xa3":
             out.update(format="mkv/webm", kind="video", codec="ebml")
+            out.update(_probe_mkv(full))
         elif buf[:4] == b"OggS":
             out.update(format="ogg", kind="audio")
             out.update(_probe_ogg(full))
@@ -250,6 +260,96 @@ def _probe_mp4(buf: bytes) -> dict:
             out["n_frames"] = _U32B.unpack_from(buf, pos + 4)[0]
     except (ValueError, struct.error):
         pass
+    return out
+
+
+def _read_vint(buf: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """EBML variable-length integer at ``pos`` (RFC 8794 §4) →
+    (value, next_pos).  Element IDs keep the length-marker bit (the spec
+    writes IDs with it, e.g. 0x1A45DFA3); sizes strip it."""
+    if pos >= len(buf):
+        raise ValueError("EBML: truncated vint")
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("EBML: invalid vint lead byte 0x00")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(buf):
+        raise ValueError("EBML: vint runs past EOF")
+    val = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        val = (val << 8) | buf[pos + i]
+    return val, pos + length
+
+
+# Matroska element ids (public spec / RFC 9559); master elements we descend
+_MKV_MASTERS = {0x1A45DFA3, 0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0, 0xE1}
+_MKV_UNKNOWN_SIZE = True  # sizes of all-ones mean "to end of parent"
+
+
+def _probe_mkv(buf: bytes) -> dict:
+    """EBML walk (RFC 8794 + Matroska RFC 9559): DocType, segment Info
+    (TimestampScale × Duration), first video/audio TrackEntry (CodecID,
+    PixelWidth/Height, SamplingFrequency).  Header-only — Clusters (the
+    payload data, 0x1F43B675) are never descended; bounded by the same
+    clamp-and-advance rules as the box/chunk walks."""
+    out: dict = {}
+    state = {"scale": 1_000_000, "dur": 0.0, "have_video": False,
+             "have_audio": False}
+
+    def walk(start: int, end: int, depth: int = 0):
+        pos = start
+        while pos + 2 <= end and depth < 8:
+            try:
+                eid, p2 = _read_vint(buf, pos, keep_marker=True)
+                size, body = _read_vint(buf, p2, keep_marker=False)
+            except ValueError:
+                return
+            # unknown-size (all value bits set) streams: runs to parent end
+            nlen = body - p2
+            if size == (1 << (7 * nlen)) - 1:
+                stop = end
+            else:
+                stop = min(end, body + size)
+            if eid in _MKV_MASTERS:
+                walk(body, stop, depth + 1)
+            elif eid == 0x4282:  # DocType
+                doc = buf[body:stop].decode("ascii", "replace")
+                out["format"] = "webm" if doc == "webm" else "mkv"
+            elif eid == 0x2AD7B1:  # TimestampScale (ns per tick)
+                state["scale"] = int.from_bytes(buf[body:stop], "big") or state["scale"]
+            elif eid == 0x4489:  # Duration (float ticks)
+                raw = buf[body:stop]
+                if len(raw) == 4:
+                    state["dur"] = struct.unpack(">f", raw)[0]
+                elif len(raw) == 8:
+                    state["dur"] = struct.unpack(">d", raw)[0]
+            elif eid == 0x83:  # TrackType: 1 video, 2 audio
+                t = int.from_bytes(buf[body:stop], "big")
+                state["have_video"] |= t == 1
+                state["have_audio"] |= t == 2
+            elif eid == 0x86 and "codec" not in out:  # CodecID
+                out["codec"] = buf[body:stop].decode("ascii", "replace")
+            elif eid == 0xB0 and not out.get("width"):  # PixelWidth
+                out["width"] = int.from_bytes(buf[body:stop], "big")
+            elif eid == 0xBA and not out.get("height"):  # PixelHeight
+                out["height"] = int.from_bytes(buf[body:stop], "big")
+            elif eid == 0xB5 and not out.get("sample_rate"):  # SamplingFrequency
+                raw = buf[body:stop]
+                if len(raw) == 4:
+                    out["sample_rate"] = int(struct.unpack(">f", raw)[0])
+                elif len(raw) == 8:
+                    out["sample_rate"] = int(struct.unpack(">d", raw)[0])
+            if stop <= pos:
+                return  # refuse to loop on garbage sizes
+            pos = stop
+
+    walk(0, len(buf))
+    if state["dur"]:
+        out["duration_s"] = state["dur"] * state["scale"] / 1e9
+    if state["have_video"]:
+        out["kind"] = "video"
+    elif state["have_audio"]:
+        out["kind"] = "audio"
     return out
 
 

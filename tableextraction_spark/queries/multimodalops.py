@@ -187,7 +187,7 @@ WHERE 1 = 0
 
 
 RESIZE_W, RESIZE_H = 24, 18
-_LOSSLESS = ("img1", "png", "gif", "bmp")
+_LOSSLESS = ("img1", "png", "gif", "bmp", "tiff")
 IMAGES_SCHEMA = "media_ref string, content binary, want_md5 string"
 
 
@@ -206,12 +206,16 @@ def _image_batches(batches: Iterator) -> Iterator:
     from ..gif import encode_gif_gray
     from ..media import encode_image
     from ..png import encode_png
+    from ..tiff import encode_tiff_gray
 
     enc = {
         "img1": encode_image,
         "png": encode_png,
         "gif": encode_gif_gray,
         "bmp": encode_bmp_gray,
+        # LZW TIFF: lossless, and the strip decode exercises the TIFF-
+        # variant LZW + IFD walk under the same hash gate as the others
+        "tiff": lambda img: encode_tiff_gray(img, "lzw"),
     }
     for pdf in batches:
         rows = []
@@ -230,11 +234,11 @@ def _image_batches(batches: Iterator) -> Iterator:
 
 def q48_resize_format_verify(spark, sf_dir):
     """Resize-stage verify, empty-on-success: deterministic images encoded
-    across every LOSSLESS raster codec (IMG1/PNG/GIF/BMP) go through the
+    across every LOSSLESS raster codec (IMG1/PNG/GIF/BMP/LZW-TIFF) go through the
     real ``resize_images`` stage; the output pixel bytes (IMG1 payload
     minus its 12-byte header, hashed in-plan via ``md5(substring(...))``)
     must equal the plan-side nearest-neighbor expectation EXACTLY — pinning
-    the magic-routed decode and the resize arithmetic for all four codecs
+    the magic-routed decode and the resize arithmetic for all five codecs
     in the driver's hard gate.  Rows = failed checks."""
     from ..multimodal import resize_images
 
@@ -271,7 +275,10 @@ def q48_resize_format_verify(spark, sf_dir):
     )
 
 
-INVENTORY_FORMATS = ("img1", "png", "jpeg", "gif", "bmp", "wav", "flac", "avi")
+INVENTORY_FORMATS = (
+    "img1", "png", "jpeg", "gif", "bmp", "tiff",
+    "wav", "flac", "avi", "mp4",
+)
 INVENTORY_SCHEMA = "media_ref string, content binary"
 
 
@@ -285,8 +292,10 @@ def _inventory_batches(batches: Iterator) -> Iterator:
     from ..gif import encode_gif_gray
     from ..jpeg import encode_jpeg_gray
     from ..media import encode_image
+    from ..mp4 import encode_mp4_mjpeg
     from ..multimodal import encode_wav
     from ..png import encode_png
+    from ..tiff import encode_tiff_gray
 
     for pdf in batches:
         rows = []
@@ -310,6 +319,10 @@ def _inventory_batches(batches: Iterator) -> Iterator:
                 "avi": lambda: encode_avi_mjpeg(
                     [encode_jpeg_gray(img)] * nf, w, h, fps=10
                 ),
+                "mp4": lambda: encode_mp4_mjpeg(
+                    [encode_jpeg_gray(img)] * nf, w, h, fps=10
+                ),
+                "tiff": lambda: encode_tiff_gray(img, "lzw"),
             }[fmt]
             rows.append((f"{fmt}-{i:04d}", enc()))
         yield pd.DataFrame(rows, columns=["media_ref", "content"])
@@ -317,7 +330,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
 
 def q49_media_inventory_verify(spark, sf_dir):
     """The crawl-inventory stage (header-only `probe_media`) in the hard
-    gate, empty-on-success: a distributed mixed-format corpus (all eight
+    gate, empty-on-success: a distributed mixed-format corpus (all ten
     native formats in one batch) probes to exactly the format / kind /
     dimensions / sample-rate / duration the plan arithmetic predicts —
     every field compared as a string so one query pins the whole row."""
@@ -329,8 +342,9 @@ def q49_media_inventory_verify(spark, sf_dir):
         F.array(*[F.lit(f) for f in INVENTORY_FORMATS]),
         (F.col("i") % len(INVENTORY_FORMATS)) + 1,
     )
-    is_img = fmt.isin("img1", "png", "jpeg", "gif", "bmp")
+    is_img = fmt.isin("img1", "png", "jpeg", "gif", "bmp", "tiff")
     is_aud = fmt.isin("wav", "flac")
+    is_vid = fmt.isin("avi", "mp4")
     h = F.lit(24) + (F.col("i") % 3) * 8
     w = F.lit(32) + (F.col("i") % 2) * 8
     ln = F.lit(4000) + (F.col("i") % 4) * 500
@@ -346,14 +360,16 @@ def q49_media_inventory_verify(spark, sf_dir):
         F.when(is_aud, 0).otherwise(w).cast("string").alias("want_w"),
         F.when(is_aud, 0).otherwise(h).cast("string").alias("want_h"),
         F.when(is_aud, 8000).otherwise(0).cast("string").alias("want_rate"),
-        # audio: exact dyadic len/8000; avi: nf*100000/1e6 (fps=10) — both
-        # computed with the same double ops the probe uses
+        # audio: exact dyadic len/8000; avi: nf*100000/1e6 (fps=10);
+        # mp4: mvhd duration nf over timescale 10 — all computed with the
+        # same double ops the probe uses
         F.when(is_aud, ln.cast("double") / F.lit(8000.0))
         .when(fmt == "avi", (nf * F.lit(100000)).cast("double") / F.lit(1000000.0))
+        .when(fmt == "mp4", nf.cast("double") / F.lit(10.0))
         .otherwise(F.lit(0.0))
         .cast("string")
         .alias("want_dur"),
-        F.when(fmt == "avi", nf).when(is_img, 1).otherwise(0).cast("string").alias(
+        F.when(is_vid, nf).when(is_img, 1).otherwise(0).cast("string").alias(
             "want_frames"
         ),
     )

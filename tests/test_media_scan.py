@@ -206,9 +206,10 @@ def test_coarse_row_groups_subsplit_with_identical_output(spark, tmp_path):
 
 
 def test_extract_spans_equality_over_mixed_corpus(spark):
-    """The web-crawl shape: ONE corpus interleaving all six payload formats
-    (IMG1/PNG/JPEG/GIF/BMP/%PDF rotating per doc) plus html-markup docs,
-    through ONE extract_spans call — golden span equality end-to-end."""
+    """The web-crawl shape: ONE corpus interleaving every payload format
+    (IMG1/PNG/JPEG/GIF/BMP/%PDF/%PDF-scanned/TIFF rotating per doc) plus
+    html-markup docs, through ONE extract_spans call — golden span
+    equality end-to-end."""
     from tableextraction_spark.fixtures import gen_corpus
     from tableextraction_spark.fixtures.html_gen import gen_html_doc
     from tableextraction_spark.pipeline import (
@@ -218,7 +219,8 @@ def test_extract_spans_equality_over_mixed_corpus(spark):
     )
 
     docs, blobs, expected = gen_corpus(12, codec="mixed")
-    assert len({bytes(b["content"][:2]) for b in blobs}) == 6  # all formats
+    # 7 distinct magics: pdf and pdfscan share %PDF; tiff adds b"II"
+    assert len({bytes(b["content"][:2]) for b in blobs}) == 7  # all formats
     hdocs, hexp = zip(*(gen_html_doc(i) for i in range(4)))
     docs_df = spark.createDataFrame(docs + list(hdocs), DOCS_SCHEMA).repartition(8)
     blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA).repartition(8)

@@ -275,3 +275,74 @@ def test_ogg_opus_uses_48k_granule():
     assert out["codec"] == "opus"
     assert out["sample_rate"] == 16000  # input rate from OpusHead
     assert abs(out["duration_s"] - 3.0) < 0.01  # granules always 48 kHz
+
+
+# --- MKV/WebM (EBML walk, RFC 8794 + Matroska RFC 9559) ---
+
+def _esize(n):
+    """EBML size vint (1-4 bytes, marker bit kept)."""
+    for length in range(1, 5):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError(n)
+
+
+def _eel(eid: bytes, body: bytes) -> bytes:
+    return eid + _esize(len(body)) + body
+
+
+def _mkv_fixture(doctype=b"webm", duration_ticks=12500.0, video=True):
+    ebml = _eel(b"\x1a\x45\xdf\xa3", _eel(b"\x42\x82", doctype))
+    info = _eel(
+        b"\x15\x49\xa9\x66",
+        _eel(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + _eel(b"\x44\x89", __import__("struct").pack(">d", duration_ticks)),
+    )
+    if video:
+        entry = (
+            _eel(b"\x83", b"\x01")
+            + _eel(b"\x86", b"V_VP9")
+            + _eel(b"\xe0", _eel(b"\xb0", (640).to_bytes(2, "big"))
+                   + _eel(b"\xba", (360).to_bytes(2, "big")))
+        )
+    else:
+        entry = (
+            _eel(b"\x83", b"\x02")
+            + _eel(b"\x86", b"A_OPUS")
+            + _eel(b"\xe1", _eel(b"\xb5", __import__("struct").pack(">f", 48000.0)))
+        )
+    tracks = _eel(b"\x16\x54\xae\x6b", _eel(b"\xae", entry))
+    # a Cluster the walk must NOT descend into (garbage inside)
+    cluster = _eel(b"\x1f\x43\xb6\x75", b"\xde\xad" * 40)
+    return ebml + _eel(b"\x18\x53\x80\x67", info + tracks + cluster)
+
+
+def test_mkv_video_probe():
+    out = probe_bytes(_mkv_fixture())
+    assert out["format"] == "webm" and out["kind"] == "video"
+    assert out["codec"] == "V_VP9"
+    assert (out["width"], out["height"]) == (640, 360)
+    assert abs(out["duration_s"] - 12.5) < 1e-9
+
+
+def test_mkv_audio_probe():
+    out = probe_bytes(_mkv_fixture(doctype=b"matroska", video=False))
+    assert out["format"] == "mkv" and out["kind"] == "audio"
+    assert out["codec"] == "A_OPUS" and out["sample_rate"] == 48000
+
+
+def test_mkv_unknown_size_segment():
+    # streamed files write the Segment with an unknown (all-ones) size
+    fx = _mkv_fixture()
+    seg_at = fx.index(b"\x18\x53\x80\x67")
+    body_at = seg_at + 4 + len(_esize(len(fx) - seg_at - 4 - 2))
+    # rebuild with a 1-byte unknown size (0xFF)
+    body = fx[fx.index(b"\x15\x49\xa9\x66"):]
+    blob = fx[:seg_at] + b"\x18\x53\x80\x67" + b"\xff" + body
+    out = probe_bytes(blob)
+    assert out["format"] == "webm" and out["codec"] == "V_VP9"
+
+
+def test_mkv_garbage_is_bounded():
+    out = probe_bytes(b"\x1a\x45\xdf\xa3" + b"\x00" * 500)
+    assert out["format"] in ("mkv/webm", "mkv", "webm")  # no hang, no raise
