@@ -120,6 +120,44 @@ def decode_page(payload: bytes) -> np.ndarray:
     raise ValueError(f"unknown media payload magic {head!r}")
 
 
+def iter_pages(payload: bytes):
+    """Lazily yield (page_index, n_pages, gray page) — the multi-page-aware
+    face of :func:`decode_page`.
+
+    Real crawls deliver whole DOCUMENTS (a 40-page fax TIFF, a 300-page
+    scanned PDF), not pre-split pages; this is the decode stage's 1→N
+    expansion point.  Multi-page containers (TIFF IFD chains, multi-page
+    PDFs) expand with one decoded page live at a time; every single-page
+    format yields exactly once via ``decode_page`` (zero behavior change).
+    Parallelism note: the unit of distribution stays the input row, so a
+    whale document serializes within its task — size ingestion batches by
+    page count, not document count, when corpora have deep documents.
+    """
+    head = bytes(payload[:4])
+    if head[:2] in (b"II", b"MM") and head[2:4] in (
+        b"*\x00", b"\x00*", b"+\x00", b"\x00+"
+    ):
+        from .tiff import iter_tiff_pages
+
+        yield from iter_tiff_pages(payload)
+        return
+    if head == b"%PDF":
+        from .sources.pdf_adapter import pdf_renderer_available, rasterize_pdf
+
+        if pdf_renderer_available():
+            from .pdfx import pdf_page_count
+
+            n = pdf_page_count(payload)
+            for i in range(n):
+                yield i, n, rasterize_pdf(payload, page_index=i)
+            return
+        from .pdfx import iter_pdf_pages
+
+        yield from iter_pdf_pages(payload)
+        return
+    yield 0, 1, decode_page(payload)
+
+
 def downscale(img: np.ndarray, factor: int) -> np.ndarray:
     """Block-min downscale: the detection-resolution view of a page.
 

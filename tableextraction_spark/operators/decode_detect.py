@@ -65,7 +65,7 @@ def process_content_rows(
     import time
 
     from ..kernel.page import extract_objects
-    from ..media import decode_page
+    from ..media import iter_pages
 
     doc_ids = batch.column("doc_id").to_pylist()
     refs = batch.column("media_ref").to_pylist()
@@ -74,22 +74,36 @@ def process_content_rows(
     rows: list[tuple] = []
     for i in range(batch.num_rows):
         did, ref, pno = doc_ids[i], refs[i], int(page_nos[i])
+        # multi-page payloads (TIFF IFD chains, multi-page PDFs) expand
+        # 1→N here; obj_no runs GLOBALLY across the payload's pages so the
+        # assemble stage's (media_ref, obj_no) sort keeps page order
+        # without needing page_no in its key.  Single-page payloads keep
+        # the caller's page_no; multi-page ones use the in-payload index.
+        obj_counter = 0
         t0 = time.perf_counter()
         try:
-            page = decode_page(payloads[i])
-            objects = extract_objects(page, classify=classify)
-        except Exception as exc:  # per-row failure isolation
+            for pidx, npages, page in iter_pages(payloads[i]):
+                objects = extract_objects(page, classify=classify)
+                out_pno = pno if npages == 1 else pidx
+                ms = int((time.perf_counter() - t0) * 1000)
+                # page marker carries the page's decode+detect+ocr wall time
+                rows.append((did, ref, out_pno, -1, None, 0, None, None, ms))
+                for kind, n_items, payload in objects:
+                    rows.append(
+                        (did, ref, out_pno, obj_counter, kind, n_items,
+                         payload, None, 0)
+                    )
+                    obj_counter += 1
+                t0 = time.perf_counter()
+        except Exception as exc:  # per-row failure isolation: pages already
+            # emitted from this payload stand; the failing page becomes one
+            # error row carrying the caller's page_no
             ms = int((time.perf_counter() - t0) * 1000)
             rows.append(
                 (did, ref, pno, -1, None, 0, None,
                  f"{type(exc).__name__}: {exc}", ms)
             )
             continue
-        ms = int((time.perf_counter() - t0) * 1000)
-        # page marker carries the page's full decode+detect+ocr wall time
-        rows.append((did, ref, pno, -1, None, 0, None, None, ms))
-        for obj_no, (kind, n_items, payload) in enumerate(objects):
-            rows.append((did, ref, pno, obj_no, kind, n_items, payload, None, 0))
     if not rows:
         return None
     fields = list(_FIELDS)

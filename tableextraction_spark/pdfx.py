@@ -1416,6 +1416,20 @@ def rasterize_pdf_pages(payload: bytes, dpi: float = 72.0) -> list[np.ndarray]:
     return out
 
 
+def iter_pdf_pages(payload: bytes, dpi: float = 72.0):
+    """Lazily yield (page_index, n_pages, uint8 gray page) — one parsed
+    document, one rasterized page live at a time (a 500-page scan never
+    materializes all canvases, unlike :func:`rasterize_pdf_pages`)."""
+    doc = parse_pdf(payload)
+    pages = doc.pages()
+    for i, page in enumerate(pages):
+        w, h, base = _page_raster_setup(doc, page, dpi)
+        ras = _Raster(doc, w, h, base)
+        gs = _GState(base)
+        ras.run(doc.page_content(page), doc.resolve(page.get("Resources")) or {}, gs)
+        yield i, len(pages), ras.canvas
+
+
 def rasterize_pdf_page(payload: bytes, page_index: int = 0, dpi: float = 72.0) -> np.ndarray:
     doc = parse_pdf(payload)
     pages = doc.pages()
