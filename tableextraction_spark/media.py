@@ -94,9 +94,9 @@ def decode_page(payload: bytes) -> np.ndarray:
         from .bmp import decode_bmp
 
         return decode_bmp(payload)  # real BMP pages: uncompressed DIB
-    if head[:2] in (b"II", b"MM") and head[2:4] in (
-        b"*\x00", b"\x00*", b"+\x00", b"\x00+"
-    ):
+    from .tiff import is_tiff_magic
+
+    if is_tiff_magic(head):
         from .tiff import decode_tiff
 
         # real TIFF pages (scanner/fax archives): from-scratch TIFF 6.0 /
@@ -134,22 +134,24 @@ def iter_pages(payload: bytes):
     page count, not document count, when corpora have deep documents.
     """
     head = bytes(payload[:4])
-    if head[:2] in (b"II", b"MM") and head[2:4] in (
-        b"*\x00", b"\x00*", b"+\x00", b"\x00+"
-    ):
+    from .tiff import is_tiff_magic
+
+    if is_tiff_magic(head):
         from .tiff import iter_tiff_pages
 
         yield from iter_tiff_pages(payload)
         return
     if head == b"%PDF":
-        from .sources.pdf_adapter import pdf_renderer_available, rasterize_pdf
+        from .sources.pdf_adapter import pdf_renderer_available, pdf_to_pages
 
         if pdf_renderer_available():
-            from .pdfx import pdf_page_count
-
-            n = pdf_page_count(payload)
-            for i in range(n):
-                yield i, n, rasterize_pdf(payload, page_index=i)
+            # the renderer is the authority on page count AND pixels (the
+            # from-scratch parser must not pre-gate documents the library
+            # handles); pdf_to_pages renders once — O(pages), though the
+            # library materializes the whole document (its own contract)
+            pages = pdf_to_pages(payload)
+            for i, page in enumerate(pages):
+                yield i, len(pages), page
             return
         from .pdfx import iter_pdf_pages
 

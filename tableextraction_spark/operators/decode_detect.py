@@ -80,6 +80,7 @@ def process_content_rows(
         # without needing page_no in its key.  Single-page payloads keep
         # the caller's page_no; multi-page ones use the in-payload index.
         obj_counter = 0
+        pages_done = 0
         t0 = time.perf_counter()
         try:
             for pidx, npages, page in iter_pages(payloads[i]):
@@ -88,6 +89,7 @@ def process_content_rows(
                 ms = int((time.perf_counter() - t0) * 1000)
                 # page marker carries the page's decode+detect+ocr wall time
                 rows.append((did, ref, out_pno, -1, None, 0, None, None, ms))
+                pages_done += 1
                 for kind, n_items, payload in objects:
                     rows.append(
                         (did, ref, out_pno, obj_counter, kind, n_items,
@@ -96,14 +98,24 @@ def process_content_rows(
                     obj_counter += 1
                 t0 = time.perf_counter()
         except Exception as exc:  # per-row failure isolation: pages already
-            # emitted from this payload stand; the failing page becomes one
-            # error row carrying the caller's page_no
+            # emitted from this payload stand; the error row names the
+            # FAILING page (pages_done = its in-payload index) so its key
+            # never collides with an emitted success marker
             ms = int((time.perf_counter() - t0) * 1000)
+            err_pno = pno if pages_done == 0 else pages_done
             rows.append(
-                (did, ref, pno, -1, None, 0, None,
+                (did, ref, err_pno, -1, None, 0, None,
                  f"{type(exc).__name__}: {exc}", ms)
             )
             continue
+        if pages_done == 0:
+            # a structurally-valid container with zero pages (e.g. an empty
+            # PDF /Kids) must leave a trace, not silently vanish
+            ms = int((time.perf_counter() - t0) * 1000)
+            rows.append(
+                (did, ref, pno, -1, None, 0, None,
+                 "ValueError: payload decoded to zero pages", ms)
+            )
     if not rows:
         return None
     fields = list(_FIELDS)

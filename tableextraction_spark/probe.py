@@ -41,6 +41,12 @@ _MP3_BITRATE_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 1
 _MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
 
 
+def _is_tiff(head: bytes) -> bool:
+    from .tiff import is_tiff_magic  # the one shared magic definition
+
+    return is_tiff_magic(head)
+
+
 def _empty() -> dict:
     return {
         "format": "unknown", "kind": "unknown", "width": 0, "height": 0,
@@ -69,9 +75,7 @@ def probe_bytes(payload: bytes) -> dict:
             w = struct.unpack_from("<i", full, 18)[0]
             h = abs(struct.unpack_from("<i", full, 22)[0])
             out.update(format="bmp", kind="image", width=w, height=h, n_frames=1)
-        elif buf[:2] in (b"II", b"MM") and buf[2:4] in (
-            b"*\x00", b"\x00*", b"+\x00", b"\x00+"
-        ):
+        elif _is_tiff(buf):
             from .tiff import tiff_probe
 
             # header-only: IFD tags of page 0 + page count, no pixel decode

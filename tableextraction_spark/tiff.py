@@ -75,6 +75,15 @@ _BIT_REVERSE = bytes(
     int(f"{i:08b}"[::-1], 2) for i in range(256)
 )
 
+# the four VALID magic/order pairs (II is little-endian so 42/43 lead;
+# MM is big-endian so they trail) — the ONE definition shared by
+# media.decode_page, media.iter_pages, and probe.probe_bytes
+_TIFF_MAGICS = (b"II*\x00", b"II+\x00", b"MM\x00*", b"MM\x00+")
+
+
+def is_tiff_magic(head: bytes) -> bool:
+    return bytes(head[:4]) in _TIFF_MAGICS
+
 
 def _parse_header(buf: bytes) -> tuple[str, bool, int]:
     """→ (endian prefix, is_bigtiff, first IFD offset)."""
@@ -118,7 +127,11 @@ def _read_values(buf: bytes, en: str, ftype: int, count: int, at: int, big: bool
     return list(struct.unpack_from(f"{en}{count}{ch}", buf, pos))
 
 
-def _read_ifds(buf: bytes) -> list[dict[int, list]]:
+def _read_ifds(buf: bytes) -> tuple[str, list[dict[int, list]]]:
+    """→ (endian prefix, IFD chain).  The endianness travels with the
+    tables because 16-bit SAMPLE data is header-endian too (reading it
+    native-endian silently byte-swaps every pixel of an MM-order file on
+    a little-endian host — found in review)."""
     en, big, off = _parse_header(buf)
     ifds: list[dict[int, list]] = []
     seen: set[int] = set()
@@ -152,7 +165,7 @@ def _read_ifds(buf: bytes) -> list[dict[int, list]]:
         )
     if not ifds:
         raise ValueError("TIFF has no IFDs")
-    return ifds
+    return en, ifds
 
 
 # ------------------------------------------------------------ codecs
@@ -317,9 +330,14 @@ def _gray_from_samples(
     """H×W(×S) sample array → uint8 H×W grayscale, dark ink."""
     from .media import rgb_to_gray
 
-    if photometric == 2:  # RGB
+    if photometric in (2, 6):  # RGB, or YCbCr (6) already converted to RGB
+        # by the JPEG decoder (the standard libtiff color-JPEG layout);
+        # raw non-JPEG YCbCr samples arrive 2-D-per-sample and refuse below
         if arr.ndim != 3 or arr.shape[2] < 3:
-            raise ValueError("TIFF: RGB photometric without 3 samples")
+            raise ValueError(
+                f"TIFF: photometric {photometric} without 3 decoded samples "
+                f"(raw YCbCr outside the JPEG lane is not supported)"
+            )
         return rgb_to_gray(arr[:, :, :3])
     if photometric == 3:  # palette
         if colormap is None:
@@ -340,7 +358,8 @@ def _gray_from_samples(
 
 
 def _decode_segment(
-    raw: bytes, ifd: dict, w: int, h: int, spp: int, bps: int, buf_note: str
+    raw: bytes, en: str, ifd: dict, w: int, h: int, spp: int, bps: int,
+    buf_note: str,
 ) -> np.ndarray:
     """One strip/tile's compressed bytes → uint8 h×w(×spp) sample array
     (bilevel already mapped to 0/1 sample values)."""
@@ -376,6 +395,11 @@ def _decode_segment(
             else raw
         )
         img = decode_jpeg(stream)
+        if img.shape[0] != h or img.shape[1] != w:
+            raise ValueError(
+                f"TIFF: JPEG {buf_note} decodes to {img.shape[1]}x"
+                f"{img.shape[0]}, declared {w}x{h}"
+            )
         if img.ndim == 2 and spp == 1:
             return img
         if img.ndim == 3 and spp >= 3:
@@ -411,10 +435,10 @@ def _decode_segment(
     if bps == 8:
         arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w, spp)
     elif bps == 16:
-        # sample arrays are header-endian; strips were materialized via
-        # bytes() so frombuffer is safe
+        # 16-bit samples are HEADER-endian (an MM file on a little-endian
+        # host byte-swaps every pixel if read natively — found in review)
         arr = (
-            np.frombuffer(data, dtype=np.uint16)
+            np.frombuffer(data, dtype=en + "u2")
             .reshape(h, w, spp)
             .astype(np.uint16)
         )
@@ -443,7 +467,7 @@ def _has_huffman(stream: bytes) -> bool:
     return False
 
 
-def _decode_ifd(buf: bytes, ifd: dict) -> np.ndarray:
+def _decode_ifd(buf: bytes, en: str, ifd: dict) -> np.ndarray:
     w = ifd.get(_T_WIDTH, [0])[0]
     h = ifd.get(_T_HEIGHT, [0])[0]
     if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
@@ -498,7 +522,7 @@ def _decode_ifd(buf: bytes, ifd: dict) -> np.ndarray:
         for ty in range(down):
             for tx in range(across):
                 tile = _decode_segment(
-                    seg(ty * across + tx), ifd, tw, th, spp, bps,
+                    seg(ty * across + tx), en, ifd, tw, th, spp, bps,
                     f"tile {ty},{tx}",
                 )
                 out[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
@@ -511,7 +535,9 @@ def _decode_ifd(buf: bytes, ifd: dict) -> np.ndarray:
             if rows_here <= 0:
                 break
             parts.append(
-                _decode_segment(seg(i), ifd, w, rows_here, spp, bps, f"strip {i}")
+                _decode_segment(
+                    seg(i), en, ifd, w, rows_here, spp, bps, f"strip {i}"
+                )
             )
             row += rows_here
         if row < h:
@@ -528,22 +554,22 @@ def _decode_ifd(buf: bytes, ifd: dict) -> np.ndarray:
 def decode_tiff(payload: bytes, page: int = 0) -> np.ndarray:
     """TIFF bytes → uint8 H×W grayscale (dark ink), page ``page``."""
     buf = bytes(payload)
-    ifds = _read_ifds(buf)
+    en, ifds = _read_ifds(buf)
     if not 0 <= page < len(ifds):
         raise ValueError(f"TIFF: page {page} of {len(ifds)}")
-    return _decode_ifd(buf, ifds[page])
+    return _decode_ifd(buf, en, ifds[page])
 
 
 def iter_tiff_pages(payload: bytes) -> Iterator[tuple[int, int, np.ndarray]]:
     """→ (page_no, n_pages, gray page); one decoded page live at a time."""
     buf = bytes(payload)
-    ifds = _read_ifds(buf)
+    en, ifds = _read_ifds(buf)
     for i, ifd in enumerate(ifds):
-        yield i, len(ifds), _decode_ifd(buf, ifd)
+        yield i, len(ifds), _decode_ifd(buf, en, ifd)
 
 
 def tiff_page_count(payload: bytes) -> int:
-    return len(_read_ifds(bytes(payload)))
+    return len(_read_ifds(bytes(payload))[1])
 
 
 _COMP_NAMES = {
@@ -556,7 +582,7 @@ def tiff_probe(payload: bytes) -> dict:
     """Header-only inventory fields (no pixel decode): dims of page 0,
     page count, compression name."""
     buf = bytes(payload)
-    ifds = _read_ifds(buf)
+    _en, ifds = _read_ifds(buf)
     first = ifds[0]
     return {
         "width": first.get(_T_WIDTH, [0])[0],
@@ -586,9 +612,7 @@ def _entry(tag: int, ftype: int, values: list[int], heap: bytearray, base: int):
     return struct.pack("<HHI", tag, ftype, len(values)) + val
 
 
-def _encode_page(
-    img: np.ndarray, compression: str, next_ifd_placeholder: bool
-) -> tuple[bytes, int]:
+def _encode_page(img: np.ndarray, compression: str) -> tuple[bytes, int]:
     """One image → (IFD block + data heap, offset of the next-IFD pointer
     within the block).  The caller chains blocks and patches pointers."""
     if img.dtype != np.uint8 or img.ndim != 2:
@@ -670,7 +694,7 @@ def encode_tiff_multipage(
     out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
     blocks = []
     for img in pages:
-        blocks.append(_encode_page(img, compression, True))
+        blocks.append(_encode_page(img, compression))
     pos = 8
     bases = []
     for block, _ptr in blocks:

@@ -125,7 +125,7 @@ def test_corrupt_later_page_keeps_earlier_pages():
         at = en_off + 2 + 12 * e
         if struct.unpack_from("<H", blob, at)[0] == 273:
             struct.pack_into("<I", blob, at + 8, len(blob) + 1000)
-    assert _read_ifds(bytes(blob))[2][273][0] == len(blob) + 1000
+    assert _read_ifds(bytes(blob))[1][2][273][0] == len(blob) + 1000
     out = _stage([("d", "m", 0, bytes(blob))])
     markers = [r for r in out if r["obj_no"] == -1 and r["error"] is None]
     errors = [r for r in out if r["error"] is not None]
@@ -140,3 +140,36 @@ def test_iter_pages_multipage_lazy_and_exact():
     assert len(out) == 10 and all(n == 10 for _i, n, _p in out)
     for (i, _n, got), want in zip(out, pages):
         assert (got == want).all()
+
+
+def test_zero_page_payload_leaves_an_error_trace():
+    # review finding: an empty-/Kids PDF used to contribute ZERO rows —
+    # vanishing from page counters and error metrics
+    pdf = pdfx.build_pdf([], PAGE_W, PAGE_H)
+    out = _stage([("d", "m", 0, pdf)])
+    assert len(out) == 1
+    assert out[0]["error"] == "ValueError: payload decoded to zero pages"
+
+
+def test_error_row_names_the_failing_page():
+    # review finding: the error row reused the caller's page_no, colliding
+    # with page 0's success marker of the same media_ref
+    pages, _ = _skew_doc_pages()
+    import struct
+
+    blob = bytearray(encode_tiff_multipage(pages[:3], "g4"))
+    en_off = 8
+    for _skip in range(2):
+        n = struct.unpack_from("<H", blob, en_off)[0]
+        en_off = struct.unpack_from("<I", blob, en_off + 2 + 12 * n)[0]
+    n = struct.unpack_from("<H", blob, en_off)[0]
+    for e in range(n):
+        at = en_off + 2 + 12 * e
+        if struct.unpack_from("<H", blob, at)[0] == 273:
+            struct.pack_into("<I", blob, at + 8, len(blob) + 1000)
+    out = _stage([("d", "m", 0, bytes(blob))])
+    errors = [r for r in out if r["error"] is not None]
+    assert len(errors) == 1 and errors[0]["page_no"] == 2
+    keys = [(r["page_no"], r["obj_no"], r["error"] is None) for r in out
+            if r["obj_no"] == -1]
+    assert len(keys) == len(set(keys))  # no success/error key collision

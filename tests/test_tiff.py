@@ -135,7 +135,7 @@ def test_fill_order_2_reverses_fax_bits():
     # locate the single strip: flip FillOrder to 2 and bit-reverse the data
     from tableextraction_spark.tiff import _BIT_REVERSE, _read_ifds
 
-    ifd = _read_ifds(bytes(t))[0]
+    ifd = _read_ifds(bytes(t))[1][0]
     off, cnt = ifd[273][0], ifd[279][0]
     t[off : off + cnt] = bytes(t[off : off + cnt]).translate(_BIT_REVERSE)
     # append FillOrder tag by rebuilding is overkill — instead decode must
@@ -154,7 +154,7 @@ def test_fill_order_2_reverses_fax_bits():
         + bytes(t[10 + 12 * n :])
     )
     # every pointer in the file shifted by 12 — patch offsets > header
-    ifd2 = _read_ifds(rebuilt)[0]
+    ifd2 = _read_ifds(rebuilt)[1][0]
     assert ifd2[266] == [2]
     shifted = bytearray(rebuilt)
     at = 10 + 12 * (entries.index(next(e for e in entries if e[:2] == struct.pack("<H", 273))))
@@ -280,3 +280,98 @@ def test_tiled_layout_decodes():
         struct.pack_into("<I", buf, counts_pos + 4 * i, len(tdata))
         buf += tdata
     assert (decode_tiff(bytes(buf)) == img).all()
+
+
+def test_mm_16bit_samples_are_header_endian():
+    # review finding: native-endian frombuffer byte-swapped MM 16-bit pixels
+    img16 = np.array([[0xFF00, 0x0100]], dtype=np.uint16)
+    h, w = img16.shape
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 0), (278, 3, 1, h), (279, 4, 1, h * w * 2),
+    ]
+    ifd = struct.pack(">H", len(entries))
+    for tag, ft, cnt, val in entries:
+        if ft == 3:
+            ifd += struct.pack(">HHIHH", tag, ft, cnt, val, 0)
+        else:
+            ifd += struct.pack(">HHII", tag, ft, cnt, val)
+    ifd += struct.pack(">I", 0)
+    ifd = bytearray(ifd)
+    struct.pack_into(">I", ifd, 2 + 5 * 12 + 8, 8 + len(ifd))
+    buf = struct.pack(">2sHI", b"MM", 42, 8) + bytes(ifd) + img16.astype(">u2").tobytes()
+    assert (decode_tiff(buf) == np.array([[255, 1]], dtype=np.uint8)).all()
+
+
+def test_ycbcr_jpeg_photometric_6_uses_luma():
+    # review finding: photometric 6 fell through to the R channel
+    from tableextraction_spark.jpeg import encode_jpeg_rgb
+    from tableextraction_spark.tiff import _T_PHOTOMETRIC
+
+    red = np.zeros((16, 16, 3), dtype=np.uint8)
+    red[:, :, 0] = 200
+    # hand-assemble: reuse encode_tiff_gray layout then swap in an RGB JPEG
+    # strip + photometric 6 + spp 3
+    jpg = encode_jpeg_rgb(red)
+    entries = [
+        (256, 3, 1, 16), (257, 3, 1, 16), (258, 3, 3, None), (259, 3, 1, 7),
+        (262, 3, 1, 6), (273, 4, 1, 0), (277, 3, 1, 3), (278, 3, 1, 16),
+        (279, 4, 1, len(jpg)),
+    ]
+    ifd_size = 2 + 12 * len(entries) + 4
+    heap = bytearray()
+    body = b""
+    bps_pos = None
+    for tag, ft, cnt, val in entries:
+        if tag == 258:
+            bps_pos = 8 + ifd_size + len(heap)
+            heap += struct.pack("<3H", 8, 8, 8)
+            body += struct.pack("<HHII", tag, ft, cnt, bps_pos)
+        elif ft == 3:
+            body += struct.pack("<HHIHH", tag, ft, cnt, val, 0)
+        else:
+            body += struct.pack("<HHII", tag, ft, cnt, val)
+    buf = bytearray(
+        struct.pack("<2sHI", b"II", 42, 8)
+        + struct.pack("<H", len(entries)) + body + struct.pack("<I", 0) + heap
+    )
+    # patch strip offset (tag 273)
+    for e in range(len(entries)):
+        at = 10 + 12 * e
+        if struct.unpack_from("<H", buf, at)[0] == 273:
+            struct.pack_into("<I", buf, at + 8, len(buf))
+    buf += jpg
+    dec = decode_tiff(bytes(buf))
+    luma = 0.299 * 200  # ≈ 60
+    assert abs(float(dec.mean()) - luma) < 10  # NOT the R channel (200)
+
+
+def test_invalid_magic_order_combos_rejected():
+    from tableextraction_spark.media import decode_page
+    from tableextraction_spark.tiff import is_tiff_magic
+
+    assert is_tiff_magic(b"II*\x00") and is_tiff_magic(b"MM\x00+")
+    # crossed combos are NOT tiff and must fall to 'unknown media'
+    for head in (b"II\x00*", b"MM*\x00", b"II\x00+", b"MM+\x00"):
+        assert not is_tiff_magic(head)
+        with pytest.raises(ValueError, match="unknown media"):
+            decode_page(head + b"\x00" * 32)
+
+
+def test_jpeg_strip_dimension_mismatch_named():
+    # a JPEG strip declaring the wrong dims must raise a named error,
+    # not silently mis-shape the page
+    from tableextraction_spark.jpeg import encode_jpeg_gray
+
+    img = _gradient(20, 30)
+    t = bytearray(encode_tiff_gray(img, "jpeg"))
+    # shrink the declared ImageLength to 10 (strip still decodes 20 rows)
+    n = struct.unpack_from("<H", t, 8)[0]
+    for e in range(n):
+        at = 10 + 12 * e
+        if struct.unpack_from("<H", t, at)[0] == 257:
+            struct.pack_into("<H", t, at + 8, 10)
+        if struct.unpack_from("<H", t, at)[0] == 278:
+            struct.pack_into("<H", t, at + 8, 10)
+    with pytest.raises(ValueError, match="declared"):
+        decode_tiff(bytes(t))
