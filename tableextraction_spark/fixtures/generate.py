@@ -385,7 +385,14 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
     elif codec == "pdf":
         encode = None  # vector path: primitives → PDF, no canvas stamp
     elif codec == "pdfscan":
-        from ..pdfx import build_scanned_page_pdf as encode
+        from ..pdfx import build_scanned_page_pdf
+
+        # rotate the two archive codecs real scanners emit — CCITT G4
+        # (dominant) and JBIG2 (arithmetic generic region) — both
+        # pixel-exact for the binary fixture pages, so the golden gate
+        # (q55) covers both ITU codecs end-to-end
+        arch = "jbig2" if doc_num % 3 == 2 else "ccitt"
+        encode = lambda img: build_scanned_page_pdf(img, codec=arch)  # noqa: E731
     elif codec == "tiff":
         from ..tiff import encode_tiff_gray
 

@@ -24,7 +24,9 @@ Implemented:
   baseline/progressive JPEG codec (``jpeg.py``); ``CCITTFaxDecode`` (G4
   ``K<0``, G3 ``K>=0``, ``BlackIs1``/``EncodedByteAlign``) routes to the
   from-scratch ITU T.4/T.6 codec (``ccitt.py``) — the dominant encoding of
-  real scanned-document corpora.  Anything else raises a
+  real scanned-document corpora; ``JBIG2Decode`` (generic + symbol/text
+  segments, ``/JBIG2Globals``) routes to the from-scratch ITU T.88 codec
+  (``jbig2.py``) — the second.  Anything else raises a
   ``NotImplementedError`` naming the filter (captured per-row upstream).
 - **Rendering**: page tree walk with attribute inheritance, content-stream
   interpretation — graphics state stack (``q/Q/cm/w/g/G/rg/RG/k/K``), path
@@ -1060,6 +1062,37 @@ class _Raster:
                 if dec is not None and float(r(dec[0])) == 1:
                     bits = 1 - bits
                 arr = (bits * 255).astype(np.uint8)
+        elif img_filter == "JBIG2Decode":
+            from .jbig2 import decode_jbig2_embedded
+
+            p = img_parms or {}
+            glb = r(p.get("JBIG2Globals"))
+            glob_data = b""
+            if glb is not None:
+                if not isinstance(glb, Stream):
+                    raise ValueError("PDF: /JBIG2Globals is not a stream")
+                glob_data = _stream_data(glb, r)
+            black = decode_jbig2_embedded(data, glob_data)  # 1 = black ink
+            # JBIG2 1-bits are black (ISO 32000-1 §7.4.7); as 1-bit
+            # DeviceGray samples, 0 = black — same mapping as CCITT
+            # BlackIs1=true.  Crop/pad the page bitmap to /Width x /Height
+            # (a striped page may decode taller; pad is white = sample 1).
+            bits = 1 - black
+            if bits.shape[0] > ih:
+                bits = bits[:ih]
+            if bits.shape[1] > iw:
+                bits = bits[:, :iw]
+            if bits.shape != (ih, iw):
+                padded = np.ones((ih, iw), dtype=bits.dtype)
+                padded[: bits.shape[0], : bits.shape[1]] = bits
+                bits = padded
+            if mask:
+                arr = bits
+            else:
+                dec = r(d.get("Decode"))
+                if dec is not None and float(r(dec[0])) == 1:
+                    bits = 1 - bits
+                arr = (bits * 255).astype(np.uint8)
         elif img_filter is not None:
             raise NotImplementedError(f"PDF image filter {img_filter}")
         else:
@@ -1629,19 +1662,37 @@ def build_page_pdf(rects, texts, page_w: int, page_h: int) -> bytes:
     return build_pdf([{"rects": rects, "texts": texts}], page_w, page_h)
 
 
-def build_scanned_page_pdf(img: np.ndarray) -> bytes:
+def build_scanned_page_pdf(img: np.ndarray, codec: str = "ccitt") -> bytes:
     """uint8 H×W gray page → the SCANNED-document PDF shape: one page whose
-    content is a single full-page 1-bit **CCITT G4** image XObject — how
-    real scanner/archive pipelines (and the reference's steel-standard
-    corpus ``data/1.pdf…7.pdf``) store pages.  Ink = pixels ≤ the kernel's
-    binarization threshold, so for the binary {0,255} fixture pages the
-    rasterized result is pixel-exact to the raster codecs and span
-    equality is preserved end-to-end."""
-    from .ccitt import encode_ccitt_g4
+    content is a single full-page 1-bit image XObject — how real
+    scanner/archive pipelines (and the reference's steel-standard corpus
+    ``data/1.pdf…7.pdf``) store pages.  ``codec`` picks the archive
+    encoding: ``"ccitt"`` (G4, the dominant one) or ``"jbig2"``
+    (arithmetic generic region with TPGDON — the other one scanners
+    emit).  Ink = pixels ≤ the kernel's binarization threshold, so for
+    the binary {0,255} fixture pages the rasterized result is
+    pixel-exact to the raster codecs and span equality is preserved
+    end-to-end."""
     from .kernel.binarize import THRESHOLD
 
     ih, iw = img.shape
-    data = encode_ccitt_g4(np.asarray(img) <= THRESHOLD)
+    bits = np.asarray(img) <= THRESHOLD
+    if codec == "ccitt":
+        from .ccitt import encode_ccitt_g4
+
+        data = encode_ccitt_g4(bits)
+        stream_dict = {
+            "Filter": b"/CCITTFaxDecode",
+            "DecodeParms": b"<< /K -1 /Columns %d /Rows %d >>" % (iw, ih),
+        }
+    elif codec == "jbig2":
+        from .jbig2 import encode_jbig2_generic
+
+        data = encode_jbig2_generic(bits.astype(np.uint8), template=0,
+                                    tpgdon=True)
+        stream_dict = {"Filter": b"/JBIG2Decode"}
+    else:
+        raise ValueError(f"build_scanned_page_pdf: unknown codec {codec!r}")
     b = _Builder()
     im_num = b.add_stream(
         {
@@ -1650,8 +1701,7 @@ def build_scanned_page_pdf(img: np.ndarray) -> bytes:
             "Height": b"%d" % ih,
             "BitsPerComponent": b"1",
             "ColorSpace": b"/DeviceGray",
-            "Filter": b"/CCITTFaxDecode",
-            "DecodeParms": b"<< /K -1 /Columns %d /Rows %d >>" % (iw, ih),
+            **stream_dict,
         },
         data,
         compress=False,
