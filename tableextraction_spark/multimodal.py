@@ -136,14 +136,20 @@ def iter_video_frames(payload: bytes):
     """Lazily yield (frame_no, n_frames, frame) — one decoded frame live at
     a time, so a 10k-frame video never materializes in memory.  Routes on
     magic: VID1 (synthetic container), real AVI/MJPEG (RIFF walk, ``avi.py``),
-    animated GIF, or MP4/ISO-BMFF with MJPEG samples (box walk + sample
-    tables, ``mp4.py``); MKV/WebM and non-MJPEG MP4 codecs stay
-    library-bound."""
+    animated GIF, MP4/ISO-BMFF with MJPEG samples (box walk + sample
+    tables, ``mp4.py``), or Matroska/WebM with MJPEG blocks (EBML walk,
+    ``mkv.py``); every container's structure parses natively — only
+    non-MJPEG *codecs* stay library-bound (named per-row errors)."""
     magic, n = _VID_HEADER.unpack_from(payload, 0)
     if len(payload) >= 12 and bytes(payload[4:8]) == b"ftyp":
         from .mp4 import iter_mp4_mjpeg_frames
 
         yield from iter_mp4_mjpeg_frames(payload)
+        return
+    if bytes(payload[:4]) == b"\x1aE\xdf\xa3":
+        from .mkv import iter_mkv_mjpeg_frames
+
+        yield from iter_mkv_mjpeg_frames(payload)
         return
     if magic == b"RIFF":
         if bytes(payload[8:12]) != b"AVI ":
@@ -161,7 +167,7 @@ def iter_video_frames(payload: bytes):
         yield from iter_gif_frames(payload)
         return
     if magic != VID_MAGIC:
-        _raise_real_format(payload, "video", "pyav/ffmpeg (MKV/WebM)")
+        _raise_real_format(payload, "video", "pyav/ffmpeg (unknown container)")
     off = _VID_HEADER.size
     for i in range(n):
         (ln,) = _LEN.unpack_from(payload, off)

@@ -105,6 +105,14 @@ def probe_bytes(payload: bytes) -> dict:
         elif buf[:4] == b"\x1aE\xdf\xa3":
             out.update(format="mkv/webm", kind="video", codec="ebml")
             out.update(_probe_mkv(full))
+            try:
+                # frame count via the reader's cluster/block structure walk
+                # (element headers only; payload bytes are skipped by size)
+                from .mkv import _frame_ranges
+
+                out["n_frames"] = len(_frame_ranges(full)[0])
+            except (ValueError, NotImplementedError):
+                pass  # audio-only or truncated: keep the header-only fields
         elif buf[:4] == b"OggS":
             out.update(format="ogg", kind="audio")
             out.update(_probe_ogg(full))

@@ -4,7 +4,8 @@ The frame-sample and audio-feature stages (``multimodal.py``) were pinned by
 pytest only; q47 puts them in the driver's hard rows+schema+hash gate the
 same way q24/q46 gate the raster/PDF lanes.  A deterministic clip corpus —
 real AVI/MJPEG containers (``avi.py``), animated GIFs, MP4/ISO-BMFF with
-MJPEG samples (``mp4.py``), and real RIFF/WAVE + FLAC PCM clips — is
+MJPEG samples (``mp4.py``), Matroska with MJPEG blocks across all lacing
+modes (``mkv.py``), and real RIFF/WAVE + FLAC PCM clips — is
 synthesized DISTRIBUTED (mapInPandas over a
 range frame; no driver-side payload bytes), run through the real Spark
 stages, and compared against plan-derived expectations computed RELATIONALLY
@@ -44,6 +45,7 @@ def _clip_batches(batches: Iterator) -> Iterator:
     from ..flac import encode_flac
     from ..gif import encode_gif_animation
     from ..jpeg import encode_jpeg_gray
+    from ..mkv import encode_mkv_mjpeg
     from ..mp4 import encode_mp4_mjpeg
     from ..multimodal import encode_wav
 
@@ -60,11 +62,17 @@ def _clip_batches(batches: Iterator) -> Iterator:
             avi = encode_avi_mjpeg(jpgs, w, h)
             gif = encode_gif_animation(frames)  # same lattice, second container
             mp4 = encode_mp4_mjpeg(jpgs, w, h)  # third container: ISO-BMFF
+            # fourth container: Matroska (EBML), lacing mode rotated so the
+            # gate covers all four block layouts
+            mkvb = encode_mkv_mjpeg(
+                frames, lacing=("none", "xiph", "ebml")[i % 3]
+            )
             ln = 4000 + 500 * (i % 4)
             pcm = ((np.arange(ln) * 37) % 4096 - 2048).astype(np.int16)
             rows.append((f"vid-{i:04d}", "video", avi))
             rows.append((f"gifv-{i:04d}", "video", gif))
             rows.append((f"mp4-{i:04d}", "video", mp4))
+            rows.append((f"mkv-{i:04d}", "video", mkvb))
             rows.append((f"aud-{i:04d}", "audio", encode_wav(pcm, 8000)))
             rows.append((f"flac-{i:04d}", "audio", encode_flac(pcm, 8000)))
         yield pd.DataFrame(rows, columns=["media_ref", "kind", "content"])
@@ -102,7 +110,7 @@ def q47_multimodal_verify(spark, sf_dir):
     nf = F.lit(3) + F.col("i") % 5
     exp_v = idx.crossJoin(
         spark.createDataFrame(
-            [("vid-",), ("gifv-",), ("mp4-",)], "prefix string"
+            [("vid-",), ("gifv-",), ("mp4-",), ("mkv-",)], "prefix string"
         )
     ).select(
         F.concat("prefix", F.lpad(F.col("i").cast("string"), 4, "0")).alias(
@@ -277,7 +285,7 @@ def q48_resize_format_verify(spark, sf_dir):
 
 INVENTORY_FORMATS = (
     "img1", "png", "jpeg", "gif", "bmp", "tiff",
-    "wav", "flac", "avi", "mp4",
+    "wav", "flac", "avi", "mp4", "mkv",
 )
 INVENTORY_SCHEMA = "media_ref string, content binary"
 
@@ -292,6 +300,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
     from ..gif import encode_gif_gray
     from ..jpeg import encode_jpeg_gray
     from ..media import encode_image
+    from ..mkv import encode_mkv_mjpeg
     from ..mp4 import encode_mp4_mjpeg
     from ..multimodal import encode_wav
     from ..png import encode_png
@@ -322,6 +331,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
                 "mp4": lambda: encode_mp4_mjpeg(
                     [encode_jpeg_gray(img)] * nf, w, h, fps=10
                 ),
+                "mkv": lambda: encode_mkv_mjpeg([img] * nf, fps=10),
                 "tiff": lambda: encode_tiff_gray(img, "lzw"),
             }[fmt]
             rows.append((f"{fmt}-{i:04d}", enc()))
@@ -330,7 +340,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
 
 def q49_media_inventory_verify(spark, sf_dir):
     """The crawl-inventory stage (header-only `probe_media`) in the hard
-    gate, empty-on-success: a distributed mixed-format corpus (all ten
+    gate, empty-on-success: a distributed mixed-format corpus (all eleven
     native formats in one batch) probes to exactly the format / kind /
     dimensions / sample-rate / duration the plan arithmetic predicts —
     every field compared as a string so one query pins the whole row."""
@@ -344,7 +354,7 @@ def q49_media_inventory_verify(spark, sf_dir):
     )
     is_img = fmt.isin("img1", "png", "jpeg", "gif", "bmp", "tiff")
     is_aud = fmt.isin("wav", "flac")
-    is_vid = fmt.isin("avi", "mp4")
+    is_vid = fmt.isin("avi", "mp4", "mkv")
     h = F.lit(24) + (F.col("i") % 3) * 8
     w = F.lit(32) + (F.col("i") % 2) * 8
     ln = F.lit(4000) + (F.col("i") % 4) * 500
@@ -361,11 +371,12 @@ def q49_media_inventory_verify(spark, sf_dir):
         F.when(is_aud, 0).otherwise(h).cast("string").alias("want_h"),
         F.when(is_aud, 8000).otherwise(0).cast("string").alias("want_rate"),
         # audio: exact dyadic len/8000; avi: nf*100000/1e6 (fps=10);
-        # mp4: mvhd duration nf over timescale 10 — all computed with the
-        # same double ops the probe uses
+        # mp4: mvhd duration nf over timescale 10; mkv: Duration ms ×
+        # TimestampScale/1e9 (nf*1e8/1e9 — correctly rounded = nf/10.0) —
+        # all computed with the same double ops the probe uses
         F.when(is_aud, ln.cast("double") / F.lit(8000.0))
         .when(fmt == "avi", (nf * F.lit(100000)).cast("double") / F.lit(1000000.0))
-        .when(fmt == "mp4", nf.cast("double") / F.lit(10.0))
+        .when(fmt.isin("mp4", "mkv"), nf.cast("double") / F.lit(10.0))
         .otherwise(F.lit(0.0))
         .cast("string")
         .alias("want_dur"),
