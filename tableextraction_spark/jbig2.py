@@ -805,7 +805,8 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     processed first and referable from the page's segments."""
     sym_dicts: dict[int, list[np.ndarray]] = {}
     page: np.ndarray | None = None
-    page_default_combop = 0
+    page_default_op = 0
+    override_allowed = True
     for src in (globals_data, data):
         if not src:
             continue
@@ -820,7 +821,10 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 if pw * max(1, ph) > _MAX_PIXELS:
                     raise ValueError(f"JBIG2: page {pw}x{ph} out of bounds")
                 page = np.full((ph, pw), (pflags >> 2) & 1, dtype=np.uint8)
-                page_default_combop = pflags & 0x40  # override allowed bit
+                # §8.2: regions composite with their own operator only when
+                # the override bit allows; else the page default applies
+                page_default_op = (pflags >> 3) & 3
+                override_allowed = bool(pflags & 0x40)
             elif seg_type == 0:  # symbol dictionary
                 inputs: list[np.ndarray] = []
                 for rseg in refs:
@@ -833,9 +837,13 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                     if rseg in sym_dicts:
                         syms.extend(sym_dicts[rseg])
                 bm, rx, ry, op = _decode_text_region(payload, syms)
+                if not override_allowed:
+                    op = page_default_op
                 page = _grow_and_combine(page, bm, rx, ry, op)
             elif seg_type in (38, 39):  # immediate (lossless) generic region
                 bm, rx, ry, op = _decode_generic_region(payload)
+                if not override_allowed:
+                    op = page_default_op
                 page = _grow_and_combine(page, bm, rx, ry, op)
             elif seg_type in (49, 50, 51, 52, 62):
                 continue  # end-of-page/stripe/file, profiles, extension
@@ -847,7 +855,6 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 raise ValueError(f"JBIG2: unknown segment type {seg_type}")
     if page is None:
         raise ValueError("JBIG2: no page information segment")
-    _ = page_default_combop
     return page
 
 
@@ -963,9 +970,8 @@ def encode_jbig2_text_page(
     dict_body = ((template << 10).to_bytes(2, "big") + at
                  + len(symbols).to_bytes(4, "big")
                  + len(symbols).to_bytes(4, "big") + mq.flush())
-    # decode order within the dictionary is height-class order
-    decode_order = [order[j] for j in range(len(order))]
-    id_of = {orig: pos for pos, orig in enumerate(decode_order)}
+    # symbol IDs refer to the dictionary's decode (height-class) order
+    id_of = {orig: pos for pos, orig in enumerate(order)}
     # --- text region
     symcodelen = max(0, math.ceil(math.log2(max(1, len(symbols)))))
     mq = _MQEncoder()

@@ -16,9 +16,12 @@ families: every mainstream video container's *structure* is now
 readable natively.
 
 Hostile/truncated input is bounded exactly like the box/chunk walks:
-every element size is clamped to the buffer, the walk strictly advances
-(a zero-advance element refuses to loop), recursion depth is capped, and
-lace sizes are validated against the bytes actually present.
+every element size is clamped to the buffer, every walk strictly
+advances (a zero-advance element refuses to loop; the walks are
+fixed-shape nested loops, no recursion), unknown-size masters resolve
+to the next sibling per RFC 8794 (the streaming-muxer shape) and refuse
+to nest, and lace sizes are validated against the bytes actually
+present.
 
 Reference parity note: the reference (DikovAlexandr/TableExtraction)
 handles images only; video is an engine-side corpus capability, not a
@@ -54,42 +57,78 @@ _KNOWN_CODECS = {
     "V_THEORA": "Theora", "V_MPEG4/ISO/ASP": "MPEG-4 Visual",
 }
 
-_MAX_DEPTH = 8
+# every Segment-level element ID (RFC 9559): an unknown-size Cluster — the
+# form live/streaming muxers emit — ends where the next one of these starts
+_SEGMENT_LEVEL = {
+    _CLUSTER, _TRACKS, 0x1549A966, 0x114D9B74, 0x1C53BB6B, 0x1043A770,
+    0x1941A469, 0x1254C367,
+}
 
 
 def _element(buf: bytes, pos: int, end: int):
-    """One EBML element at ``pos`` → (id, body_start, body_end, next_pos).
-    Unknown-size elements (all value bits set) run to the parent's end."""
+    """One EBML element at ``pos`` → (id, body_start, body_end, unknown).
+    Unknown-size elements (all value bits set) run to the parent's end by
+    default; Segment-child walks refine a Cluster's end via
+    ``_segment_children``."""
     eid, p2 = _read_vint(buf, pos, keep_marker=True)
     size, body = _read_vint(buf, p2, keep_marker=False)
     nlen = body - p2
-    if size == (1 << (7 * nlen)) - 1:  # unknown size
-        stop = end
-    else:
-        stop = min(end, body + size)
+    unknown = size == (1 << (7 * nlen)) - 1
+    stop = end if unknown else min(end, body + size)
     if stop <= pos:
         raise ValueError("MKV: element makes no progress")
-    return eid, body, stop
+    return eid, body, stop, unknown
 
 
 def _uint(buf: bytes, a: int, b: int) -> int:
     return int.from_bytes(buf[a:b], "big")
 
 
-def _video_track(buf: bytes, seg_start: int, seg_end: int) -> tuple[int, str]:
-    """→ (track_number, codec_id) of the first video track."""
+def _segment_children(buf: bytes, seg_start: int, seg_end: int):
+    """Yield (id, body, stop) for each Segment-level element, resolving
+    unknown-size masters (per RFC 8794 they end at the first byte that
+    starts a sibling — detected by peeking the next element ID)."""
     pos = seg_start
     while pos < seg_end:
-        eid, body, stop = _element(buf, pos, seg_end)
+        eid, body, stop, unknown = _element(buf, pos, seg_end)
+        if unknown and eid != _SEGMENT:
+            scan = body
+            while scan < seg_end:
+                try:
+                    peid, p2 = _read_vint(buf, scan, keep_marker=True)
+                    psize, pbody = _read_vint(buf, p2, keep_marker=False)
+                except ValueError:
+                    scan = seg_end
+                    break
+                if peid in _SEGMENT_LEVEL:
+                    break
+                pnlen = pbody - p2
+                if psize == (1 << (7 * pnlen)) - 1:
+                    raise ValueError(
+                        "MKV: nested unknown-size element inside an "
+                        "unknown-size master"
+                    )
+                nxt = min(seg_end, pbody + psize)
+                if nxt <= scan:
+                    raise ValueError("MKV: element makes no progress")
+                scan = nxt
+            stop = scan
+        yield eid, body, stop
+        pos = stop
+
+
+def _video_track(buf: bytes, seg_start: int, seg_end: int) -> tuple[int, str]:
+    """→ (track_number, codec_id) of the first video track."""
+    for eid, body, stop in _segment_children(buf, seg_start, seg_end):
         if eid == _TRACKS:
             tpos = body
             while tpos < stop:
-                teid, tbody, tstop = _element(buf, tpos, stop)
+                teid, tbody, tstop, _u = _element(buf, tpos, stop)
                 if teid == _TRACK_ENTRY:
                     num, ttype, codec = 0, 0, ""
                     epos = tbody
                     while epos < tstop:
-                        feid, fbody, fstop = _element(buf, epos, tstop)
+                        feid, fbody, fstop, _u2 = _element(buf, epos, tstop)
                         if feid == _TRACK_NUMBER:
                             num = _uint(buf, fbody, fstop)
                         elif feid == _TRACK_TYPE:
@@ -100,7 +139,6 @@ def _video_track(buf: bytes, seg_start: int, seg_end: int) -> tuple[int, str]:
                     if ttype == 1:  # video
                         return num, codec
                 tpos = tstop
-        pos = stop
     raise ValueError("MKV: no video track entry")
 
 
@@ -142,16 +180,20 @@ def _block_frames(buf: bytes, body: int, stop: int, track: int):
             sizes.append(sz)
         sizes.append(stop - pos - sum(sizes))
     else:  # EBML lacing: first size is a vint, rest are signed-vint deltas
-        sz, pos = _read_vint(buf, pos, keep_marker=False)
-        sizes.append(sz)
-        for _ in range(n_frames - 2):
-            delta, npos = _read_vint(buf, pos, keep_marker=False)
-            nlen = npos - pos
-            delta -= (1 << (7 * nlen - 1)) - 1  # signed range mapping
-            pos = npos
-            sz += delta
+        # sizes are stored for the first n-1 frames only: a single-frame
+        # laced block has NO size vint (RFC 9559 §10.4)
+        if n_frames == 1:
+            sizes = [stop - pos]
+        else:
+            sz, pos = _read_vint(buf, pos, keep_marker=False)
             sizes.append(sz)
-        if n_frames > 1:
+            for _ in range(n_frames - 2):
+                delta, npos = _read_vint(buf, pos, keep_marker=False)
+                nlen = npos - pos
+                delta -= (1 << (7 * nlen - 1)) - 1  # signed range mapping
+                pos = npos
+                sz += delta
+                sizes.append(sz)
             sizes.append(stop - pos - sum(sizes))
     out = []
     for sz in sizes:
@@ -166,11 +208,11 @@ def _frame_ranges(buf: bytes) -> tuple[list[tuple[int, int]], str]:
     """Structure walk → (video-frame byte ranges in stream order, codec)."""
     if buf[:4] != b"\x1aE\xdf\xa3":
         raise ValueError("MKV: not an EBML stream")
-    # top level: EBML header then Segment
+    # top level: EBML header then Segment (unknown Segment size = to EOF)
     pos, end = 0, len(buf)
     seg = None
     while pos < end:
-        eid, body, stop = _element(buf, pos, end)
+        eid, body, stop, _u = _element(buf, pos, end)
         if eid == _SEGMENT:
             seg = (body, stop)
             break
@@ -179,26 +221,28 @@ def _frame_ranges(buf: bytes) -> tuple[list[tuple[int, int]], str]:
         raise ValueError("MKV: no Segment element")
     track, codec = _video_track(buf, *seg)
     ranges: list[tuple[int, int]] = []
-    pos, seg_end = seg
-    while pos < seg_end:
-        eid, body, stop = _element(buf, pos, seg_end)
-        if eid == _CLUSTER:
-            cpos = body
-            while cpos < stop:
-                ceid, cbody, cstop = _element(buf, cpos, stop)
-                if ceid == _SIMPLE_BLOCK:
-                    ranges.extend(_block_frames(buf, cbody, cstop, track))
-                elif ceid == _BLOCK_GROUP:
-                    gpos = cbody
-                    while gpos < cstop:
-                        geid, gbody, gstop = _element(buf, gpos, cstop)
-                        if geid == _BLOCK:
-                            ranges.extend(
-                                _block_frames(buf, gbody, gstop, track)
-                            )
-                        gpos = gstop
-                cpos = cstop
-        pos = stop
+    for eid, body, stop in _segment_children(buf, *seg):
+        if eid != _CLUSTER:
+            continue
+        cpos = body
+        while cpos < stop:
+            ceid, cbody, cstop, cunk = _element(buf, cpos, stop)
+            if cunk:
+                raise ValueError("MKV: unknown-size element inside Cluster")
+            if ceid == _SIMPLE_BLOCK:
+                ranges.extend(_block_frames(buf, cbody, cstop, track))
+            elif ceid == _BLOCK_GROUP:
+                gpos = cbody
+                while gpos < cstop:
+                    geid, gbody, gstop, gunk = _element(buf, gpos, cstop)
+                    if gunk:
+                        raise ValueError(
+                            "MKV: unknown-size element inside BlockGroup"
+                        )
+                    if geid == _BLOCK:
+                        ranges.extend(_block_frames(buf, gbody, gstop, track))
+                    gpos = gstop
+            cpos = cstop
     return ranges, codec
 
 
@@ -252,16 +296,19 @@ def _el_uint(eid: int, v: int) -> bytes:
     return _el(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
 
 
-def encode_mkv_mjpeg(frames: list[np.ndarray], *, webm: bool = False,
-                     codec_id: str = "V_MJPEG", lacing: str = "none",
-                     fps: int = 10) -> bytes:
+def encode_mkv_mjpeg(payloads: list[bytes], w: int, h: int, *,
+                     webm: bool = False, codec_id: str = "V_MJPEG",
+                     lacing: str = "none", fps: int = 10,
+                     streaming: bool = False) -> bytes:
     """Minimal spec-shaped Matroska writer for fixtures: EBML header,
     Segment{Info, Tracks{video TrackEntry}, one Cluster per frame (or one
-    laced block for ``lacing`` in xiph/fixed/ebml)}.  ``webm=True`` writes
-    the WebM DocType (used with a non-MJPEG ``codec_id`` to pin the named
-    codec seam); MJPEG frames are encoded by the from-scratch JPEG codec."""
-    from .jpeg import encode_jpeg_gray
-
+    laced block for ``lacing`` in xiph/fixed/ebml)}.  ``payloads`` are the
+    pre-encoded frame bitstreams (JFIF JPEGs for ``V_MJPEG``) — the same
+    contract as ``encode_avi_mjpeg``/``encode_mp4_mjpeg``.  ``webm=True``
+    writes the WebM DocType (used with a non-MJPEG ``codec_id`` to pin the
+    named codec seam); ``streaming=True`` writes unknown-size Segment and
+    Cluster elements — the live-muxer shape whose sibling-terminated ends
+    the reader must resolve."""
     doctype = b"webm" if webm else b"matroska"
     ebml_header = _el(0x1A45DFA3, b"".join([
         _el_uint(0x4286, 1),            # EBMLVersion
@@ -272,9 +319,8 @@ def encode_mkv_mjpeg(frames: list[np.ndarray], *, webm: bool = False,
         _el_uint(0x4287, 4),            # DocTypeVersion
         _el_uint(0x4285, 2),            # DocTypeReadVersion
     ]))
-    h, w = frames[0].shape if frames else (0, 0)
     # TimestampScale 1 ms/tick; Duration in ticks as an 8-byte float
-    dur_ms = len(frames) * 1000.0 / fps
+    dur_ms = len(payloads) * 1000.0 / fps
     info = _el(0x1549A966, _el_uint(0x2AD7B1, 1_000_000)
                + _el(0x4489, struct.pack(">d", dur_ms)))
     track = _el(_TRACKS, _el(_TRACK_ENTRY, b"".join([
@@ -284,17 +330,18 @@ def encode_mkv_mjpeg(frames: list[np.ndarray], *, webm: bool = False,
         _el(_CODEC_ID, codec_id.encode("ascii")),
         _el(0xE0, _el_uint(0xB0, w) + _el_uint(0xBA, h)),  # Video dims
     ])))
-    payloads = [
-        encode_jpeg_gray(f, quality_div=8) if codec_id == "V_MJPEG"
-        else bytes(f)
-        for f in frames
-    ]
+    payloads = [bytes(p) for p in payloads]
+
+    def _cluster(body: bytes) -> bytes:
+        if streaming:  # unknown-size: 1-byte all-ones size vint
+            return _vint_id(_CLUSTER) + b"\xff" + body
+        return _el(_CLUSTER, body)
+
     clusters = b""
     if lacing == "none":
         for i, data in enumerate(payloads):
             block = b"\x81" + struct.pack(">h", 0) + b"\x00" + data
-            clusters += _el(_CLUSTER,
-                            _el_uint(0xE7, i) + _el(_SIMPLE_BLOCK, block))
+            clusters += _cluster(_el_uint(0xE7, i) + _el(_SIMPLE_BLOCK, block))
     else:
         flags, lace_hdr = {
             "xiph": (0x02, b""), "fixed": (0x04, b""), "ebml": (0x06, b""),
@@ -307,7 +354,9 @@ def encode_mkv_mjpeg(frames: list[np.ndarray], *, webm: bool = False,
             for p in payloads[:-1]:
                 sz = len(p)
                 lace_hdr += b"\xff" * (sz // 255) + bytes([sz % 255])
-        elif lacing == "ebml":
+        elif lacing == "ebml" and n > 1:
+            # sizes for the first n-1 frames only; a 1-frame laced block
+            # carries no size vint (RFC 9559 §10.4)
             first = len(payloads[0])
             lace_hdr += _vint_size(first)
             prev = first
@@ -318,6 +367,7 @@ def encode_mkv_mjpeg(frames: list[np.ndarray], *, webm: bool = False,
                 lace_hdr += ((delta + ((1 << 27) - 1)) | 0x10000000).to_bytes(4, "big")
         block = (b"\x81" + struct.pack(">h", 0) + bytes([flags])
                  + lace_hdr + b"".join(payloads))
-        clusters = _el(_CLUSTER, _el_uint(0xE7, 0) + _el(_SIMPLE_BLOCK, block))
-    segment = _el(_SEGMENT, info + track + clusters)
-    return ebml_header + segment
+        clusters = _cluster(_el_uint(0xE7, 0) + _el(_SIMPLE_BLOCK, block))
+    if streaming:
+        return ebml_header + _vint_id(_SEGMENT) + b"\xff" + info + track + clusters
+    return ebml_header + _el(_SEGMENT, info + track + clusters)

@@ -62,10 +62,13 @@ def _clip_batches(batches: Iterator) -> Iterator:
             avi = encode_avi_mjpeg(jpgs, w, h)
             gif = encode_gif_animation(frames)  # same lattice, second container
             mp4 = encode_mp4_mjpeg(jpgs, w, h)  # third container: ISO-BMFF
-            # fourth container: Matroska (EBML), lacing mode rotated so the
-            # gate covers all four block layouts
+            # fourth container: Matroska (EBML); the rotation covers the
+            # three variable-size block layouts (none/Xiph/EBML lacing) and
+            # the streaming unknown-size-cluster shape — fixed lacing needs
+            # equal frame sizes and is pinned by unit tests instead
             mkvb = encode_mkv_mjpeg(
-                frames, lacing=("none", "xiph", "ebml")[i % 3]
+                jpgs, w, h, lacing=("none", "xiph", "ebml")[i % 3],
+                streaming=i % 2 == 1,
             )
             ln = 4000 + 500 * (i % 4)
             pcm = ((np.arange(ln) * 37) % 4096 - 2048).astype(np.int16)
@@ -331,7 +334,9 @@ def _inventory_batches(batches: Iterator) -> Iterator:
                 "mp4": lambda: encode_mp4_mjpeg(
                     [encode_jpeg_gray(img)] * nf, w, h, fps=10
                 ),
-                "mkv": lambda: encode_mkv_mjpeg([img] * nf, fps=10),
+                "mkv": lambda: encode_mkv_mjpeg(
+                    [encode_jpeg_gray(img)] * nf, w, h, fps=10
+                ),
                 "tiff": lambda: encode_tiff_gray(img, "lzw"),
             }[fmt]
             rows.append((f"{fmt}-{i:04d}", enc()))

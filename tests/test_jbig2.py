@@ -262,6 +262,27 @@ def test_garbage_raises_not_hangs():
         decode_jbig2_embedded(b"\x00" * 64)
 
 
+def test_page_default_operator_override_rule():
+    """T.88 §8.2: a region's own combination operator applies only when
+    the page's override bit allows it; otherwise the page default (OR
+    here) is used.  Page default pixel 1 + region op XOR makes the two
+    cases observably different: OR keeps all-ones, XOR inverts."""
+    bm = np.zeros((10, 24), np.uint8)
+    bm[2:6, 4:20] = 1
+    stream = bytearray(encode_jbig2_generic(bm))
+    pflags_at = 11 + 16  # page-info header (11) + w/h/xres/yres (16)
+    combop_at = 11 + 19 + 11 + 16  # page seg + region header + region w/h/x/y
+    stream[pflags_at] |= 0x04  # page default pixel = 1
+    stream[combop_at] = 2  # region claims XOR
+    # override NOT allowed (bit 6 clear): page default op OR wins → all 1s
+    out = decode_jbig2_embedded(bytes(stream))
+    assert (out == 1).all()
+    # override allowed: the region's XOR applies → page inverts the bitmap
+    stream[pflags_at] |= 0x40
+    out = decode_jbig2_embedded(bytes(stream))
+    assert np.array_equal(out, 1 - bm)
+
+
 # ---------------------------------------------------- PDF integration
 
 from tableextraction_spark import pdfx  # noqa: E402
