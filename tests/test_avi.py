@@ -154,13 +154,15 @@ def test_wave_riff_in_video_path_is_value_error():
         mm.decode_video(mm.encode_wav(pcm, 8000))
 
 
-def test_mp4_routes_to_native_lane_and_mkv_stays_stubbed():
+def test_mp4_and_mkv_route_to_native_lanes():
     # MP4 structure now parses natively (mp4.py): a headerless ftyp stub is
     # a malformed container (ValueError), not a library seam any more
     with pytest.raises(ValueError, match="moov"):
         mm.decode_video(b"\x00\x00\x00\x18ftypisom")
-    # MKV/WebM (EBML magic) remains the named deploy-time seam
-    with pytest.raises(NotImplementedError, match="pyav/ffmpeg"):
+    # MKV/WebM structure parses natively too (mkv.py): a trackless EBML
+    # stub is a malformed container, not a library seam — only non-MJPEG
+    # CODECS remain library-bound (pinned in test_mkv.py)
+    with pytest.raises(ValueError):
         mm.decode_video(b"\x1a\x45\xdf\xa3" + b"\x00" * 16)
 
 
