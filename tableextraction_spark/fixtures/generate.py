@@ -387,11 +387,12 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
     elif codec == "pdfscan":
         from ..pdfx import build_scanned_page_pdf
 
-        # rotate the two archive codecs real scanners emit — CCITT G4
-        # (dominant) and JBIG2 (arithmetic generic region) — both
-        # pixel-exact for the binary fixture pages, so the golden gate
-        # (q55) covers both ITU codecs end-to-end
-        arch = "jbig2" if doc_num % 3 == 2 else "ccitt"
+        # rotate the archive codecs real scanners emit — CCITT G4
+        # (dominant), JBIG2 arithmetic generic region, and JBIG2
+        # symbol/text mode with a /JBIG2Globals dictionary (the jbig2enc
+        # shape) — all pixel-exact for the binary fixture pages, so the
+        # golden gate (q55) covers every ITU archive codec end-to-end
+        arch = {0: "ccitt", 1: "ccitt", 2: "jbig2", 3: "jbig2sym"}[doc_num % 4]
         encode = lambda img: build_scanned_page_pdf(img, codec=arch)  # noqa: E731
     elif codec == "tiff":
         from ..tiff import encode_tiff_gray

@@ -49,6 +49,7 @@ from .ccitt import decode_ccitt, encode_ccitt_g4
 __all__ = [
     "decode_jbig2_embedded",
     "encode_jbig2_generic",
+    "encode_jbig2_symbol_page",
     "encode_jbig2_text_page",
 ]
 
@@ -1015,3 +1016,106 @@ def encode_jbig2_text_page(
     if split_globals:
         return page_seg + text_seg + eop, dict_seg
     return page_seg + dict_seg + text_seg + eop, b""
+
+
+# --------------------------------------------- symbol-mode page encoder
+
+
+def _connected_components(bm: np.ndarray):
+    """8-connected components of a 1-bit page via run-adjacency union-find
+    (runs, not pixels, are the work unit — the same run-length view the
+    kernel's table detector uses) → list of ``(x, y, glyph)`` with the
+    component's bounding-box top-left and cropped bitmap."""
+    h, w = bm.shape
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    runs_by_row: list[list[tuple[int, int, int]]] = []  # (x0, x1, label)
+    prev: list[tuple[int, int, int]] = []
+    padded = np.zeros(w + 2, dtype=np.int8)
+    for y in range(h):
+        padded[1:-1] = bm[y]
+        d = np.diff(padded)
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        cur: list[tuple[int, int, int]] = []
+        pi = 0
+        for x0, x1 in zip(starts.tolist(), ends.tolist()):
+            label = len(parent)
+            parent.append(label)
+            # 8-connectivity: previous-row runs overlapping [x0-1, x1]
+            while pi < len(prev) and prev[pi][1] < x0 - 1:
+                pi += 1
+            pj = pi
+            while pj < len(prev) and prev[pj][0] <= x1 + 1:
+                union(prev[pj][2], label)
+                pj += 1
+            cur.append((x0, x1, label))
+        runs_by_row.append(cur)
+        prev = cur
+    # gather per-root bounding boxes, then crop glyphs
+    boxes: dict[int, list[int]] = {}  # root -> [x0, y0, x1, y1]
+    for y, runs in enumerate(runs_by_row):
+        for x0, x1, label in runs:
+            r = find(label)
+            b = boxes.get(r)
+            if b is None:
+                boxes[r] = [x0, y, x1, y + 1]
+            else:
+                if x0 < b[0]:
+                    b[0] = x0
+                if x1 > b[2]:
+                    b[2] = x1
+                b[3] = y + 1
+    out = []
+    for r, (x0, y0, x1, y1) in boxes.items():
+        glyph = np.zeros((y1 - y0, x1 - x0), dtype=np.uint8)
+        out.append((x0, y0, glyph, r))
+    idx = {r: g for (_x, _y, g, r) in out}
+    for y, runs in enumerate(runs_by_row):
+        for x0, x1, label in runs:
+            r = find(label)
+            bx0, by0 = boxes[r][0], boxes[r][1]
+            idx[r][y - by0, x0 - bx0 : x1 - bx0] = 1
+    # deterministic raster order (top-left of bbox)
+    out.sort(key=lambda t: (t[1], t[0]))
+    return [(x, y, g) for (x, y, g, _r) in out]
+
+
+def encode_jbig2_symbol_page(bm: np.ndarray, *,
+                             split_globals: bool = False) -> tuple[bytes, bytes]:
+    """LOSSLESS symbol-mode encoding of a 1-bit page — the ``jbig2enc``
+    scanner-output shape: every 8-connected ink component becomes a
+    symbol (byte-identical components share one dictionary entry), placed
+    by a text region.  Components are disjoint ink, so OR-compositing
+    reconstructs the page exactly; a page with no ink falls back to one
+    generic region.  Returns ``(page_stream, globals_stream)`` like
+    :func:`encode_jbig2_text_page`."""
+    bm = (np.asarray(bm) != 0).astype(np.uint8)
+    comps = _connected_components(bm)
+    if not comps:
+        return encode_jbig2_generic(bm), b""
+    symbols: list[np.ndarray] = []
+    sym_of: dict[bytes, int] = {}
+    placements: list[tuple[int, int, int]] = []
+    for x, y, glyph in comps:
+        key = glyph.shape[0].to_bytes(4, "big") + glyph.tobytes()
+        sid = sym_of.get(key)
+        if sid is None:
+            sid = len(symbols)
+            sym_of[key] = sid
+            symbols.append(glyph)
+        placements.append((sid, x, y))
+    h, w = bm.shape
+    return encode_jbig2_text_page(symbols, placements, w, h,
+                                  split_globals=split_globals)

@@ -1677,6 +1677,7 @@ def build_scanned_page_pdf(img: np.ndarray, codec: str = "ccitt") -> bytes:
 
     ih, iw = img.shape
     bits = np.asarray(img) <= THRESHOLD
+    b = _Builder()
     if codec == "ccitt":
         from .ccitt import encode_ccitt_g4
 
@@ -1691,9 +1692,20 @@ def build_scanned_page_pdf(img: np.ndarray, codec: str = "ccitt") -> bytes:
         data = encode_jbig2_generic(bits.astype(np.uint8), template=0,
                                     tpgdon=True)
         stream_dict = {"Filter": b"/JBIG2Decode"}
+    elif codec == "jbig2sym":
+        # the jbig2enc scanner shape: symbol dictionary in a shared
+        # /JBIG2Globals stream, text region in the image stream
+        from .jbig2 import encode_jbig2_symbol_page
+
+        data, glob = encode_jbig2_symbol_page(bits.astype(np.uint8),
+                                              split_globals=True)
+        glob_num = b.add_stream({}, glob, compress=False)
+        stream_dict = {
+            "Filter": b"/JBIG2Decode",
+            "DecodeParms": b"<< /JBIG2Globals %d 0 R >>" % glob_num,
+        }
     else:
         raise ValueError(f"build_scanned_page_pdf: unknown codec {codec!r}")
-    b = _Builder()
     im_num = b.add_stream(
         {
             "Subtype": b"/Image",

@@ -146,13 +146,15 @@ def q46_pdf_extract_golden_verify(spark, sf_dir):
 def q55_scanned_pdf_golden_verify(spark, sf_dir):
     """q46's golden verify over SCANNED-PDF payloads: every blob is a PDF
     whose page is one full-page 1-bit archive-codec image
-    (``pdfx.build_scanned_page_pdf``), rotating the two encodings real
+    (``pdfx.build_scanned_page_pdf``), rotating the encodings real
     scanners emit — **CCITT G4** (``ccitt.py``, ITU T.6 from scratch, the
     dominant one, and the shape of the reference's own ``data/1.pdf…7.pdf``
-    steel scans) and **JBIG2** (``jbig2.py``, ITU T.88 from scratch:
-    MQ-coded generic region with TPGDON).  Fixture pages are binary, so
-    both round-trips are pixel-exact and the extracted spans must equal
-    the plan goldens exactly.  Empty-on-success."""
+    steel scans), **JBIG2 generic** (``jbig2.py``, ITU T.88 from scratch:
+    MQ-coded region with TPGDON), and **JBIG2 symbol/text mode** with the
+    dictionary in a ``/JBIG2Globals`` stream (the ``jbig2enc`` scanner
+    shape).  Fixture pages are binary, so every round-trip is pixel-exact
+    and the extracted spans must equal the plan goldens exactly.
+    Empty-on-success."""
     from ..fixtures.spark_gen import expected_dataframe
 
     n = max(8, _n_docs_for(sf_dir) // 2)

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from tableextraction_spark.jbig2 import (
+    encode_jbig2_symbol_page,
     OOB,
     _Ctx,
     _decode_int,
@@ -351,9 +352,76 @@ def test_pdf_jbig2_imagemask_stencil():
 
 
 def test_build_scanned_page_pdf_jbig2_codec():
-    """The scanned-corpus fixture shape with the JBIG2 archive codec."""
+    """The scanned-corpus fixture shape with the JBIG2 archive codecs
+    (generic region, and symbol/text mode with /JBIG2Globals)."""
     img = np.full((80, 160), 255, np.uint8)
     img[10:16, 12:148] = 0
     img[40:41, 10:150] = 0
-    pdf = pdfx.build_scanned_page_pdf(img, codec="jbig2")
-    assert np.array_equal(pdfx.rasterize_pdf_page(pdf), img)
+    for codec in ("jbig2", "jbig2sym"):
+        pdf = pdfx.build_scanned_page_pdf(img, codec=codec)
+        assert np.array_equal(pdfx.rasterize_pdf_page(pdf), img), codec
+
+
+# ------------------------------------------------- symbol-mode encoder
+
+
+def test_connected_components_shapes_and_diagonals():
+    from tableextraction_spark.jbig2 import _connected_components
+
+    bm = np.zeros((10, 12), np.uint8)
+    bm[1:4, 1:4] = 1  # block
+    bm[1, 6] = 1
+    bm[2, 7] = 1  # diagonal pair: 8-connectivity makes it ONE component
+    bm[8, 0:12] = 1  # full-width rule line
+    comps = _connected_components(bm)
+    assert [(x, y, g.shape) for x, y, g in comps] == [
+        (1, 1, (3, 3)), (6, 1, (2, 2)), (0, 8, (1, 12)),
+    ]
+    # reconstruction: OR of glyphs at their positions = original
+    rec = np.zeros_like(bm)
+    for x, y, g in comps:
+        rec[y : y + g.shape[0], x : x + g.shape[1]] |= g
+    assert np.array_equal(rec, bm)
+
+
+@pytest.mark.parametrize("split_globals", [False, True])
+def test_symbol_page_lossless_reconstruction(split_globals):
+    """Symbol-mode encoding of an arbitrary page is LOSSLESS: every ink
+    component becomes a (deduplicated) dictionary symbol."""
+    bm = _doc_bitmap(90, 260, seed=13)
+    p, g = encode_jbig2_symbol_page(bm, split_globals=split_globals)
+    assert np.array_equal(decode_jbig2_embedded(p, g), bm)
+
+
+def test_symbol_page_dedupes_repeated_glyphs():
+    """Identical components share one dictionary entry — the whole point
+    of symbol mode (glyph decoded once, placements cheap)."""
+    glyph = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]], np.uint8)
+    bm = np.zeros((30, 120), np.uint8)
+    for r in (2, 12, 22):
+        for c in range(2, 110, 6):
+            bm[r : r + 3, c : c + 3] = glyph
+    p_rep, g_rep = encode_jbig2_symbol_page(bm)
+    # a same-ink page of all-DISTINCT glyphs must encode much larger
+    rng = np.random.default_rng(5)
+    bm2 = np.zeros_like(bm)
+    for r in (2, 12, 22):
+        for c in range(2, 110, 6):
+            bm2[r : r + 3, c : c + 3] = rng.integers(0, 2, (3, 3))
+    p_dis, g_dis = encode_jbig2_symbol_page(bm2)
+    assert np.array_equal(decode_jbig2_embedded(p_rep, g_rep), bm)
+    assert np.array_equal(decode_jbig2_embedded(p_dis, g_dis), bm2)
+    assert len(p_rep) + len(g_rep) < (len(p_dis) + len(g_dis)) / 2
+
+
+def test_symbol_page_edge_cases():
+    blank = np.zeros((20, 30), np.uint8)
+    p, g = encode_jbig2_symbol_page(blank)
+    assert np.array_equal(decode_jbig2_embedded(p, g), blank)
+    solid = np.ones((15, 25), np.uint8)
+    p, g = encode_jbig2_symbol_page(solid)
+    assert decode_jbig2_embedded(p, g).all()
+    one_px = np.zeros((5, 5), np.uint8)
+    one_px[2, 3] = 1
+    p, g = encode_jbig2_symbol_page(one_px)
+    assert np.array_equal(decode_jbig2_embedded(p, g), one_px)
