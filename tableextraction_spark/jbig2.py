@@ -935,13 +935,22 @@ def encode_jbig2_text_page(
     *,
     split_globals: bool = False,
     template: int = 0,
+    refcorner: int = 1,
+    transposed: bool = False,
+    combop: int = 0,
+    dsoffset: int = 0,
 ) -> tuple[bytes, bytes]:
     """Embedded stream with a symbol dictionary + one immediate text
-    region placing ``(sym_id, x, y)`` instances (REFCORNER=TOPLEFT,
-    non-transposed, strips=1 — the jbig2enc output shape).  Returns
-    ``(page_stream, globals_stream)``; the dictionary goes to the
-    globals stream when ``split_globals`` (the PDF ``/JBIG2Globals``
-    arrangement), else inline."""
+    region placing ``(sym_id, x, y)`` instances, ``(x, y)`` being each
+    instance's top-left (strips=1; the jbig2enc default is
+    REFCORNER=TOPLEFT non-transposed OR — other corners, TRANSPOSED
+    order, SBCOMBOP and SBDSOFFSET exist to pin the decoder's
+    coordinate/compositing paths).  Returns ``(page_stream,
+    globals_stream)``; the dictionary goes to the globals stream when
+    ``split_globals`` (the PDF ``/JBIG2Globals`` arrangement), else
+    inline."""
+    if not -16 <= dsoffset <= 15:
+        raise ValueError("SBDSOFFSET is a signed 5-bit field")
     symbols = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
     # --- symbol dictionary: height classes must be decoded in
     # nondecreasing height order; export all, in input order
@@ -978,11 +987,21 @@ def encode_jbig2_text_page(
     mq = _MQEncoder()
     iadt, iafs, iads, iait = (_Ctx(512) for _ in range(4))
     iaid = _Ctx(1 << (symcodelen + 1))
-    # group placements into strips by y (strips=1 → one strip per row
-    # value), S ordered within a strip
+    # group placements into strips (strips=1 → one strip per T value),
+    # S ordered within a strip.  Map each instance's top-left (x, y) to
+    # the (S, T) the decoder will map back: non-transposed T is y
+    # (TOP corners) or the bottom row (BOTTOM corners), S advances along
+    # x; transposed swaps the axes.
     by_t: dict[int, list[tuple[int, int]]] = {}
     for sym_id, x, y in placements:
-        by_t.setdefault(y, []).append((x, sym_id))
+        sh, sw = symbols[sym_id].shape
+        if transposed:
+            t_val = x if refcorner in (0, 1) else x + sw - 1  # *LEFT
+            s_val = y
+        else:
+            t_val = y if refcorner in (1, 3) else y + sh - 1  # TOP*
+            s_val = x
+        by_t.setdefault(t_val, []).append((s_val, sym_id))
     _encode_int(mq, iadt, 0)  # STRIPT starts at 0
     stript = 0
     firsts = 0
@@ -991,21 +1010,23 @@ def encode_jbig2_text_page(
         stript = t
         row = sorted(by_t[t])
         curs = 0
-        for j, (x, sym_id) in enumerate(row):
+        for j, (s, sym_id) in enumerate(row):
             if j == 0:
-                _encode_int(mq, iafs, x - firsts)
-                firsts = x
-                curs = x
+                _encode_int(mq, iafs, s - firsts)
+                firsts = s
+                curs = s
             else:
-                _encode_int(mq, iads, x - curs)
-                curs = x
+                _encode_int(mq, iads, s - curs - dsoffset)
+                curs = s
             _encode_iaid(mq, iaid, symcodelen, id_of[sym_id])
-            curs += symbols[sym_id].shape[1] - 1
+            sh, sw = symbols[sym_id].shape
+            curs += (sh if transposed else sw) - 1
         _encode_int(mq, iads, OOB)
     region_info = (page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
                    + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
                    + bytes([0]))
-    tr_flags = 1 << 4  # REFCORNER=TOPLEFT(1), strips=1, no huff/refine
+    tr_flags = ((refcorner & 3) << 4) | ((1 if transposed else 0) << 6) \
+        | ((combop & 3) << 7) | ((dsoffset & 0x1F) << 10)
     text_body = (region_info + tr_flags.to_bytes(2, "big")
                  + len(placements).to_bytes(4, "big") + mq.flush())
     page_seg = _page_info_segment(1, page_w, page_h)

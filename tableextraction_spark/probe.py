@@ -118,6 +118,25 @@ def probe_bytes(payload: bytes) -> dict:
             out.update(_probe_ogg(full))
         elif buf[:3] == b"ID3" or (len(buf) >= 2 and buf[0] == 0xFF and buf[1] & 0xE0 == 0xE0):
             out.update(format="mp3", kind="audio", **_probe_mp3(full))
+        elif buf[:8] == b"\x97JB2\r\n\x1a\n":
+            # standalone JBIG2 file (T.88 Annex D.1): file header +
+            # segment sequence; page count from the header when known,
+            # else counted from page-information segments
+            out.update(format="jbig2", kind="image", codec="jbig2")
+            from .jbig2 import _parse_segment_headers
+
+            flags = buf[8] if len(buf) > 8 else 1
+            hdr_end = 9 if flags & 2 else 13
+            pages = 0
+            for _n, t, _p, _r, payload in _parse_segment_headers(full[hdr_end:]):
+                if t == 48:
+                    pages += 1
+                    if not out["width"] and len(payload) >= 8:
+                        out["width"] = _U32B.unpack_from(payload, 0)[0]
+                        out["height"] = _U32B.unpack_from(payload, 4)[0]
+            if not flags & 2 and len(full) >= 13:  # known page count
+                pages = _U32B.unpack_from(full, 9)[0]
+            out["n_frames"] = pages
         # dataset/crawl container formats — a raw bucket listing mixes
         # these in with media payloads, and the inventory must name them
         elif buf[:5] == b"WARC/":

@@ -189,6 +189,36 @@ def test_symbol_text_single_symbol_zero_codelen():
     assert np.array_equal(out, _compose([dot], placements, 16, 10))
 
 
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+@pytest.mark.parametrize("transposed", [False, True])
+@pytest.mark.parametrize("dsoffset", [0, 3, -2])
+def test_text_region_coordinate_paths(refcorner, transposed, dsoffset):
+    """Every REFCORNER × TRANSPOSED × SBDSOFFSET combination maps back to
+    the same top-left placements — pins the decoder's §6.4.5 coordinate
+    arithmetic, not just the jbig2enc default path."""
+    syms = _glyphs()[:2]
+    placements = [(0, 4, 3), (1, 10, 2), (0, 20, 3), (1, 30, 12), (0, 2, 14)]
+    page, glob = encode_jbig2_text_page(
+        syms, placements, 40, 22, refcorner=refcorner,
+        transposed=transposed, dsoffset=dsoffset,
+    )
+    out = decode_jbig2_embedded(page, glob)
+    assert np.array_equal(out, _compose(syms, placements, 40, 22))
+
+
+def test_text_region_xor_combop_on_overlap():
+    """SBCOMBOP=XOR with overlapping instances — the compositing operator
+    path beyond the OR default."""
+    syms = _glyphs()[:2]
+    placements = [(0, 4, 3), (1, 10, 2), (1, 11, 3)]  # last two overlap
+    page, glob = encode_jbig2_text_page(syms, placements, 40, 22, combop=2)
+    exp = np.zeros((22, 40), np.uint8)
+    for sid, x, y in placements:
+        s = syms[sid]
+        exp[y : y + s.shape[0], x : x + s.shape[1]] ^= s
+    assert np.array_equal(decode_jbig2_embedded(page, glob), exp)
+
+
 def test_symbol_text_many_symbols_multiclass_heights():
     """Several height classes and a >2-bit symbol code, text-like reuse."""
     rng = np.random.default_rng(9)
@@ -425,3 +455,22 @@ def test_symbol_page_edge_cases():
     one_px[2, 3] = 1
     p, g = encode_jbig2_symbol_page(one_px)
     assert np.array_equal(decode_jbig2_embedded(p, g), one_px)
+
+
+def test_probe_standalone_jbig2_file():
+    """Standalone .jb2 files (T.88 Annex D.1 file header) inventory with
+    page count and first-page dimensions, header-only."""
+    from tableextraction_spark.probe import probe_bytes
+
+    bm = np.zeros((20, 30), np.uint8)
+    bm[5:10, 5:20] = 1
+    emb = encode_jbig2_generic(bm)
+    for hdr in (
+        b"\x97JB2\r\n\x1a\n" + bytes([0]) + (1).to_bytes(4, "big"),  # known
+        b"\x97JB2\r\n\x1a\n" + bytes([2]),  # unknown page count
+    ):
+        out = probe_bytes(hdr + emb)
+        assert out["format"] == "jbig2" and out["kind"] == "image"
+        assert out["n_frames"] == 1
+        assert out["width"] == 30 and out["height"] == 20
+    assert probe_bytes(b"\x97JB2\r\n\x1a\n\x02\x00")["codec"] == "malformed"
