@@ -939,6 +939,7 @@ def encode_jbig2_text_page(
     transposed: bool = False,
     combop: int = 0,
     dsoffset: int = 0,
+    seg_base: int = 1,
 ) -> tuple[bytes, bytes]:
     """Embedded stream with a symbol dictionary + one immediate text
     region placing ``(sym_id, x, y)`` instances, ``(x, y)`` being each
@@ -1029,11 +1030,16 @@ def encode_jbig2_text_page(
         | ((combop & 3) << 7) | ((dsoffset & 0x1F) << 10)
     text_body = (region_info + tr_flags.to_bytes(2, "big")
                  + len(placements).to_bytes(4, "big") + mq.flush())
-    page_seg = _page_info_segment(1, page_w, page_h)
-    dict_seg = _segment_header(2, 0, [], 1 if not split_globals else 0,
+    # seg_base lets several pages' dictionaries share ONE globals stream
+    # (each page's text region referencing its own dictionary number) —
+    # the multi-page fax-archive arrangement /JBIG2Globals exists for
+    page_seg = _page_info_segment(seg_base, page_w, page_h)
+    dict_seg = _segment_header(seg_base + 1, 0, [],
+                               1 if not split_globals else 0,
                                len(dict_body)) + dict_body
-    text_seg = _segment_header(3, 6, [2], 1, len(text_body)) + text_body
-    eop = _segment_header(4, 49, [], 1, 0)
+    text_seg = _segment_header(seg_base + 2, 6, [seg_base + 1], 1,
+                               len(text_body)) + text_body
+    eop = _segment_header(seg_base + 3, 49, [], 1, 0)
     if split_globals:
         return page_seg + text_seg + eop, dict_seg
     return page_seg + dict_seg + text_seg + eop, b""
@@ -1113,8 +1119,8 @@ def _connected_components(bm: np.ndarray):
     return [(x, y, g) for (x, y, g, _r) in out]
 
 
-def encode_jbig2_symbol_page(bm: np.ndarray, *,
-                             split_globals: bool = False) -> tuple[bytes, bytes]:
+def encode_jbig2_symbol_page(bm: np.ndarray, *, split_globals: bool = False,
+                             seg_base: int = 1) -> tuple[bytes, bytes]:
     """LOSSLESS symbol-mode encoding of a 1-bit page — the ``jbig2enc``
     scanner-output shape: every 8-connected ink component becomes a
     symbol (byte-identical components share one dictionary entry), placed
@@ -1139,4 +1145,5 @@ def encode_jbig2_symbol_page(bm: np.ndarray, *,
         placements.append((sid, x, y))
     h, w = bm.shape
     return encode_jbig2_text_page(symbols, placements, w, h,
-                                  split_globals=split_globals)
+                                  split_globals=split_globals,
+                                  seg_base=seg_base)

@@ -1662,73 +1662,102 @@ def build_page_pdf(rects, texts, page_w: int, page_h: int) -> bytes:
     return build_pdf([{"rects": rects, "texts": texts}], page_w, page_h)
 
 
-def build_scanned_page_pdf(img: np.ndarray, codec: str = "ccitt") -> bytes:
-    """uint8 H×W gray page → the SCANNED-document PDF shape: one page whose
+def build_scanned_pdf(imgs: list[np.ndarray], codec: str = "ccitt") -> bytes:
+    """uint8 H×W gray pages → the SCANNED-document PDF shape: each page's
     content is a single full-page 1-bit image XObject — how real
     scanner/archive pipelines (and the reference's steel-standard corpus
-    ``data/1.pdf…7.pdf``) store pages.  ``codec`` picks the archive
-    encoding: ``"ccitt"`` (G4, the dominant one) or ``"jbig2"``
-    (arithmetic generic region with TPGDON — the other one scanners
-    emit).  Ink = pixels ≤ the kernel's binarization threshold, so for
-    the binary {0,255} fixture pages the rasterized result is
-    pixel-exact to the raster codecs and span equality is preserved
-    end-to-end."""
+    ``data/1.pdf…7.pdf``, which are multi-page scans) store pages.
+    ``codec`` picks the archive encoding: ``"ccitt"`` (G4, the dominant
+    one), ``"jbig2"`` (arithmetic generic region with TPGDON), or
+    ``"jbig2sym"`` (symbol/text mode with EVERY page's dictionary in ONE
+    shared ``/JBIG2Globals`` stream — the multi-page arrangement that
+    stream exists for).  Ink = pixels ≤ the kernel's binarization
+    threshold, so for the binary {0,255} fixture pages the rasterized
+    result is pixel-exact to the raster codecs and span equality is
+    preserved end-to-end."""
     from .kernel.binarize import THRESHOLD
 
-    ih, iw = img.shape
-    bits = np.asarray(img) <= THRESHOLD
     b = _Builder()
+    page_bits = [np.asarray(img) <= THRESHOLD for img in imgs]
+    glob_num = None
+    page_payloads: list[tuple[bytes, dict]] = []
     if codec == "ccitt":
         from .ccitt import encode_ccitt_g4
 
-        data = encode_ccitt_g4(bits)
-        stream_dict = {
-            "Filter": b"/CCITTFaxDecode",
-            "DecodeParms": b"<< /K -1 /Columns %d /Rows %d >>" % (iw, ih),
-        }
+        for img, bits in zip(imgs, page_bits):
+            ih, iw = img.shape
+            page_payloads.append((
+                encode_ccitt_g4(bits),
+                {
+                    "Filter": b"/CCITTFaxDecode",
+                    "DecodeParms": b"<< /K -1 /Columns %d /Rows %d >>"
+                    % (iw, ih),
+                },
+            ))
     elif codec == "jbig2":
         from .jbig2 import encode_jbig2_generic
 
-        data = encode_jbig2_generic(bits.astype(np.uint8), template=0,
-                                    tpgdon=True)
-        stream_dict = {"Filter": b"/JBIG2Decode"}
+        for bits in page_bits:
+            page_payloads.append((
+                encode_jbig2_generic(bits.astype(np.uint8), template=0,
+                                     tpgdon=True),
+                {"Filter": b"/JBIG2Decode"},
+            ))
     elif codec == "jbig2sym":
-        # the jbig2enc scanner shape: symbol dictionary in a shared
-        # /JBIG2Globals stream, text region in the image stream
+        # the jbig2enc scanner shape: all pages' symbol dictionaries in a
+        # shared /JBIG2Globals stream, each page's text region in its own
+        # image stream referencing its dictionary by segment number
         from .jbig2 import encode_jbig2_symbol_page
 
-        data, glob = encode_jbig2_symbol_page(bits.astype(np.uint8),
-                                              split_globals=True)
-        glob_num = b.add_stream({}, glob, compress=False)
-        stream_dict = {
-            "Filter": b"/JBIG2Decode",
-            "DecodeParms": b"<< /JBIG2Globals %d 0 R >>" % glob_num,
-        }
+        globs = []
+        for k, bits in enumerate(page_bits):
+            data, glob = encode_jbig2_symbol_page(
+                bits.astype(np.uint8), split_globals=True,
+                seg_base=1 + 10 * k,
+            )
+            globs.append(glob)
+            page_payloads.append((data, {"Filter": b"/JBIG2Decode"}))
+        glob_num = b.add_stream({}, b"".join(globs), compress=False)
+        for _data, sd in page_payloads:
+            sd["DecodeParms"] = b"<< /JBIG2Globals %d 0 R >>" % glob_num
     else:
-        raise ValueError(f"build_scanned_page_pdf: unknown codec {codec!r}")
-    im_num = b.add_stream(
-        {
-            "Subtype": b"/Image",
-            "Width": b"%d" % iw,
-            "Height": b"%d" % ih,
-            "BitsPerComponent": b"1",
-            "ColorSpace": b"/DeviceGray",
-            **stream_dict,
-        },
-        data,
-        compress=False,
-    )
-    content_num = b.add_stream({}, b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (iw, ih))
-    page_num = b.add(
-        b"<< /Type /Page /Parent PAGES 0 R /MediaBox [0 0 %d %d] "
-        b"/Resources << /XObject << /Im0 %d 0 R >> >> /Contents %d 0 R >>"
-        % (iw, ih, im_num, content_num)
-    )
+        raise ValueError(f"build_scanned_pdf: unknown codec {codec!r}")
+    kid_nums = []
+    for img, (data, stream_dict) in zip(imgs, page_payloads):
+        ih, iw = img.shape
+        im_num = b.add_stream(
+            {
+                "Subtype": b"/Image",
+                "Width": b"%d" % iw,
+                "Height": b"%d" % ih,
+                "BitsPerComponent": b"1",
+                "ColorSpace": b"/DeviceGray",
+                **stream_dict,
+            },
+            data,
+            compress=False,
+        )
+        content_num = b.add_stream(
+            {}, b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (iw, ih)
+        )
+        kid_nums.append(b.add(
+            b"<< /Type /Page /Parent PAGES 0 R /MediaBox [0 0 %d %d] "
+            b"/Resources << /XObject << /Im0 %d 0 R >> >> /Contents %d 0 R >>"
+            % (iw, ih, im_num, content_num)
+        ))
     pages_num = b.add(
-        b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page_num
+        b"<< /Type /Pages /Kids ["
+        + b" ".join(b"%d 0 R" % k for k in kid_nums)
+        + b"] /Count %d >>" % len(kid_nums)
     )
-    b.objs[page_num - 1] = b.objs[page_num - 1].replace(
-        b"PAGES 0 R", b"%d 0 R" % pages_num
-    )
+    for k in kid_nums:
+        b.objs[k - 1] = b.objs[k - 1].replace(
+            b"PAGES 0 R", b"%d 0 R" % pages_num
+        )
     root = b.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
     return b.finish(root)
+
+
+def build_scanned_page_pdf(img: np.ndarray, codec: str = "ccitt") -> bytes:
+    """Single-page convenience wrapper over :func:`build_scanned_pdf`."""
+    return build_scanned_pdf([img], codec=codec)

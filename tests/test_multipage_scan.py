@@ -173,3 +173,28 @@ def test_error_row_names_the_failing_page():
     keys = [(r["page_no"], r["obj_no"], r["error"] is None) for r in out
             if r["obj_no"] == -1]
     assert len(keys) == len(set(keys))  # no success/error key collision
+
+
+@pytest.mark.parametrize("codec", ["ccitt", "jbig2", "jbig2sym"])
+def test_multipage_scanned_pdf_equals_per_page_blobs(codec):
+    """Multi-page SCANNED PDFs — the reference-corpus shape (data/*.pdf
+    are multi-page fax scans): one document blob whose pages are 1-bit
+    archive-codec image XObjects (jbig2sym: all dictionaries shared in
+    ONE /JBIG2Globals stream) produces byte-identical object rows to its
+    per-page split."""
+    pages, _blobs = _skew_doc_pages()
+    pages = pages[:3]
+    combined = _stage(
+        [("d", "m-all", 0, pdfx.build_scanned_pdf(pages, codec=codec))]
+    )
+    separate = _stage(
+        [("d", "m", i, pdfx.build_scanned_page_pdf(p, codec=codec))
+         for i, p in enumerate(pages)]
+    )
+    assert [r["page_no"] for r in combined if r["obj_no"] == -1] == [0, 1, 2]
+    got = [(r["kind"], r["n_items"], r["payload"])
+           for r in combined if r["obj_no"] >= 0]
+    want = [(r["kind"], r["n_items"], r["payload"])
+            for r in separate if r["obj_no"] >= 0]
+    assert got == want and len(got) > 0
+    assert all(r["error"] is None for r in combined)
