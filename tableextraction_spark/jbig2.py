@@ -901,7 +901,8 @@ def _page_info_segment(number: int, w: int, h: int) -> bytes:
 
 def encode_jbig2_generic(bm: np.ndarray, *, mmr: bool = False,
                          template: int = 0, tpgdon: bool = False,
-                         at: list[tuple[int, int]] | None = None) -> bytes:
+                         at: list[tuple[int, int]] | None = None,
+                         seg_base: int = 1) -> bytes:
     """Embedded JBIG2 stream: page info + one immediate generic region
     covering the page.  ``mmr`` uses T.6 coding (via ``ccitt``);
     otherwise MQ-coded with the given template and nominal (or given)
@@ -921,9 +922,9 @@ def encode_jbig2_generic(bm: np.ndarray, *, mmr: bool = False,
         gb = _Ctx(1 << _CTX_BITS[template])
         _encode_generic(mq, gb, bm, template, tpgdon, at)
         body = region_info + bytes([flags]) + at_bytes + mq.flush()
-    out = _page_info_segment(1, w, h)
-    out += _segment_header(2, 38, [], 1, len(body)) + body
-    out += _segment_header(3, 49, [], 1, 0)  # end of page
+    out = _page_info_segment(seg_base, w, h)
+    out += _segment_header(seg_base + 1, 38, [], 1, len(body)) + body
+    out += _segment_header(seg_base + 2, 49, [], 1, 0)  # end of page
     return out
 
 
@@ -1080,11 +1081,13 @@ def _connected_components(bm: np.ndarray):
         for x0, x1 in zip(starts.tolist(), ends.tolist()):
             label = len(parent)
             parent.append(label)
-            # 8-connectivity: previous-row runs overlapping [x0-1, x1]
-            while pi < len(prev) and prev[pi][1] < x0 - 1:
+            # 8-connectivity: runs are [x0, x1) with x1 EXCLUSIVE, so a
+            # previous-row run [p0, p1) touches this one (diagonals
+            # included) iff p1 >= x0 and p0 <= x1
+            while pi < len(prev) and prev[pi][1] < x0:
                 pi += 1
             pj = pi
-            while pj < len(prev) and prev[pj][0] <= x1 + 1:
+            while pj < len(prev) and prev[pj][0] <= x1:
                 union(prev[pj][2], label)
                 pj += 1
             cur.append((x0, x1, label))
@@ -1131,7 +1134,9 @@ def encode_jbig2_symbol_page(bm: np.ndarray, *, split_globals: bool = False,
     bm = (np.asarray(bm) != 0).astype(np.uint8)
     comps = _connected_components(bm)
     if not comps:
-        return encode_jbig2_generic(bm), b""
+        # blank page: one generic region, at THIS page's segment numbers
+        # so a multi-page shared-globals stream never sees a collision
+        return encode_jbig2_generic(bm, seg_base=seg_base), b""
     symbols: list[np.ndarray] = []
     sym_of: dict[bytes, int] = {}
     placements: list[tuple[int, int, int]] = []

@@ -128,12 +128,12 @@ def probe_bytes(payload: bytes) -> dict:
             flags = buf[8] if len(buf) > 8 else 1
             hdr_end = 9 if flags & 2 else 13
             pages = 0
-            for _n, t, _p, _r, payload in _parse_segment_headers(full[hdr_end:]):
+            for _n, t, _p, _r, seg_body in _parse_segment_headers(full[hdr_end:]):
                 if t == 48:
                     pages += 1
-                    if not out["width"] and len(payload) >= 8:
-                        out["width"] = _U32B.unpack_from(payload, 0)[0]
-                        out["height"] = _U32B.unpack_from(payload, 4)[0]
+                    if not out["width"] and len(seg_body) >= 8:
+                        out["width"] = _U32B.unpack_from(seg_body, 0)[0]
+                        out["height"] = _U32B.unpack_from(seg_body, 4)[0]
             if not flags & 2 and len(full) >= 13:  # known page count
                 pages = _U32B.unpack_from(full, 9)[0]
             out["n_frames"] = pages

@@ -414,6 +414,37 @@ def test_connected_components_shapes_and_diagonals():
     assert np.array_equal(rec, bm)
 
 
+def test_connected_components_distance_two_stays_separate():
+    """Pixels two columns apart on adjacent rows are NOT 8-connected —
+    regression for an exclusive-run-end treated as inclusive, which
+    over-merged glyphs separated by one blank column diagonally."""
+    from tableextraction_spark.jbig2 import _connected_components
+
+    bm = np.zeros((2, 6), np.uint8)
+    bm[0, 1] = 1
+    bm[1, 3] = 1  # dx=2 from (0,1): separate components
+    assert len(_connected_components(bm)) == 2
+    bm[1, 2] = 1  # now diagonal contact → one component
+    assert len(_connected_components(bm)) == 1
+
+
+def test_symbol_page_blank_honors_seg_base():
+    """A blank page's generic-region fallback must carry the caller's
+    seg_base so multi-page shared-globals streams keep unique segment
+    numbers (regression: fallback pinned segments 1..3)."""
+    from tableextraction_spark.jbig2 import _parse_segment_headers
+
+    page, glob = encode_jbig2_symbol_page(
+        np.zeros((8, 8), np.uint8), split_globals=True, seg_base=21
+    )
+    assert glob == b""
+    nums = [n for n, *_ in _parse_segment_headers(page)]
+    assert nums == [21, 22, 23]
+    assert np.array_equal(
+        decode_jbig2_embedded(page, glob), np.zeros((8, 8), np.uint8)
+    )
+
+
 @pytest.mark.parametrize("split_globals", [False, True])
 def test_symbol_page_lossless_reconstruction(split_globals):
     """Symbol-mode encoding of an arbitrary page is LOSSLESS: every ink
