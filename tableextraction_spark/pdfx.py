@@ -19,7 +19,9 @@ Implemented:
 - **Objects**: the complete object syntax — dicts, arrays, names with
   ``#xx`` escapes, literal strings with octal/escape handling, hex strings,
   indirect references, streams with indirect ``/Length``.
-- **Filters**: ``FlateDecode`` (with PNG predictors 10-15),
+- **Filters**: ``FlateDecode`` and ``LZWDecode`` (both with PNG
+  predictors 10-15 and TIFF predictor 2; LZW honors ``EarlyChange``),
+  ``RunLengthDecode``, ``ASCII85Decode``,
   ``ASCIIHexDecode``; ``DCTDecode`` image data routes to the from-scratch
   baseline/progressive JPEG codec (``jpeg.py``); ``CCITTFaxDecode`` (G4
   ``K<0``, G3 ``K>=0``, ``BlackIs1``/``EncodedByteAlign``) routes to the
@@ -47,7 +49,7 @@ Named seams (deliberate, raise with the feature name so the decode stage
 captures a per-row error, never a task failure): embedded-outline fonts
 (Type1/TrueType/CFF glyph rasterization needs a font renderer — slot
 pypdfium2 via ``sources/pdf_adapter.py``), non-axis-aligned image placement,
-shading patterns, encryption, JBIG2/JPX image codecs.
+shading patterns, encryption, the JPX image codec.
 
 Nonzero winding fill is approximated by even-odd (documented; the writer
 never emits self-overlapping paths, and axis-aligned document geometry is
@@ -351,6 +353,122 @@ def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     return out.astype(np.uint8).tobytes()
 
 
+def _tiff_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    """Predictor 2 (TIFF horizontal differencing) — each sample is stored
+    as a delta from the sample one pixel to its left, per component."""
+    if bpc != 8:
+        raise NotImplementedError(f"PDF TIFF predictor with BPC {bpc}")
+    rowlen = columns * colors
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nrows = len(arr) // rowlen
+    head = arr[: nrows * rowlen].reshape(nrows, rowlen, order="C")
+    out = head.reshape(nrows, columns, colors).astype(np.uint8)
+    np.cumsum(out, axis=1, dtype=np.uint8, out=out)
+    return out.tobytes() + arr[nrows * rowlen :].tobytes()
+
+
+def _lzw_decode_pdf(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (ISO 32000-1 §7.4.4): MSB-first 9→12-bit codes, Clear=256,
+    EOD=257; ``EarlyChange`` 1 (default) bumps the code width one entry
+    early (the TIFF timing), 0 bumps exactly at table-full (the GIF
+    timing).  Decodes until EOD or data end."""
+    from .jpeg import _WIN_CHUNK, _win_slice_msb
+
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, b""
+    nbits = len(data) * 8
+    cbase, cend = 0, min(nbits, _WIN_CHUNK)
+    win = _win_slice_msb(data, 0, cend)
+    bpos = 0
+    while bpos + width <= nbits:
+        if bpos >= cend:
+            cbase = bpos
+            cend = min(nbits, cbase + _WIN_CHUNK)
+            win = _win_slice_msb(data, cbase, cend)
+        code = win[bpos - cbase] >> (16 - width)
+        bpos += width
+        if code == 257:  # EOD
+            break
+        if code == 256:  # Clear
+            table = table[:258]
+            width, prev = 9, b""
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"PDF LZW: code {code} out of table")
+        out += entry
+        if prev:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) >= (1 << width) - (2 if early else 1) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _runlength_decode_pdf(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000-1 §7.4.5): PackBits runs with length
+    byte 128 as EOD (PackBits treats 128 as a no-op)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h == 128:  # EOD
+            return bytes(out)
+        if h < 128:
+            if i + h + 1 > n:
+                raise ValueError("PDF RunLength: literal run past data end")
+            out += data[i : i + h + 1]
+            i += h + 1
+        else:
+            if i >= n:
+                raise ValueError("PDF RunLength: repeat run past data end")
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+    raise ValueError("PDF RunLength: missing EOD")
+
+
+def _ascii85_decode_pdf(data: bytes) -> bytes:
+    """ASCII85Decode (ISO 32000-1 §7.4.3): base-85 groups, ``z`` for an
+    all-zero group, ``~>`` EOD, whitespace ignored."""
+    body = data.split(b"~>", 1)[0]
+    if body.startswith(b"<~"):  # Adobe framing variant
+        body = body[2:]
+    body = bytes(c for c in body if c not in b" \t\r\n\f\0")
+    out = bytearray()
+    group: list[int] = []
+    for c in body:
+        if c == 0x7A:  # 'z'
+            if group:
+                raise ValueError("PDF ASCII85: 'z' inside a group")
+            out += b"\0\0\0\0"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError(f"PDF ASCII85: byte {c:#x} out of range")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for d in group:
+                v = v * 85 + d
+            if v > 0xFFFFFFFF:
+                raise ValueError("PDF ASCII85: group overflows 32 bits")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("PDF ASCII85: lone trailing digit")
+        k = len(group)
+        v = 0
+        for d in group + [84] * (5 - k):
+            v = v * 85 + d
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
 _IMAGE_FILTERS = {"DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "JBIG2Decode"}
 
 
@@ -367,22 +485,32 @@ def _stream_data(st: Stream, resolve, keep_image_codecs: bool = False):
         parms = [parms]
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    def _unpredict(data, p):
+        p = resolve(p) or {}
+        pred = resolve(p.get("Predictor", 1)) or 1
+        cols = resolve(p.get("Columns", 1)) or 1
+        colors = resolve(p.get("Colors", 1)) or 1
+        bpc = resolve(p.get("BitsPerComponent", 8)) or 8
+        if pred >= 10:
+            return _png_unpredict(data, cols, colors, bpc)
+        if pred == 2:
+            return _tiff_unpredict(data, cols, colors, bpc)
+        if pred != 1:
+            raise ValueError(f"PDF: bad predictor {pred}")
+        return data
+
     data = st.raw
     for f, p in zip(filters, parms):
         f = str(f)
         if f in ("FlateDecode", "Fl"):
-            data = zlib.decompress(data)
-            p = resolve(p) or {}
-            pred = resolve(p.get("Predictor", 1)) or 1
-            if pred >= 10:
-                data = _png_unpredict(
-                    data,
-                    resolve(p.get("Columns", 1)) or 1,
-                    resolve(p.get("Colors", 1)) or 1,
-                    resolve(p.get("BitsPerComponent", 8)) or 8,
-                )
-            elif pred != 1:
-                raise NotImplementedError(f"PDF TIFF predictor {pred}")
+            data = _unpredict(zlib.decompress(data), p)
+        elif f in ("LZWDecode", "LZW"):
+            early = resolve((resolve(p) or {}).get("EarlyChange", 1))
+            data = _unpredict(_lzw_decode_pdf(data, 1 if early else 0), p)
+        elif f in ("RunLengthDecode", "RL"):
+            data = _runlength_decode_pdf(data)
+        elif f in ("ASCII85Decode", "A85"):
+            data = _ascii85_decode_pdf(data)
         elif f in ("ASCIIHexDecode", "AHx"):
             hx = b"".join(data.split()).rstrip(b">")
             data = bytes.fromhex(hx.decode("latin-1"))

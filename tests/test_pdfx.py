@@ -400,3 +400,161 @@ def test_glyph_cache_is_pixel_exact_and_reused():
         assert np.array_equal(on, off), int(np.sum(on != off))
     assert len(pdfx._GLYPH_OPS_CACHE) > 0
     assert len(pdfx._GLYPH_OPS_CACHE) <= pdfx._GLYPH_OPS_MAX
+
+
+# -------------------------------------------------- classic stream filters
+
+
+def _rect_pdf_with_filter(fname: bytes, encoded: bytes, parms: bytes = b""):
+    """Minimal one-page PDF whose content stream carries ``fname``."""
+    b = pdfx._Builder()
+    d = {"Filter": b"/" + fname}
+    if parms:
+        d["DecodeParms"] = parms
+    content_num = b.add_stream(d, encoded, compress=False)
+    page_num = b.add(
+        b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 30 20] "
+        b"/Contents %d 0 R >>" % content_num
+    )
+    pages_num = b.add(b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page_num)
+    assert pages_num == 3
+    root = b.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    return b.finish(root)
+
+
+_RECT_CONTENT = b"q 0 g 5 5 10 8 re f Q"
+
+
+def _assert_rect_rendered(pdf: bytes):
+    arr = pdfx.rasterize_pdf_page(pdf)
+    assert (arr[20 - 13 : 20 - 5, 5:15] == 0).all()
+    assert arr[0, 0] == 255
+
+
+def test_lzw_decode_content_stream():
+    """LZWDecode (ISO 32000-1 §7.4.4) with the default EarlyChange=1 —
+    encoder cross-checked against the TIFF lane's LZW writer."""
+    from tableextraction_spark.tiff import _lzw_encode
+
+    _assert_rect_rendered(
+        _rect_pdf_with_filter(b"LZWDecode", _lzw_encode(_RECT_CONTENT))
+    )
+    # filter-function level: long repetitive + random-ish payloads
+    for payload in (b"abc" * 4000, bytes(range(256)) * 40):
+        assert pdfx._lzw_decode_pdf(_lzw_encode(payload)) == payload
+
+
+def test_lzw_early_change_zero():
+    """EarlyChange=0 shifts the width bump one entry later; a stream
+    encoded with the late timing must NOT decode under the default."""
+
+    def lzw_encode_late(data: bytes) -> bytes:
+        out = bytearray()
+        acc = nbits = 0
+
+        def emit(code, width):
+            nonlocal acc, nbits
+            acc = (acc << width) | code
+            nbits += width
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(256)}
+        nxt, width = 258, 9
+        emit(256, width)
+        w = b""
+        for byte in data:
+            wk = w + bytes([byte])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w], width)
+            table[wk] = nxt
+            nxt += 1
+            if nxt == (1 << width) and width < 12:  # LATE timing
+                width += 1
+            w = bytes([byte])
+        if w:
+            emit(table[w], width)
+        emit(257, width)
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    payload = bytes((i * 7 + i // 3) % 256 for i in range(9000))
+    enc = lzw_encode_late(payload)
+    assert pdfx._lzw_decode_pdf(enc, early=0) == payload
+    try:
+        wrong = pdfx._lzw_decode_pdf(enc, early=1)
+    except ValueError:
+        wrong = None
+    assert wrong != payload
+
+
+def test_runlength_decode():
+    enc = b"\x02abc" + b"\xfeZ" + b"\x00q" + b"\x80"  # 'abc' + 'ZZZ' + 'q'
+    assert pdfx._runlength_decode_pdf(enc) == b"abcZZZq"
+    _assert_rect_rendered(
+        _rect_pdf_with_filter(
+            b"RunLengthDecode",
+            bytes([len(_RECT_CONTENT) - 1]) + _RECT_CONTENT + b"\x80",
+        )
+    )
+    with pytest.raises(ValueError, match="EOD"):
+        pdfx._runlength_decode_pdf(b"\x02abc")
+    with pytest.raises(ValueError, match="past data end"):
+        pdfx._runlength_decode_pdf(b"\x7fabc")
+
+
+def test_ascii85_decode_against_stdlib():
+    import base64
+
+    for payload in (b"", b"a", b"sure.", bytes(range(256)) * 3, b"\0" * 37):
+        enc = base64.a85encode(payload) + b"~>"
+        assert pdfx._ascii85_decode_pdf(enc) == payload
+        # Adobe framing + embedded whitespace
+        enc2 = base64.a85encode(payload, adobe=True, wrapcol=20)
+        assert pdfx._ascii85_decode_pdf(enc2) == payload
+    # 'z' shortcut comes out of stdlib only via z-folding; test explicitly
+    assert pdfx._ascii85_decode_pdf(b"z~>") == b"\0\0\0\0"
+    with pytest.raises(ValueError, match="out of range"):
+        pdfx._ascii85_decode_pdf(b"\xff\xff\xff\xff\xff~>")
+    _assert_rect_rendered(
+        _rect_pdf_with_filter(
+            b"ASCII85Decode", base64.a85encode(_RECT_CONTENT) + b"~>"
+        )
+    )
+
+
+def test_tiff_predictor_2():
+    """Predictor 2 (TIFF horizontal differencing) under Flate."""
+    import zlib as _z
+
+    rows = np.arange(60, dtype=np.uint8).reshape(4, 15) * 3
+    diff = rows.astype(np.int16).copy()
+    diff[:, 1:] -= rows[:, :-1].astype(np.int16)
+    raw = (diff % 256).astype(np.uint8).tobytes()
+    got = pdfx._tiff_unpredict(raw, columns=15, colors=1, bpc=8)
+    assert got == rows.tobytes()
+    # 3-component variant: per-component differencing
+    rgb = np.arange(90, dtype=np.uint8).reshape(2, 15, 3)
+    d3 = rgb.astype(np.int16).copy()
+    d3[:, 1:, :] -= rgb[:, :-1, :].astype(np.int16)
+    got3 = pdfx._tiff_unpredict(
+        (d3 % 256).astype(np.uint8).tobytes(), columns=15, colors=3, bpc=8
+    )
+    assert got3 == rgb.tobytes()
+    # through _stream_data: Flate + Predictor 2
+    st = pdfx.Stream(
+        {
+            pdfx.Name("Filter"): pdfx.Name("FlateDecode"),
+            pdfx.Name("DecodeParms"): {
+                pdfx.Name("Predictor"): 2,
+                pdfx.Name("Columns"): 15,
+                pdfx.Name("Colors"): 1,
+            },
+        },
+        _z.compress(raw),
+    )
+    assert pdfx._stream_data(st, lambda x: x) == rows.tobytes()
