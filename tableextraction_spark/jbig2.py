@@ -222,12 +222,22 @@ class _MQEncoder:
                 self.ct = 8
 
     def flush(self) -> bytes:
-        # SETBITS + two byteouts (T.88 E.2.9)
+        # The RENORME loop defers BYTEOUT to the next shift (`if ct==0:
+        # byteout` BEFORE shifting), so a fully-formed byte can still be
+        # pending here — emit it first, else SETBITS corrupts it and the
+        # final ~byte of symbols misdecodes (T.88's convention calls
+        # BYTEOUT the instant CT hits 0, so its FLUSH never sees CT==0).
+        if self.ct == 0:
+            self._byteout()
+        # SETBITS + two byteouts (T.88 E.2.9).  SETBITS must fill the low
+        # bits with 1s (Figure E.11): untransmitted trailing bits are
+        # reconstructed as 1s by the decoder's marker-feed, so a
+        # zero-filled tail can overshoot the [C, C+A) interval top when
+        # the margin is small and misdecode the final symbols.
         tempc = self.c + self.a - 1
-        tempc &= 0xFFFF0000
-        if tempc < self.c:
-            tempc += 0x8000
-        self.c = tempc
+        self.c |= 0xFFFF
+        if self.c > tempc:
+            self.c -= 0x8000
         self.c <<= self.ct
         self._byteout()
         self.c <<= self.ct

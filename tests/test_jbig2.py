@@ -505,3 +505,38 @@ def test_probe_standalone_jbig2_file():
         assert out["n_frames"] == 1
         assert out["width"] == 30 and out["height"] == 20
     assert probe_bytes(b"\x97JB2\r\n\x1a\n\x02\x00")["codec"] == "malformed"
+
+
+def test_mq_flush_edge_cases():
+    """Regression for two flush bugs that misdecoded the FINAL symbols of
+    an MQ stream: (1) a fully-formed byte pending at flush (the deferred
+    RENORME byteout) was corrupted by SETBITS; (2) SETBITS zero-filled
+    the low bits, so the decoder's 1-feed for untransmitted bits could
+    overshoot the [C, C+A) interval top.  Exercises random context/bit
+    sequences over JPEG-2000-style initial states (state 46 uniform,
+    state 3 run), which reach both edges quickly."""
+    import numpy as np
+
+    from tableextraction_spark.jbig2 import _Ctx, _MQDecoder, _MQEncoder
+
+    def mkctx():
+        cx = _Ctx(19)
+        cx.idx[0] = 4
+        cx.idx[17] = 3
+        cx.idx[18] = 46
+        return cx
+
+    rng = np.random.default_rng(99)
+    for trial in range(400):
+        n = int(rng.integers(1, 3000))
+        seq = [(int(rng.integers(0, 19)), int(rng.integers(0, 2)))
+               for _ in range(n)]
+        enc = _MQEncoder()
+        ce = mkctx()
+        for ctx, bit in seq:
+            enc.encode(ce, ctx, bit)
+        data = enc.flush()
+        dec = _MQDecoder(data)
+        cd = mkctx()
+        for i, (ctx, bit) in enumerate(seq):
+            assert dec.decode(cd, ctx) == bit, (trial, i, n)
