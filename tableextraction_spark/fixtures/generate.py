@@ -340,7 +340,9 @@ def expected_plot_json(pp: dict) -> str:
 # ---------------------------------------------------------------- corpus
 
 
-_MIXED_CODECS = ("img1", "png", "jpeg", "gif", "bmp", "pdf", "pdfscan", "tiff")
+_MIXED_CODECS = (
+    "img1", "png", "jpeg", "gif", "bmp", "pdf", "pdfscan", "tiff", "jp2",
+)
 
 
 def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
@@ -357,8 +359,9 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
     whose page is ONE full-page 1-bit CCITT G4 image — the real scanned-
     document shape; lossless here because fixture pages are binary), or
     ``tiff`` (a 1-bit G4 TIFF page — the fax-archive shape) — same
-    expected spans, so end-to-end tests pin format routing.  ``mixed``
-    rotates the format per document across all eight (the web-crawl shape:
+    expected spans, so end-to-end tests pin format routing.  or ``jp2``
+    (a reversible-5/3 JPEG 2000 page, from-scratch T.800).  ``mixed``
+    rotates the format per document across all nine (the web-crawl shape:
     one corpus, every payload format interleaved).
     """
     if codec == "mixed":
@@ -394,6 +397,12 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
         # golden gate (q55) covers every ITU archive codec end-to-end
         arch = {0: "ccitt", 1: "ccitt", 2: "jbig2", 3: "jbig2sym"}[doc_num % 4]
         encode = lambda img: build_scanned_page_pdf(img, codec=arch)  # noqa: E731
+    elif codec == "jp2":
+        from ..jp2 import encode_jp2_gray
+
+        # real JPEG 2000 pages (reversible 5/3 — lossless): the from-
+        # scratch T.800 codec joins the crawl rotation
+        encode = lambda img: encode_jp2_gray(img, levels=2)  # noqa: E731
     elif codec == "tiff":
         from ..tiff import encode_tiff_gray
 

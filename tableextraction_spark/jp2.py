@@ -525,3 +525,1104 @@ def _t1_encode(coeffs: np.ndarray, band: str, totplanes: int,
     if not np.array_equal(t1.mag, mag_true):
         raise AssertionError("JP2 tier-1 encoder self-check failed")
     return mq.flush(), npasses, zb
+
+
+# ----------------------------------------- packet-header bit I/O (B.10.1)
+
+
+class _HdrReader:
+    """MSB-first bits with 0xFF stuffing: a byte following 0xFF carries
+    only 7 bits (its MSB is a stuffed 0)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("JP2: packet header past tile data end")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if self.prev_ff:
+                if b & 0x80:
+                    raise ValueError("JP2: missing stuffing bit after 0xFF")
+                self.nbits = 7
+            else:
+                self.nbits = 8
+            self.cur = b
+            self.prev_ff = b == 0xFF
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> int:
+        """End-of-header: discard partial byte; skip the stuffed byte if
+        the header's final byte was 0xFF.  Returns the byte position."""
+        self.nbits = 0
+        if self.prev_ff:
+            if self.pos < len(self.buf) and self.buf[self.pos] & 0x80:
+                raise ValueError("JP2: missing stuffing bit after 0xFF")
+            self.pos += 1
+            self.prev_ff = False
+        return self.pos
+
+
+class _HdrWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.room = 8
+
+    def bit(self, b: int):
+        self.cur = (self.cur << 1) | (b & 1)
+        self.room -= 1
+        if self.room == 0:
+            self.out.append(self.cur)
+            self.room = 7 if self.cur == 0xFF else 8
+            self.cur = 0
+
+    def bits(self, v: int, n: int):
+        for i in reversed(range(n)):
+            self.bit((v >> i) & 1)
+
+    def flush(self) -> bytes:
+        if self.room < (7 if self.out and self.out[-1] == 0xFF else 8):
+            self.cur <<= self.room
+            self.out.append(self.cur & 0xFF)
+            self.cur, self.room = 0, 8
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)  # a header must not end on a raw 0xFF
+        return bytes(self.out)
+
+
+def _read_npasses(rd) -> int:
+    """Table B.4 coding-pass count."""
+    if not rd():
+        return 1
+    if not rd():
+        return 2
+    t = (rd() << 1) | rd()
+    if t < 3:
+        return 3 + t
+    t = 0
+    for _ in range(5):
+        t = (t << 1) | rd()
+    if t < 31:
+        return 6 + t
+    t = 0
+    for _ in range(7):
+        t = (t << 1) | rd()
+    return 37 + t
+
+
+def _write_npasses(wr, n: int):
+    if n == 1:
+        wr.bit(0)
+    elif n == 2:
+        wr.bit(1)
+        wr.bit(0)
+    elif n <= 5:
+        wr.bits(0b11, 2)
+        wr.bits(n - 3, 2)
+    elif n <= 36:
+        wr.bits(0b1111, 4)
+        wr.bits(n - 6, 5)
+    elif n <= 164:
+        wr.bits(0b111111111, 9)
+        wr.bits(n - 37, 7)
+    else:
+        raise ValueError("JP2: more than 164 coding passes")
+
+
+# ------------------------------------------------------ geometry (Annex B)
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+class _Band:
+    __slots__ = ("kind", "x0", "y0", "x1", "y1", "blocks", "incl", "zbt",
+                 "coeffs")
+
+    def __init__(self, kind, x0, y0, x1, y1):
+        self.kind, self.x0, self.y0, self.x1, self.y1 = kind, x0, y0, x1, y1
+        self.blocks: dict = {}
+        self.coeffs = None
+
+
+class _Block:
+    __slots__ = ("x0", "y0", "x1", "y1", "included", "zb", "lblock",
+                 "npasses", "segs")
+
+    def __init__(self, x0, y0, x1, y1):
+        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+        self.included = False
+        self.zb = 0
+        self.lblock = 3
+        self.npasses = 0
+        self.segs: list[bytes] = []
+
+
+class _Precinct:
+    __slots__ = ("bands",)  # band kind -> (grid_w, grid_h, {(i,j): _Block},
+    #              incl _TagTree, zb _TagTree)
+
+    def __init__(self):
+        self.bands = {}
+
+
+class _Res:
+    """One resolution level of one tile-component."""
+
+    __slots__ = ("r", "x0", "y0", "x1", "y1", "ppx", "ppy", "npw", "nph",
+                 "bands", "precincts")
+
+    def __init__(self, r, x0, y0, x1, y1, ppx, ppy):
+        self.r, self.x0, self.y0, self.x1, self.y1 = r, x0, y0, x1, y1
+        self.ppx, self.ppy = ppx, ppy
+        if x1 > x0 and y1 > y0:
+            self.npw = _ceil_div(x1, 1 << ppx) - (x0 >> ppx)
+            self.nph = _ceil_div(y1, 1 << ppy) - (y0 >> ppy)
+        else:
+            self.npw = self.nph = 0
+        self.bands: list[_Band] = []
+        self.precincts: dict[int, _Precinct] = {}
+
+    def precinct_box(self, pi: int):
+        """Resolution-domain box of precinct index pi (raster order)."""
+        i = pi % self.npw + (self.x0 >> self.ppx)
+        j = pi // self.npw + (self.y0 >> self.ppy)
+        return (max(self.x0, i << self.ppx), max(self.y0, j << self.ppy),
+                min(self.x1, (i + 1) << self.ppx),
+                min(self.y1, (j + 1) << self.ppy))
+
+
+def _build_rescomp(tcx0, tcy0, tcx1, tcy1, levels, prec_sizes, xcb, ycb):
+    """All resolution levels of a tile-component, with bands, precincts,
+    and code blocks."""
+    rescomps: list[_Res] = []
+    for r in range(levels + 1):
+        d = levels - r
+        x0, y0 = _ceil_div(tcx0, 1 << d), _ceil_div(tcy0, 1 << d)
+        x1, y1 = _ceil_div(tcx1, 1 << d), _ceil_div(tcy1, 1 << d)
+        ppx, ppy = prec_sizes[r]
+        res = _Res(r, x0, y0, x1, y1, ppx, ppy)
+        n = levels - r + 1  # decomposition level of this res's bands
+        if r == 0:
+            kinds = [("LL", 0, 0, levels)]
+        else:
+            kinds = [("HL", 1, 0, n), ("LH", 0, 1, n), ("HH", 1, 1, n)]
+        for kind, xob, yob, nb in kinds:
+            if nb == 0:  # levels=0: the LL band IS the tile-component
+                res.bands.append(_Band(kind, tcx0, tcy0, tcx1, tcy1))
+                continue
+            sh = 1 << (nb - 1)
+            bx0 = _ceil_div(tcx0 - sh * xob, 1 << nb)
+            by0 = _ceil_div(tcy0 - sh * yob, 1 << nb)
+            bx1 = _ceil_div(tcx1 - sh * xob, 1 << nb)
+            by1 = _ceil_div(tcy1 - sh * yob, 1 << nb)
+            res.bands.append(_Band(kind, bx0, by0, bx1, by1))
+        # effective code-block size (B.7)
+        cbw = min(xcb, ppx - (1 if r > 0 else 0))
+        cbh = min(ycb, ppy - (1 if r > 0 else 0))
+        for pi in range(res.npw * res.nph):
+            px0, py0, px1, py1 = res.precinct_box(pi)
+            prec = _Precinct()
+            for band in res.bands:
+                if r == 0:
+                    pbx0, pby0, pbx1, pby1 = px0, py0, px1, py1
+                else:
+                    pbx0, pby0 = px0 >> 1, py0 >> 1
+                    pbx1, pby1 = _ceil_div(px1, 2), _ceil_div(py1, 2)
+                ix0, iy0 = max(band.x0, pbx0), max(band.y0, pby0)
+                ix1, iy1 = min(band.x1, pbx1), min(band.y1, pby1)
+                if ix0 >= ix1 or iy0 >= iy1:
+                    prec.bands[band.kind] = (0, 0, {}, None, None)
+                    continue
+                gx0, gy0 = ix0 >> cbw, iy0 >> cbh
+                gx1 = _ceil_div(ix1, 1 << cbw)
+                gy1 = _ceil_div(iy1, 1 << cbh)
+                gw, gh = gx1 - gx0, gy1 - gy0
+                blocks = {}
+                for j in range(gh):
+                    for i in range(gw):
+                        bxa = max(ix0, (gx0 + i) << cbw)
+                        bya = max(iy0, (gy0 + j) << cbh)
+                        bxb = min(ix1, (gx0 + i + 1) << cbw)
+                        byb = min(iy1, (gy0 + j + 1) << cbh)
+                        blocks[(i, j)] = _Block(bxa, bya, bxb, byb)
+                prec.bands[band.kind] = (gw, gh, blocks,
+                                         _TagTree(gw, gh), _TagTree(gw, gh))
+            res.precincts[pi] = prec
+        rescomps.append(res)
+    return rescomps
+
+
+# ------------------------------------------------- packet codec (B.9/B.10)
+
+
+def _decode_packet(buf: bytes, pos: int, res: _Res, pi: int, layer: int,
+                   sop: bool, eph: bool) -> int:
+    """Decode one packet at byte ``pos`` of the tile data; returns the
+    position after its body.  Updates block inclusion/zb/lblock state and
+    appends (bytes, passes) contributions."""
+    if sop and buf[pos:pos + 2] == b"\xff\x91":
+        pos += 6  # SOP marker segment (Lsop=4 + Nsop)
+    rd = _HdrReader(buf, pos)
+    contributions: list[tuple[_Block, int, int]] = []
+    if rd.bit():  # non-empty packet
+        prec = res.precincts[pi]
+        for band in res.bands:
+            gw, gh, blocks, incl, zbt = prec.bands[band.kind]
+            for j in range(gh):
+                for i in range(gw):
+                    blk = blocks[(i, j)]
+                    if not blk.included:
+                        inc = incl.decode(i, j, layer + 1, rd.bit)
+                    else:
+                        inc = bool(rd.bit())
+                    if not inc:
+                        continue
+                    if not blk.included:
+                        blk.zb = zbt.decode_value(i, j, rd.bit)
+                        blk.included = True
+                    npass = _read_npasses(rd.bit)
+                    while rd.bit():
+                        blk.lblock += 1
+                    ln = rd.bits(blk.lblock + npass.bit_length() - 1)
+                    contributions.append((blk, npass, ln))
+    pos = rd.align()
+    if eph:
+        if buf[pos:pos + 2] != b"\xff\x92":
+            raise ValueError("JP2: EPH marker expected")
+        pos += 2
+    for blk, npass, ln in contributions:
+        if pos + ln > len(buf):
+            raise ValueError("JP2: packet body past tile data end")
+        blk.segs.append(buf[pos:pos + ln])
+        blk.npasses += npass
+        pos += ln
+    return pos
+
+
+def _encode_packet(res: _Res, pi: int, layer: int,
+                   payload: dict, eph: bool = False) -> bytes:
+    """Encode one packet.  ``payload`` maps (band_kind, i, j) →
+    (npasses, data) for blocks contributing in THIS layer; persistent
+    per-block state (`included` = already signalled, `lblock`) and the
+    precinct tag trees (values preinstalled) carry across layers."""
+    prec = res.precincts[pi]
+    wr = _HdrWriter()
+    any_contrib = any(payload.values())
+    if not any_contrib:
+        wr.bit(0)
+        return wr.flush() + (b"\xff\x92" if eph else b"")
+    wr.bit(1)
+    body = bytearray()
+    for band in res.bands:
+        gw, gh, blocks, incl, zbt = prec.bands[band.kind]
+        for j in range(gh):
+            for i in range(gw):
+                blk = blocks[(i, j)]
+                contrib = payload.get((band.kind, i, j))
+                if not blk.included:
+                    first = incl.encode(i, j, layer + 1, wr.bit)
+                    if not first:
+                        if contrib:
+                            raise AssertionError("JP2: inclusion tree "
+                                                 "disagrees with payload")
+                        continue
+                else:
+                    wr.bit(1 if contrib else 0)
+                if not contrib:
+                    if not blk.included:
+                        raise AssertionError("JP2: first inclusion without "
+                                             "payload")
+                    continue
+                npass, data = contrib
+                if not blk.included:
+                    zbt.encode_value(i, j, wr.bit)
+                    blk.included = True
+                _write_npasses(wr, npass)
+                need = max(1, len(data).bit_length()) \
+                    - (npass.bit_length() - 1)
+                while blk.lblock < need:
+                    wr.bit(1)
+                    blk.lblock += 1
+                wr.bit(0)
+                wr.bits(len(data), blk.lblock + npass.bit_length() - 1)
+                body += data
+    return wr.flush() + (b"\xff\x92" if eph else b"") + bytes(body)
+
+
+# ------------------------------------------------ marker parsing (Annex A)
+
+
+class _Cod:
+    __slots__ = ("prog", "nlayers", "mct", "levels", "xcb", "ycb",
+                 "cbstyle", "reversible", "prec", "sop", "eph")
+
+
+class _Qcd:
+    __slots__ = ("style", "guard", "exps", "mants")
+
+
+def _parse_cod_params(body: bytes, off: int, scod: int) -> _Cod:
+    c = _Cod()
+    c.levels = body[off]
+    c.xcb = (body[off + 1] & 0x0F) + 2
+    c.ycb = (body[off + 2] & 0x0F) + 2
+    if c.xcb + c.ycb > 12 or c.xcb > 10 or c.ycb > 10:
+        raise ValueError("JP2: illegal code-block size")
+    c.cbstyle = body[off + 3]
+    if c.cbstyle & 0x1F:
+        raise NotImplementedError(
+            "JP2: code-block style 0x%02x (bypass/reset/termall/vcausal/"
+            "predictable termination)" % c.cbstyle)
+    c.reversible = body[off + 4] == 1
+    if scod & 1:
+        c.prec = [(body[off + 5 + r] & 0x0F, body[off + 5 + r] >> 4)
+                  for r in range(c.levels + 1)]
+    else:
+        c.prec = [(15, 15)] * (c.levels + 1)
+    for r, (px, py) in enumerate(c.prec):
+        if (px == 0 or py == 0) and r > 0:
+            raise ValueError("JP2: precinct size 1 outside resolution 0")
+    c.sop = bool(scod & 2)
+    c.eph = bool(scod & 4)
+    return c
+
+
+def _parse_qcd(body: bytes) -> _Qcd:
+    q = _Qcd()
+    q.style = body[0] & 0x1F
+    q.guard = body[0] >> 5
+    q.exps, q.mants = [], []
+    if q.style == 0:
+        for b in body[1:]:
+            q.exps.append(b >> 3)
+            q.mants.append(0)
+    elif q.style in (1, 2):
+        for k in range(1, len(body) - 1, 2):
+            v = _U16.unpack_from(body, k)[0]
+            q.exps.append(v >> 11)
+            q.mants.append(v & 0x7FF)
+    else:
+        raise ValueError(f"JP2: bad quantization style {q.style}")
+    return q
+
+
+def _band_index(kind: str, r: int) -> int:
+    """Index into QCD subband lists (B.12: LL, then HL,LH,HH per level)."""
+    if r == 0:
+        return 0
+    return 3 * (r - 1) + {"HL": 1, "LH": 2, "HH": 3}[kind]
+
+
+def _band_mb_delta(q: _Qcd, kind: str, r: int, levels: int, depth: int):
+    """(Mb, Δ) for a band: magnitude bitplane count and quant step."""
+    gain = _GAIN[kind]
+    rb = depth + gain
+    if q.style == 1:  # derived: one value, scaled per level
+        nb = levels if r == 0 else levels - r + 1
+        eps = q.exps[0] - levels + nb
+        mant = q.mants[0]
+    else:
+        idx = _band_index(kind, r)
+        if idx >= len(q.exps):
+            raise ValueError("JP2: QCD has too few subband entries")
+        eps, mant = q.exps[idx], q.mants[idx]
+    mb = q.guard + eps - 1
+    if q.style == 0:
+        return mb, 1.0
+    return mb, (2.0 ** (rb - eps)) * (1.0 + mant / 2048.0)
+
+
+class _Stream:
+    """Parsed codestream: SIZ + per-component COD/QCD + tile-part data."""
+
+    def __init__(self, buf: bytes):
+        if buf[:2] != b"\xff\x4f":
+            raise ValueError("JP2: missing SOC")
+        pos = 2
+        self.cod = None
+        self.qcd = None
+        self.coc: dict[int, _Cod] = {}
+        self.qcc: dict[int, _Qcd] = {}
+        self.tiles: dict[int, bytearray] = {}
+        n = len(buf)
+        while pos + 4 <= n:
+            if buf[pos] != 0xFF:
+                raise ValueError("JP2: marker expected in main header")
+            marker = buf[pos:pos + 2]
+            if marker == b"\xff\xd9":  # EOC
+                pos += 2
+                break
+            ln = _U16.unpack_from(buf, pos + 2)[0]
+            body = buf[pos + 4:pos + 2 + ln]
+            if marker == b"\xff\x51":  # SIZ
+                self._parse_siz(body)
+            elif marker == b"\xff\x52":  # COD
+                self.cod = _parse_cod_params(body, 5, body[0])
+                self.cod.prog = body[1]
+                self.cod.nlayers = _U16.unpack_from(body, 2)[0]
+                self.cod.mct = body[4]
+            elif marker == b"\xff\x53":  # COC
+                ci, off = (body[0], 1) if self.ncomp < 257 else \
+                    (_U16.unpack_from(body, 0)[0], 2)
+                c = _parse_cod_params(body, off + 1, body[off])
+                c.prog, c.nlayers, c.mct = (self.cod.prog,
+                                            self.cod.nlayers, self.cod.mct)
+                self.coc[ci] = c
+            elif marker == b"\xff\x5c":  # QCD
+                self.qcd = _parse_qcd(body)
+            elif marker == b"\xff\x5d":  # QCC
+                ci, off = (body[0], 1) if self.ncomp < 257 else \
+                    (_U16.unpack_from(body, 0)[0], 2)
+                self.qcc[ci] = _parse_qcd(body[off:])
+            elif marker == b"\xff\x5e":
+                raise NotImplementedError("JP2: RGN (ROI) marker")
+            elif marker == b"\xff\x5f":
+                raise NotImplementedError("JP2: POC progression change")
+            elif marker == b"\xff\x60":
+                raise NotImplementedError("JP2: PPM packed packet headers")
+            elif marker == b"\xff\x90":  # SOT: tile-parts start
+                pos = self._parse_tileparts(buf, pos)
+                break
+            # TLM/PLM/CRG/COM and anything else informational: skip
+            pos += 2 + ln
+        if self.cod is None or self.qcd is None:
+            raise ValueError("JP2: missing COD or QCD")
+
+    def _parse_siz(self, body: bytes):
+        if len(body) < 39:
+            raise ValueError("JP2: truncated SIZ")
+        (rsiz, xsiz, ysiz, xo, yo, xt, yt, xto, yto, csiz) = struct.unpack(
+            ">HIIIIIIIIH", body[:36])
+        del rsiz
+        if xo or yo or xto or yto:
+            raise NotImplementedError("JP2: nonzero image/tile offsets")
+        if not (0 < xsiz and 0 < ysiz):
+            raise ValueError("JP2: empty image")
+        if xsiz * ysiz > _MAX_PIXELS:
+            raise ValueError("JP2: image exceeds pixel guard")
+        if csiz < 1 or csiz > 4:
+            raise NotImplementedError(f"JP2: {csiz} components")
+        self.xsiz, self.ysiz, self.xtsiz, self.ytsiz = xsiz, ysiz, xt, yt
+        self.ncomp = csiz
+        if len(body) < 36 + 3 * csiz:
+            raise ValueError("JP2: truncated SIZ component fields")
+        self.depths = []
+        for i in range(csiz):
+            ssiz = body[36 + 3 * i]
+            xr, yr = body[37 + 3 * i], body[38 + 3 * i]
+            if ssiz & 0x80:
+                raise NotImplementedError("JP2: signed components")
+            if xr != 1 or yr != 1:
+                raise NotImplementedError("JP2: component subsampling")
+            depth = (ssiz & 0x7F) + 1
+            if depth > 16:
+                raise NotImplementedError(f"JP2: {depth}-bit samples")
+            self.depths.append(depth)
+
+    def _parse_tileparts(self, buf: bytes, pos: int) -> int:
+        n = len(buf)
+        while pos + 2 <= n:
+            marker = buf[pos:pos + 2]
+            if marker == b"\xff\xd9":
+                return pos + 2
+            if marker != b"\xff\x90":
+                raise ValueError("JP2: expected SOT or EOC, got "
+                                 + marker.hex())
+            if pos + 12 > n:
+                raise ValueError("JP2: truncated SOT")
+            lsot, isot, psot, _tpsot, _tnsot = struct.unpack(
+                ">HHIBB", buf[pos + 2:pos + 12])
+            if lsot != 10:
+                raise ValueError("JP2: bad Lsot")
+            if psot:
+                end = pos + psot
+            else:  # Psot=0: last tile-part, runs to EOC
+                end = n - 2 if buf[n - 2:n] == b"\xff\xd9" else n
+            # tile-part header: markers until SOD
+            q = pos + 12
+            while True:
+                m2 = buf[q:q + 2]
+                if m2 == b"\xff\x93":  # SOD
+                    q += 2
+                    break
+                if m2 == b"\xff\x61":
+                    raise NotImplementedError("JP2: PPT packed headers")
+                if m2 in (b"\xff\x52", b"\xff\x53", b"\xff\x5c", b"\xff\x5d",
+                          b"\xff\x5e", b"\xff\x5f"):
+                    raise NotImplementedError(
+                        "JP2: per-tile coding-style override")
+                ln2 = _U16.unpack_from(buf, q + 2)[0]
+                q += 2 + ln2  # PLT/COM: skip
+            self.tiles.setdefault(isot, bytearray()).extend(buf[q:end])
+            pos = end
+        raise ValueError("JP2: missing EOC")
+
+    def comp_cod(self, c: int) -> _Cod:
+        return self.coc.get(c, self.cod)
+
+    def comp_qcd(self, c: int) -> _Qcd:
+        return self.qcc.get(c, self.qcd)
+
+
+# ----------------------------------------------------------- tile decode
+
+
+def _progression_iter(prog: int, nlayers: int, maxres: int,
+                      ncomp: int, npackets):
+    """Yield (layer, res, comp, precinct) in codestream order.
+    ``npackets(c, r)`` → precinct count (0 when r exceeds that
+    component's levels or the resolution is empty)."""
+    if prog == 0:  # LRCP
+        for l in range(nlayers):
+            for r in range(maxres + 1):
+                for c in range(ncomp):
+                    for p in range(npackets(c, r)):
+                        yield l, r, c, p
+    elif prog == 1:  # RLCP
+        for r in range(maxres + 1):
+            for l in range(nlayers):
+                for c in range(ncomp):
+                    for p in range(npackets(c, r)):
+                        yield l, r, c, p
+    elif prog == 2:  # RPCL (uniform component geometry)
+        for r in range(maxres + 1):
+            maxp = max((npackets(c, r) for c in range(ncomp)), default=0)
+            for p in range(maxp):
+                for c in range(ncomp):
+                    if p < npackets(c, r):
+                        for l in range(nlayers):
+                            yield l, r, c, p
+    else:
+        raise NotImplementedError(f"JP2: progression order {prog}")
+
+
+def _decode_tilecomp(stream: _Stream, rescomps: list[_Res], cod: _Cod,
+                     qcd: _Qcd, depth: int):
+    """Tier-1 every included block, dequantize, inverse DWT → array."""
+    levels = cod.levels
+    segmark = bool(cod.cbstyle & 0x20)
+    reversible = cod.reversible
+    for res in rescomps:
+        for band in res.bands:
+            bw, bh = band.x1 - band.x0, band.y1 - band.y0
+            arr = np.zeros((max(bh, 0), max(bw, 0)),
+                           dtype=np.int64 if reversible else np.float64)
+            mb, delta = _band_mb_delta(qcd, band.kind, res.r, levels, depth)
+            for prec in res.precincts.values():
+                gw, gh, blocks, _i, _z = prec.bands[band.kind]
+                for blk in blocks.values():
+                    if not blk.included or blk.npasses == 0:
+                        continue
+                    data = b"".join(blk.segs)
+                    w, h = blk.x1 - blk.x0, blk.y1 - blk.y0
+                    mag, sign = _t1_decode(data, w, h, band.kind,
+                                           blk.npasses, mb - blk.zb,
+                                           segmark)
+                    vals = mag * sign
+                    if not reversible:
+                        vals = vals.astype(np.float64) * delta
+                    arr[blk.y0 - band.y0:blk.y1 - band.y0,
+                        blk.x0 - band.x0:blk.x1 - band.x0] = vals
+            band.coeffs = arr
+    # inverse DWT: stitch resolutions bottom-up
+    ll = rescomps[0].bands[0].coeffs
+    for r in range(1, levels + 1):
+        res = rescomps[r]
+        hl, lh, hh = (b.coeffs for b in res.bands)
+        y = np.zeros((res.y1 - res.y0, res.x1 - res.x0),
+                     dtype=np.int64 if reversible else np.float64)
+        us = np.arange(res.x0, res.x1)
+        vs = np.arange(res.y0, res.y1)
+        ue, uo = us % 2 == 0, us % 2 == 1
+        ve, vo = vs % 2 == 0, vs % 2 == 1
+        prev = rescomps[r - 1]
+        for mask_v, mask_u, src, sx0, sy0 in (
+            (ve, ue, ll, prev.x0, prev.y0),
+            (ve, uo, hl, res.bands[0].x0, res.bands[0].y0),
+            (vo, ue, lh, res.bands[1].x0, res.bands[1].y0),
+            (vo, uo, hh, res.bands[2].x0, res.bands[2].y0),
+        ):
+            rows = np.flatnonzero(mask_v)
+            cols = np.flatnonzero(mask_u)
+            if rows.size and cols.size:
+                sr = vs[rows] // 2 - sy0
+                sc = us[cols] // 2 - sx0
+                y[np.ix_(rows, cols)] = src[np.ix_(sr, sc)]
+        ll = _sr_2d(y, res.x0, res.x1, res.y0, res.y1, reversible)
+    return ll
+
+
+def _mct_inverse(comps: list[np.ndarray], reversible: bool):
+    y0, y1, y2 = (c.astype(np.float64) for c in comps[:3])
+    if reversible:
+        y0, y1, y2 = (c.astype(np.int64) for c in comps[:3])
+        g = y0 - ((y1 + y2) >> 2)
+        r = y2 + g
+        b = y1 + g
+    else:
+        r = y0 + 1.402 * y2
+        g = y0 - 0.344136 * y1 - 0.714136 * y2
+        b = y0 + 1.772 * y1
+    return [r, g, b] + comps[3:]
+
+
+def _mct_forward(comps, reversible: bool):
+    r, g, b = (c.astype(np.int64 if reversible else np.float64)
+               for c in comps[:3])
+    if reversible:
+        y0 = (r + 2 * g + b) >> 2
+        y1 = b - g
+        y2 = r - g
+    else:
+        y0 = 0.299 * r + 0.587 * g + 0.114 * b
+        y1 = -0.16875 * r - 0.331260 * g + 0.5 * b
+        y2 = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return [y0, y1, y2] + list(comps[3:])
+
+
+def _decode_codestream(buf: bytes) -> np.ndarray:
+    st = _Stream(buf)
+    ncomp = st.ncomp
+    depth = st.depths[0]
+    if any(d != depth for d in st.depths):
+        raise NotImplementedError("JP2: heterogeneous component depths")
+    ntx = _ceil_div(st.xsiz, st.xtsiz)
+    nty = _ceil_div(st.ysiz, st.ytsiz)
+    out = [np.zeros((st.ysiz, st.xsiz), dtype=np.float64)
+           for _ in range(ncomp)]
+    for ti in range(ntx * nty):
+        data = bytes(st.tiles.get(ti, b""))
+        if not data:
+            raise ValueError(f"JP2: tile {ti} has no tile-part data")
+        p, q = ti % ntx, ti // ntx
+        tx0, ty0 = p * st.xtsiz, q * st.ytsiz
+        tx1, ty1 = min(tx0 + st.xtsiz, st.xsiz), min(ty0 + st.ytsiz, st.ysiz)
+        percomp = []
+        for c in range(ncomp):
+            cod = st.comp_cod(c)
+            percomp.append(_build_rescomp(tx0, ty0, tx1, ty1, cod.levels,
+                                          cod.prec, cod.xcb, cod.ycb))
+        maxres = max(st.comp_cod(c).levels for c in range(ncomp))
+
+        def npackets(c, r):
+            if r > st.comp_cod(c).levels:
+                return 0
+            res = percomp[c][r]
+            return res.npw * res.nph
+
+        pos = 0
+        cod0 = st.cod
+        for l, r, c, pi in _progression_iter(cod0.prog, cod0.nlayers,
+                                             maxres, ncomp, npackets):
+            cod_c = st.comp_cod(c)
+            pos = _decode_packet(data, pos, percomp[c][r], pi, l,
+                                 cod_c.sop, cod_c.eph)
+        comps = []
+        for c in range(ncomp):
+            cod_c = st.comp_cod(c)
+            comps.append(_decode_tilecomp(st, percomp[c], cod_c,
+                                          st.comp_qcd(c), depth))
+        if cod0.mct == 1:
+            if ncomp < 3:
+                raise ValueError("JP2: MCT with fewer than 3 components")
+            comps = _mct_inverse(comps, cod0.reversible)
+        for c in range(ncomp):
+            arr = comps[c].astype(np.float64)
+            out[c][ty0:ty1, tx0:tx1] = arr
+    shift = 1 << (depth - 1)
+    hi = (1 << depth) - 1
+    planes = [np.clip(np.rint(a + shift), 0, hi) for a in out]
+    dt = np.uint8 if depth <= 8 else np.uint16
+    if ncomp == 1:
+        return planes[0].astype(dt)
+    return np.stack(planes, axis=-1).astype(dt)
+
+
+# ------------------------------------------------------------- encoder
+
+
+def _marker(code: bytes, body: bytes) -> bytes:
+    return code + _U16.pack(len(body) + 2) + body
+
+
+def _eps_mant_from_delta(delta: float, rb: int) -> tuple[int, int]:
+    """(ε, μ) with Δ = 2^(rb-ε)·(1+μ/2048), 1 ≤ Δ·2^(ε-rb) < 2."""
+    eps = rb
+    while delta * (2.0 ** (eps - rb)) >= 2.0:
+        eps -= 1
+    while delta * (2.0 ** (eps - rb)) < 1.0:
+        eps += 1
+    if not 0 <= eps <= 31:
+        raise ValueError("JP2: quant step out of representable range")
+    mant = int(round((delta * (2.0 ** (eps - rb)) - 1.0) * 2048.0))
+    return eps, max(0, min(2047, mant))
+
+
+def _encode_codestream(comps: list[np.ndarray], depth: int, *,
+                       levels: int = 3, reversible: bool = True,
+                       tile: tuple[int, int] | None = None,
+                       cb: tuple[int, int] = (6, 6), prog: str = "LRCP",
+                       layers: int = 1, mct: bool = False,
+                       qstep: float = 1.0 / 64.0, segmark: bool = False,
+                       eph: bool = False,
+                       precincts: list[tuple[int, int]] | None = None
+                       ) -> bytes:
+    """Write a T.800 codestream.  ``comps`` are uint arrays of one shape;
+    5/3 when ``reversible`` (lossless), else 9/7 quantized at ``qstep``
+    (relative to the nominal range)."""
+    h, w = comps[0].shape
+    ncomp = len(comps)
+    xtsiz, ytsiz = tile if tile else (w, h)
+    ntx, nty = _ceil_div(w, xtsiz), _ceil_div(h, ytsiz)
+    prog_id = {"LRCP": 0, "RLCP": 1, "RPCL": 2}[prog]
+    xcb, ycb = cb
+    prec = precincts if precincts else [(15, 15)] * (levels + 1)
+    if len(prec) != levels + 1:
+        raise ValueError("JP2: precinct list must cover levels+1 entries")
+    guard = 2
+    shift = 1 << (depth - 1)
+
+    # ---- per-band quantization table (shared by all tiles; expounded)
+    nbands = 3 * levels + 1
+    band_eps = [0] * nbands
+    band_mant = [0] * nbands
+    band_delta = [1.0] * nbands
+    kinds_by_index: list[tuple[str, int]] = [("LL", 0)]
+    for r in range(1, levels + 1):
+        for kind in ("HL", "LH", "HH"):
+            kinds_by_index.append((kind, r))
+    if reversible:
+        for bi, (kind, _r) in enumerate(kinds_by_index):
+            band_eps[bi] = depth + _GAIN[kind]
+    else:
+        for bi, (kind, r) in enumerate(kinds_by_index):
+            rb = depth + _GAIN[kind]
+            # finer steps at higher resolutions' parents: keep simple —
+            # a single relative step for every band
+            eps, mant = _eps_mant_from_delta(qstep * (1 << _GAIN[kind]), rb)
+            band_eps[bi], band_mant[bi] = eps, mant
+            band_delta[bi] = (2.0 ** (rb - eps)) * (1 + mant / 2048.0)
+
+    # ---- phase 1: DWT + quantize every tile, track per-band magnitudes
+    # (the QCD is global, so Mb must be fixed from ALL tiles' data before
+    # any tier-1 encoding)
+    tiles_q: list[list[dict]] = []  # [tile][comp] -> {(r, kind): qarr}
+    band_qmax = [0] * nbands
+    for ti in range(ntx * nty):
+        p, q = ti % ntx, ti // ntx
+        tx0, ty0 = p * xtsiz, q * ytsiz
+        tx1, ty1 = min(tx0 + xtsiz, w), min(ty0 + ytsiz, h)
+        tcomps = [c[ty0:ty1, tx0:tx1].astype(np.int64) - shift
+                  for c in comps]
+        if mct:
+            tcomps = _mct_forward(tcomps, reversible)
+        tile_comps_q = []
+        for c in range(ncomp):
+            rescomps = _build_rescomp(tx0, ty0, tx1, ty1, levels, prec,
+                                      xcb, ycb)
+            ll = tcomps[c].astype(np.int64 if reversible else np.float64)
+            band_arrays: dict[tuple[int, str], np.ndarray] = {}
+            for r in range(levels, 0, -1):
+                res = rescomps[r]
+                y = _sd_2d(ll, res.x0, res.x1, res.y0, res.y1, reversible)
+                us = np.arange(res.x0, res.x1)
+                vs = np.arange(res.y0, res.y1)
+                nextll = None
+                for mask_v, mask_u, kind in (
+                    (vs % 2 == 0, us % 2 == 0, None),
+                    (vs % 2 == 0, us % 2 == 1, "HL"),
+                    (vs % 2 == 1, us % 2 == 0, "LH"),
+                    (vs % 2 == 1, us % 2 == 1, "HH"),
+                ):
+                    rows = np.flatnonzero(mask_v)
+                    cols = np.flatnonzero(mask_u)
+                    sub = y[np.ix_(rows, cols)] if rows.size and cols.size \
+                        else y[:0, :0]
+                    if kind is None:
+                        nextll = sub
+                    else:
+                        band_arrays[(r, kind)] = sub
+                ll = nextll
+            band_arrays[(0, "LL")] = ll
+            qmap = {}
+            for (r, kind), arr in band_arrays.items():
+                bi = _band_index(kind, r)
+                if reversible:
+                    qarr = arr.astype(np.int64)
+                else:
+                    d = band_delta[bi]
+                    qarr = (np.sign(arr)
+                            * np.floor(np.abs(arr) / d)).astype(np.int64)
+                qmap[(r, kind)] = qarr
+                if qarr.size:
+                    band_qmax[bi] = max(band_qmax[bi],
+                                        int(np.abs(qarr).max()))
+            tile_comps_q.append(qmap)
+        tiles_q.append(tile_comps_q)
+
+    # ---- fix Mb: reversible bumps per-band exponents (Δ unused there);
+    # irreversible can only widen the global guard (Δ is tied to ε)
+    if reversible:
+        for bi in range(nbands):
+            need = band_qmax[bi].bit_length()
+            band_eps[bi] = max(band_eps[bi], need - guard + 1)
+    else:
+        for bi in range(nbands):
+            need = band_qmax[bi].bit_length()
+            guard = max(guard, need - band_eps[bi] + 1)
+        if guard > 7:
+            raise ValueError("JP2: 9/7 coefficients need more than 7 "
+                             "guard bits — reduce levels or enlarge qstep")
+    band_mb = [guard + band_eps[bi] - 1 for bi in range(nbands)]
+
+    # ---- phase 2: tier-1 + packets per tile
+    tile_streams: list[bytes] = []
+    for ti in range(ntx * nty):
+        p, q = ti % ntx, ti // ntx
+        tx0, ty0 = p * xtsiz, q * ytsiz
+        tx1, ty1 = min(tx0 + xtsiz, w), min(ty0 + ytsiz, h)
+        percomp = []
+        for c in range(ncomp):
+            rescomps = _build_rescomp(tx0, ty0, tx1, ty1, levels, prec,
+                                      xcb, ycb)
+            percomp.append(rescomps)
+            qmap = tiles_q[ti][c]
+            for res in rescomps:
+                for band in res.bands:
+                    bi = _band_index(band.kind, res.r)
+                    qarr = qmap[(res.r, band.kind)]
+                    mb = band_mb[bi]
+                    for prec_obj in res.precincts.values():
+                        gw, gh, blocks, incl, zbt = prec_obj.bands[band.kind]
+                        for (i, j), blk in blocks.items():
+                            sub = qarr[blk.y0 - band.y0:blk.y1 - band.y0,
+                                       blk.x0 - band.x0:blk.x1 - band.x0]
+                            data, npasses, zb = _t1_encode(
+                                sub, band.kind, mb, segmark=segmark)
+                            if npasses == 0:
+                                blk.zb = mb  # never included
+                                blk.segs = []
+                                blk.npasses = 0
+                            else:
+                                blk.zb = zb
+                                blk.segs = [data]
+                                blk.npasses = npasses
+        # install tag-tree values per precinct: inclusion layer + zb
+        for c in range(ncomp):
+            for res in percomp[c]:
+                for band in res.bands:
+                    for prec_obj in res.precincts.values():
+                        gw, gh, blocks, incl, zbt = prec_obj.bands[band.kind]
+                        if not blocks:
+                            continue
+                        inc_vals = np.zeros((gh, gw), dtype=np.int64)
+                        zb_vals = np.zeros((gh, gw), dtype=np.int64)
+                        for (i, j), blk in blocks.items():
+                            first = 0 if blk.npasses else layers
+                            if blk.npasses and layers > 1:
+                                first = 0  # all first-included in layer 0
+                            inc_vals[j, i] = first
+                            zb_vals[j, i] = blk.zb
+                        incl.set_values(inc_vals)
+                        zbt.set_values(zb_vals)
+        # split each block's (data, passes) across layers at byte bounds
+        def layer_payload(c, r, pi, l):
+            res = percomp[c][r]
+            prec_obj = res.precincts[pi]
+            payload = {}
+            for band in res.bands:
+                gw, gh, blocks, _i, _z = prec_obj.bands[band.kind]
+                for (i, j), blk in blocks.items():
+                    if not blk.npasses:
+                        continue
+                    data = blk.segs[0]
+                    if layers == 1:
+                        if l == 0:
+                            payload[(band.kind, i, j)] = (blk.npasses, data)
+                        continue
+                    # two-layer split: passes and bytes halved
+                    np0 = max(1, blk.npasses // 2)
+                    b0 = len(data) // 2
+                    if l == 0:
+                        payload[(band.kind, i, j)] = (np0, data[:b0])
+                    elif blk.npasses - np0 > 0:
+                        payload[(band.kind, i, j)] = (blk.npasses - np0,
+                                                      data[b0:])
+            return payload
+
+        def npackets(c, r):
+            res = percomp[c][r]
+            return res.npw * res.nph
+
+        body = bytearray()
+        for l, r, c, pi in _progression_iter(prog_id, layers, levels,
+                                             ncomp, npackets):
+            body += _encode_packet(percomp[c][r], pi, l,
+                                   layer_payload(c, r, pi, l), eph=eph)
+        tile_streams.append(bytes(body))
+
+    # ---- markers
+    out = bytearray(b"\xff\x4f")  # SOC
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, xtsiz, ytsiz, 0, 0,
+                      ncomp)
+    for _ in range(ncomp):
+        siz += bytes([depth - 1, 1, 1])
+    out += _marker(b"\xff\x51", siz)
+    custom_prec = precincts is not None
+    scod = (1 if custom_prec else 0) | (4 if eph else 0)
+    spcod = bytes([levels, xcb - 2, ycb - 2, 0x20 if segmark else 0,
+                   1 if reversible else 0])
+    if custom_prec:
+        spcod += bytes([(py << 4) | px for px, py in prec])
+    cod = bytes([scod, prog_id]) + _U16.pack(layers) + \
+        bytes([1 if mct else 0]) + spcod
+    out += _marker(b"\xff\x52", cod)
+    if reversible:
+        qcd = bytes([(guard << 5) | 0])
+        qcd += bytes((e << 3) for e in band_eps)
+    else:
+        qcd = bytes([(guard << 5) | 2])
+        for e, m in zip(band_eps, band_mant):
+            qcd += _U16.pack((e << 11) | m)
+    out += _marker(b"\xff\x5c", qcd)
+    for ti, tdata in enumerate(tile_streams):
+        psot = 12 + 2 + len(tdata)
+        out += b"\xff\x90" + struct.pack(">HHIBB", 10, ti, psot, 0, 1)
+        out += b"\xff\x93" + tdata
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------- JP2 container (I.5)
+
+_JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+
+
+def _jp2_wrap(codestream: bytes, w: int, h: int, ncomp: int,
+              depth: int) -> bytes:
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return _U32.pack(8 + len(payload)) + btype + payload
+
+    ihdr = box(b"ihdr", _U32.pack(h) + _U32.pack(w) + _U16.pack(ncomp)
+               + bytes([depth - 1, 7, 0, 0]))
+    colr = box(b"colr", bytes([1, 0, 0]) + _U32.pack(16 if ncomp >= 3
+                                                     else 17))
+    ftyp = box(b"ftyp", b"jp2 " + _U32.pack(0) + b"jp2 ")
+    jp2h = box(b"jp2h", ihdr + colr)
+    return _JP2_SIG + ftyp + jp2h + box(b"jp2c", codestream)
+
+
+def _jp2_unwrap(buf: bytes) -> bytes:
+    """Extract the codestream from a JP2/JPX box file."""
+    pos = 0
+    n = len(buf)
+    while pos + 8 <= n:
+        ln = _U32.unpack_from(buf, pos)[0]
+        btype = buf[pos + 4:pos + 8]
+        payload_off = pos + 8
+        if ln == 1:  # extended 64-bit length
+            ln = struct.unpack_from(">Q", buf, pos + 8)[0]
+            payload_off = pos + 16
+        if ln == 0:  # to end of file
+            end = n
+        else:
+            end = pos + ln
+        if end > n or end <= pos:
+            raise ValueError("JP2: malformed box length")
+        if btype == b"jp2c":
+            return buf[payload_off:end]
+        pos = end
+    raise ValueError("JP2: no contiguous codestream box")
+
+
+# ------------------------------------------------------------- public API
+
+
+def decode_jp2(data: bytes) -> np.ndarray:
+    """JP2 box file or raw codestream → uint8/uint16 array
+    (H, W) gray or (H, W, C)."""
+    data = bytes(data)  # Arrow hands signed-format memoryviews, whose
+    # slices never compare equal to bytes literals
+    if len(data) < 4:
+        raise ValueError("JP2: truncated payload")
+    if data[:12] == _JP2_SIG:
+        return _decode_codestream(_jp2_unwrap(data))
+    if data[:2] == b"\xff\x4f":
+        return _decode_codestream(data)
+    raise ValueError("JP2: neither a JP2 box file nor a raw codestream")
+
+
+def encode_jp2_gray(img: np.ndarray, *, container: str = "jp2",
+                    **opts) -> bytes:
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("encode_jp2_gray wants an (H, W) array")
+    depth = 16 if img.dtype == np.uint16 else 8
+    cs = _encode_codestream([img], depth, **opts)
+    if container == "raw":
+        return cs
+    return _jp2_wrap(cs, img.shape[1], img.shape[0], 1, depth)
+
+
+def encode_jp2_rgb(img: np.ndarray, *, container: str = "jp2",
+                   mct: bool = True, **opts) -> bytes:
+    img = np.asarray(img)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jp2_rgb wants an (H, W, 3) array")
+    comps = [img[:, :, k] for k in range(3)]
+    cs = _encode_codestream(comps, 8, mct=mct, **opts)
+    if container == "raw":
+        return cs
+    return _jp2_wrap(cs, img.shape[1], img.shape[0], 3, 8)
+
+
+def probe_jp2(data: bytes) -> dict:
+    """Header-only inventory: width/height/components/depth."""
+    try:
+        data = bytes(data[:4096])  # header-only: O(header) bytes touched
+        if data[:12] == _JP2_SIG:
+            # lenient box walk: the jp2c box body extends past the probe
+            # window; only the SIZ at its head is needed
+            pos, buf = 0, None
+            while pos + 8 <= len(data):
+                ln = _U32.unpack_from(data, pos)[0]
+                btype = data[pos + 4:pos + 8]
+                off = pos + 8
+                if ln == 1:
+                    off = pos + 16
+                if btype == b"jp2c":
+                    buf = data[off:]
+                    break
+                pos = len(data) if ln == 0 else pos + ln
+            if buf is None:
+                raise ValueError("no codestream box in probe window")
+        else:
+            buf = data
+        if buf[:2] != b"\xff\x4f" or buf[2:4] != b"\xff\x51":
+            raise ValueError("no SIZ after SOC")
+        xsiz, ysiz = struct.unpack_from(">II", buf, 8)
+        ncomp = _U16.unpack_from(buf, 40)[0]
+        depth = (buf[42] & 0x7F) + 1
+        return {"width": xsiz, "height": ysiz, "ncomp": ncomp,
+                "depth": depth}
+    except Exception:
+        return {}

@@ -118,6 +118,19 @@ def probe_bytes(payload: bytes) -> dict:
             out.update(_probe_ogg(full))
         elif buf[:3] == b"ID3" or (len(buf) >= 2 and buf[0] == 0xFF and buf[1] & 0xE0 == 0xE0):
             out.update(format="mp3", kind="audio", **_probe_mp3(full))
+        elif (buf[:4] == b"\x00\x00\x00\x0c" and buf[4:8] == b"jP  ") or \
+                (buf[:2] == b"\xff\x4f" and buf[2:4] == b"\xff\x51"):
+            # JPEG 2000: JP2 box file or raw T.800 codestream — header-only
+            # SIZ parse (width/height/components/depth)
+            from .jp2 import probe_jp2
+
+            info = probe_jp2(full)
+            out.update(format="jp2", kind="image", codec="jpeg2000",
+                       n_frames=1 if info else 0,
+                       width=info.get("width", 0),
+                       height=info.get("height", 0))
+            if not info:
+                out["codec"] = "malformed"
         elif buf[:8] == b"\x97JB2\r\n\x1a\n":
             # standalone JBIG2 file (T.88 Annex D.1): file header +
             # segment sequence; page count from the header when known,

@@ -198,7 +198,7 @@ WHERE 1 = 0
 
 
 RESIZE_W, RESIZE_H = 24, 18
-_LOSSLESS = ("img1", "png", "gif", "bmp", "tiff")
+_LOSSLESS = ("img1", "png", "gif", "bmp", "tiff", "jp2")
 IMAGES_SCHEMA = "media_ref string, content binary, want_md5 string"
 
 
@@ -215,6 +215,7 @@ def _image_batches(batches: Iterator) -> Iterator:
 
     from ..bmp import encode_bmp_gray
     from ..gif import encode_gif_gray
+    from ..jp2 import encode_jp2_gray
     from ..media import encode_image
     from ..png import encode_png
     from ..tiff import encode_tiff_gray
@@ -227,6 +228,9 @@ def _image_batches(batches: Iterator) -> Iterator:
         # LZW TIFF: lossless, and the strip decode exercises the TIFF-
         # variant LZW + IFD walk under the same hash gate as the others
         "tiff": lambda img: encode_tiff_gray(img, "lzw"),
+        # reversible-5/3 JPEG 2000: lossless, exercises the full T.800
+        # chain (tag trees, EBCOT tier-1, inverse DWT) under the gate
+        "jp2": lambda img: encode_jp2_gray(img, levels=2),
     }
     for pdf in batches:
         rows = []
@@ -245,11 +249,11 @@ def _image_batches(batches: Iterator) -> Iterator:
 
 def q48_resize_format_verify(spark, sf_dir):
     """Resize-stage verify, empty-on-success: deterministic images encoded
-    across every LOSSLESS raster codec (IMG1/PNG/GIF/BMP/LZW-TIFF) go through the
+    across every LOSSLESS raster codec (IMG1/PNG/GIF/BMP/LZW-TIFF/JP2) go through the
     real ``resize_images`` stage; the output pixel bytes (IMG1 payload
     minus its 12-byte header, hashed in-plan via ``md5(substring(...))``)
     must equal the plan-side nearest-neighbor expectation EXACTLY — pinning
-    the magic-routed decode and the resize arithmetic for all five codecs
+    the magic-routed decode and the resize arithmetic for all six codecs
     in the driver's hard gate.  Rows = failed checks."""
     from ..multimodal import resize_images
 
@@ -287,7 +291,7 @@ def q48_resize_format_verify(spark, sf_dir):
 
 
 INVENTORY_FORMATS = (
-    "img1", "png", "jpeg", "gif", "bmp", "tiff",
+    "img1", "png", "jpeg", "gif", "bmp", "tiff", "jp2",
     "wav", "flac", "avi", "mp4", "mkv",
 )
 INVENTORY_SCHEMA = "media_ref string, content binary"
@@ -301,6 +305,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
     from ..bmp import encode_bmp_gray
     from ..flac import encode_flac
     from ..gif import encode_gif_gray
+    from ..jp2 import encode_jp2_gray
     from ..jpeg import encode_jpeg_gray
     from ..media import encode_image
     from ..mkv import encode_mkv_mjpeg
@@ -338,6 +343,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
                     [encode_jpeg_gray(img)] * nf, w, h, fps=10
                 ),
                 "tiff": lambda: encode_tiff_gray(img, "lzw"),
+                "jp2": lambda: encode_jp2_gray(img, levels=2),
             }[fmt]
             rows.append((f"{fmt}-{i:04d}", enc()))
         yield pd.DataFrame(rows, columns=["media_ref", "content"])
@@ -345,7 +351,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
 
 def q49_media_inventory_verify(spark, sf_dir):
     """The crawl-inventory stage (header-only `probe_media`) in the hard
-    gate, empty-on-success: a distributed mixed-format corpus (all eleven
+    gate, empty-on-success: a distributed mixed-format corpus (all twelve
     native formats in one batch) probes to exactly the format / kind /
     dimensions / sample-rate / duration the plan arithmetic predicts —
     every field compared as a string so one query pins the whole row."""
@@ -357,7 +363,7 @@ def q49_media_inventory_verify(spark, sf_dir):
         F.array(*[F.lit(f) for f in INVENTORY_FORMATS]),
         (F.col("i") % len(INVENTORY_FORMATS)) + 1,
     )
-    is_img = fmt.isin("img1", "png", "jpeg", "gif", "bmp", "tiff")
+    is_img = fmt.isin("img1", "png", "jpeg", "gif", "bmp", "tiff", "jp2")
     is_aud = fmt.isin("wav", "flac")
     is_vid = fmt.isin("avi", "mp4", "mkv")
     h = F.lit(24) + (F.col("i") % 3) * 8

@@ -219,8 +219,9 @@ def test_extract_spans_equality_over_mixed_corpus(spark):
     )
 
     docs, blobs, expected = gen_corpus(12, codec="mixed")
-    # 7 distinct magics: pdf and pdfscan share %PDF; tiff adds b"II"
-    assert len({bytes(b["content"][:2]) for b in blobs}) == 7  # all formats
+    # 8 distinct magics: pdf and pdfscan share %PDF; tiff adds b"II",
+    # jp2 adds the JP2 signature box
+    assert len({bytes(b["content"][:2]) for b in blobs}) == 8  # all formats
     hdocs, hexp = zip(*(gen_html_doc(i) for i in range(4)))
     docs_df = spark.createDataFrame(docs + list(hdocs), DOCS_SCHEMA).repartition(8)
     blobs_df = spark.createDataFrame(blobs, BLOBS_SCHEMA).repartition(8)
