@@ -358,9 +358,9 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
     (from-scratch LZW, ``gif.py``), vector ``pdf``, or ``pdfscan`` (a PDF
     whose page is ONE full-page 1-bit CCITT G4 image — the real scanned-
     document shape; lossless here because fixture pages are binary), or
-    ``tiff`` (a 1-bit G4 TIFF page — the fax-archive shape) — same
-    expected spans, so end-to-end tests pin format routing.  or ``jp2``
-    (a reversible-5/3 JPEG 2000 page, from-scratch T.800).  ``mixed``
+    ``tiff`` (a 1-bit G4 TIFF page — the fax-archive shape), or ``jp2``
+    (a reversible-5/3 JPEG 2000 page, from-scratch T.800) — same
+    expected spans, so end-to-end tests pin format routing.  ``mixed``
     rotates the format per document across all nine (the web-crawl shape:
     one corpus, every payload format interleaved).
     """

@@ -45,6 +45,7 @@ from .jbig2 import _Ctx, _MQDecoder, _MQEncoder
 
 __all__ = [
     "decode_jp2",
+    "decode_jp2_gray8",
     "encode_jp2_gray",
     "encode_jp2_rgb",
     "probe_jp2",
@@ -963,6 +964,7 @@ class _Stream:
         self.coc: dict[int, _Cod] = {}
         self.qcc: dict[int, _Qcd] = {}
         self.tiles: dict[int, bytearray] = {}
+        pending_coc: list[bytes] = []
         n = len(buf)
         while pos + 4 <= n:
             if buf[pos] != 0xFF:
@@ -980,13 +982,8 @@ class _Stream:
                 self.cod.prog = body[1]
                 self.cod.nlayers = _U16.unpack_from(body, 2)[0]
                 self.cod.mct = body[4]
-            elif marker == b"\xff\x53":  # COC
-                ci, off = (body[0], 1) if self.ncomp < 257 else \
-                    (_U16.unpack_from(body, 0)[0], 2)
-                c = _parse_cod_params(body, off + 1, body[off])
-                c.prog, c.nlayers, c.mct = (self.cod.prog,
-                                            self.cod.nlayers, self.cod.mct)
-                self.coc[ci] = c
+            elif marker == b"\xff\x53":  # COC (deferred: A.6 allows any
+                pending_coc.append(body)  # COD/COC order after SIZ)
             elif marker == b"\xff\x5c":  # QCD
                 self.qcd = _parse_qcd(body)
             elif marker == b"\xff\x5d":  # QCC
@@ -1006,6 +1003,16 @@ class _Stream:
             pos += 2 + ln
         if self.cod is None or self.qcd is None:
             raise ValueError("JP2: missing COD or QCD")
+        for body in pending_coc:
+            ci, off = (body[0], 1) if self.ncomp < 257 else \
+                (_U16.unpack_from(body, 0)[0], 2)
+            c = _parse_cod_params(body, off + 1, body[off])
+            # Scoc carries only the precinct bit; SOP/EPH are codestream-
+            # wide COD Scod properties (A.6.1/A.6.2) — inherit them
+            c.sop, c.eph = self.cod.sop, self.cod.eph
+            c.prog, c.nlayers, c.mct = (self.cod.prog,
+                                        self.cod.nlayers, self.cod.mct)
+            self.coc[ci] = c
 
     def _parse_siz(self, body: bytes):
         if len(body) < 39:
@@ -1017,6 +1024,8 @@ class _Stream:
             raise NotImplementedError("JP2: nonzero image/tile offsets")
         if not (0 < xsiz and 0 < ysiz):
             raise ValueError("JP2: empty image")
+        if xt == 0 or yt == 0:
+            raise ValueError("JP2: zero tile size")
         if xsiz * ysiz > _MAX_PIXELS:
             raise ValueError("JP2: image exceeds pixel guard")
         if csiz < 1 or csiz > 4:
@@ -1264,6 +1273,11 @@ def _marker(code: bytes, body: bytes) -> bytes:
     return code + _U16.pack(len(body) + 2) + body
 
 
+def _pass_bnd(npasses: int, l: int, layers: int) -> int:
+    """Cumulative pass count owned by layers < l (proportional split)."""
+    return npasses * l // layers
+
+
 def _eps_mant_from_delta(delta: float, rb: int) -> tuple[int, int]:
     """(ε, μ) with Δ = 2^(rb-ε)·(1+μ/2048), 1 ≤ Δ·2^(ε-rb) < 2."""
     eps = rb
@@ -1437,14 +1451,21 @@ def _encode_codestream(comps: list[np.ndarray], depth: int, *,
                         inc_vals = np.zeros((gh, gw), dtype=np.int64)
                         zb_vals = np.zeros((gh, gw), dtype=np.int64)
                         for (i, j), blk in blocks.items():
-                            first = 0 if blk.npasses else layers
-                            if blk.npasses and layers > 1:
-                                first = 0  # all first-included in layer 0
-                            inc_vals[j, i] = first
+                            # first inclusion = the first layer the split
+                            # below hands this block a nonzero pass count
+                            inc_vals[j, i] = next(
+                                (l for l in range(layers)
+                                 if _pass_bnd(blk.npasses, l + 1, layers)
+                                 > _pass_bnd(blk.npasses, l, layers)),
+                                layers)
                             zb_vals[j, i] = blk.zb
                         incl.set_values(inc_vals)
                         zbt.set_values(zb_vals)
-        # split each block's (data, passes) across layers at byte bounds
+
+        # split each block's (passes, bytes) across layers: pass counts at
+        # proportional boundaries, byte offsets tracking the pass index, so
+        # every pass and every byte lands in exactly one layer for ANY
+        # layer count (a layer may get zero passes of a short block)
         def layer_payload(c, r, pi, l):
             res = percomp[c][r]
             prec_obj = res.precincts[pi]
@@ -1454,19 +1475,14 @@ def _encode_codestream(comps: list[np.ndarray], depth: int, *,
                 for (i, j), blk in blocks.items():
                     if not blk.npasses:
                         continue
-                    data = blk.segs[0]
-                    if layers == 1:
-                        if l == 0:
-                            payload[(band.kind, i, j)] = (blk.npasses, data)
+                    p0 = _pass_bnd(blk.npasses, l, layers)
+                    p1 = _pass_bnd(blk.npasses, l + 1, layers)
+                    if p1 <= p0:
                         continue
-                    # two-layer split: passes and bytes halved
-                    np0 = max(1, blk.npasses // 2)
-                    b0 = len(data) // 2
-                    if l == 0:
-                        payload[(band.kind, i, j)] = (np0, data[:b0])
-                    elif blk.npasses - np0 > 0:
-                        payload[(band.kind, i, j)] = (blk.npasses - np0,
-                                                      data[b0:])
+                    data = blk.segs[0]
+                    o0 = len(data) * p0 // blk.npasses
+                    o1 = len(data) * p1 // blk.npasses
+                    payload[(band.kind, i, j)] = (p1 - p0, data[o0:o1])
             return payload
 
         def npackets(c, r):
@@ -1571,6 +1587,23 @@ def decode_jp2(data: bytes) -> np.ndarray:
     raise ValueError("JP2: neither a JP2 box file nor a raw codestream")
 
 
+def decode_jp2_gray8(data: bytes) -> np.ndarray:
+    """Decode to the pipeline's (H, W) uint8 grayscale: 16-bit keeps the
+    top byte; 3+ components luma-convert (extras like alpha dropped);
+    2 components (gray+alpha) keep the image channel."""
+    out = decode_jp2(data)
+    if out.dtype != np.uint8:
+        out = (out.astype(np.uint32) >> 8).astype(np.uint8)
+    if out.ndim == 3:
+        if out.shape[2] >= 3:
+            from .media import rgb_to_gray
+
+            out = rgb_to_gray(out[:, :, :3])
+        else:
+            out = out[:, :, 0]
+    return out
+
+
 def encode_jp2_gray(img: np.ndarray, *, container: str = "jp2",
                     **opts) -> bytes:
     img = np.asarray(img)
@@ -1598,25 +1631,33 @@ def encode_jp2_rgb(img: np.ndarray, *, container: str = "jp2",
 def probe_jp2(data: bytes) -> dict:
     """Header-only inventory: width/height/components/depth."""
     try:
-        data = bytes(data[:4096])  # header-only: O(header) bytes touched
+        data = bytes(data)
         if data[:12] == _JP2_SIG:
-            # lenient box walk: the jp2c box body extends past the probe
-            # window; only the SIZ at its head is needed
+            # box-header walk to jp2c: O(#boxes) header reads, payload
+            # bytes never touched; only the SIZ at the codestream head is
+            # needed.  Extended (ln==1) lengths read the 64-bit XLBox.
             pos, buf = 0, None
-            while pos + 8 <= len(data):
+            for _ in range(64):  # hostile-input box-count bound
+                if pos + 8 > len(data):
+                    break
                 ln = _U32.unpack_from(data, pos)[0]
                 btype = data[pos + 4:pos + 8]
                 off = pos + 8
                 if ln == 1:
+                    ln = struct.unpack_from(">Q", data, pos + 8)[0]
                     off = pos + 16
                 if btype == b"jp2c":
-                    buf = data[off:]
+                    buf = data[off:off + 64]
                     break
-                pos = len(data) if ln == 0 else pos + ln
+                if ln == 0:  # box runs to end of file; jp2c wasn't found
+                    break
+                if ln < off - pos:
+                    raise ValueError("malformed box length")
+                pos += ln
             if buf is None:
-                raise ValueError("no codestream box in probe window")
+                raise ValueError("no codestream box found")
         else:
-            buf = data
+            buf = data[:64]
         if buf[:2] != b"\xff\x4f" or buf[2:4] != b"\xff\x51":
             raise ValueError("no SIZ after SOC")
         xsiz, ysiz = struct.unpack_from(">II", buf, 8)

@@ -107,14 +107,11 @@ def decode_page(payload: bytes) -> np.ndarray:
     # slices never == bytes literals, so compare materialized bytes
     if (head == b"\x00\x00\x00\x0c" and head8[4:8] == b"jP  ") \
             or (head[:2] == b"\xff\x4f" and head8[2:4] == b"\xff\x51"):
-        from .jp2 import decode_jp2
+        from .jp2 import decode_jp2_gray8
 
         # real JPEG 2000 pages (JP2 box file or raw codestream):
         # from-scratch ITU T.800 codec sharing the JBIG2 lane's MQ coder
-        out = decode_jp2(payload)
-        if out.dtype != np.uint8:
-            out = (out.astype(np.uint32) >> 8).astype(np.uint8)
-        return rgb_to_gray(out) if out.ndim == 3 else out
+        return decode_jp2_gray8(payload)
     if head == b"%PDF":
         from .sources.pdf_adapter import rasterize_pdf, pdf_renderer_available
 

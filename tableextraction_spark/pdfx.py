@@ -1222,16 +1222,11 @@ class _Raster:
                     bits = 1 - bits
                 arr = (bits * 255).astype(np.uint8)
         elif img_filter == "JPXDecode":
-            from .jp2 import decode_jp2
-
-            from .media import rgb_to_gray
+            from .jp2 import decode_jp2_gray8
 
             if mask:  # ImageMask requires 1 bpc; JPX is excluded (§8.9.6.2)
                 raise ValueError("PDF: /ImageMask with JPXDecode")
-            out = decode_jp2(data)
-            if out.dtype != np.uint8:  # 16-bit: keep the top byte
-                out = (out.astype(np.uint32) >> 8).astype(np.uint8)
-            arr = rgb_to_gray(out) if out.ndim == 3 else out
+            arr = decode_jp2_gray8(data)
         elif img_filter is not None:
             raise NotImplementedError(f"PDF image filter {img_filter}")
         else:

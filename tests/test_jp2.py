@@ -176,6 +176,91 @@ def test_97_rgb_ict():
     assert psnr > 40
 
 
+@pytest.mark.parametrize("layers", [3, 4, 7])
+def test_lossless_many_layers(layers):
+    """Pass/byte split generalizes to ANY layer count — layers >= 3 used
+    to re-emit the second half every layer (duplicate passes)."""
+    img = _gradient(48, 64)
+    got = decode_jp2(encode_jp2_gray(img, levels=3, layers=layers,
+                                     container="raw"))
+    assert np.array_equal(got, img)
+
+
+def test_layer_split_single_pass_blocks():
+    """max |coefficient| == 1 in the high bands → blocks with exactly one
+    coding pass; the old two-layer split consumed the pass in layer 0 but
+    only half its bytes (silent corruption)."""
+    rng = np.random.default_rng(5)
+    img = (128 + (rng.random((64, 64)) > 0.97)).astype(np.uint8)
+    for layers in (2, 3):
+        got = decode_jp2(encode_jp2_gray(img, levels=2, layers=layers,
+                                         container="raw"))
+        assert np.array_equal(got, img)
+
+
+def _inject_coc(data: bytes, before_cod: bool) -> bytes:
+    """Splice a COC for component 0 (Scoc=0, SPcoc copied from the COD)
+    into a raw codestream's main header."""
+    import struct
+
+    cod_at = data.find(b"\xff\x52")
+    lcod = struct.unpack_from(">H", data, cod_at + 2)[0]
+    spcod = data[cod_at + 4 + 5:cod_at + 4 + 10]
+    coc = b"\xff\x53" + struct.pack(">H", 9) + bytes([0, 0]) + spcod
+    at = cod_at if before_cod else cod_at + 2 + lcod
+    return data[:at] + coc + data[at:]
+
+
+@pytest.mark.parametrize("before_cod", [False, True])
+def test_coc_inherits_eph_and_parses_in_any_order(before_cod):
+    """SOP/EPH are codestream-wide COD properties (Scoc has no such bits)
+    — a COC override must inherit them, and T.800 A.6 allows COC before
+    COD in the main header."""
+    img = _gradient(40, 56)
+    data = encode_jp2_gray(img, levels=2, eph=True, container="raw")
+    assert np.array_equal(decode_jp2(_inject_coc(data, before_cod)), img)
+
+
+def test_zero_tile_size_named_error():
+    import struct
+
+    data = bytearray(encode_jp2_gray(_gradient(16, 16), levels=1,
+                                     container="raw"))
+    siz_at = bytes(data).find(b"\xff\x51")
+    struct.pack_into(">I", data, siz_at + 4 + 18, 0)  # XTsiz ← 0
+    with pytest.raises(ValueError, match="tile size"):
+        decode_jp2(bytes(data))
+
+
+def test_two_component_gray_alpha():
+    """csiz=2 (gray+alpha) decodes, and the gray8 helper keeps the image
+    channel instead of indexing a missing third component."""
+    from tableextraction_spark.jp2 import _encode_codestream, decode_jp2_gray8
+
+    img = _gradient(20, 26)
+    alpha = np.full_like(img, 255)
+    cs = _encode_codestream([img, alpha], 8, levels=1)
+    assert decode_jp2(cs).shape == (20, 26, 2)
+    assert np.array_equal(decode_jp2_gray8(cs), img)
+
+
+def test_probe_skips_metadata_and_extended_length_boxes():
+    """xml/uuid boxes (scanner output) and 64-bit XLBox lengths before
+    jp2c must not break the header-only probe."""
+    import struct
+
+    img = _gradient(18, 22)
+    data = encode_jp2_gray(img, levels=1)
+    jp2c_at = data.find(b"jp2c") - 4
+    xml = struct.pack(">I", 8 + 8000) + b"xml " + b"<x/>" * 2000
+    uuid = (struct.pack(">I", 1) + b"uuid" + struct.pack(">Q", 16 + 32)
+            + b"\x00" * 32)
+    spliced = data[:jp2c_at] + xml + uuid + data[jp2c_at:]
+    assert probe_jp2(spliced) == {"width": 22, "height": 18, "ncomp": 1,
+                                  "depth": 8}
+    assert np.array_equal(decode_jp2(spliced), img)
+
+
 # ------------------------------------------------- container + probe + PDF
 
 
