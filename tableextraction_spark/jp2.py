@@ -294,134 +294,177 @@ def _build_zc_tables() -> np.ndarray:
 _ZC = _build_zc_tables()
 _BAND_CLASS = {"LL": 0, "LH": 0, "HL": 1, "HH": 2}
 
-# sign coding (Table D.3): (h+1, v+1) → (context, xor)
-_SC = np.zeros((3, 3, 2), dtype=np.uint8)
-for _h, _v, _c, _x in [(1, 1, 13, 0), (1, 0, 12, 0), (1, -1, 11, 0),
-                       (0, 1, 10, 0), (0, 0, 9, 0), (0, -1, 10, 1),
-                       (-1, 1, 11, 1), (-1, 0, 12, 1), (-1, -1, 13, 1)]:
-    _SC[_h + 1, _v + 1] = (_c, _x)
+# Flat ZC lookup per band class, indexed by the packed neighbor counter
+# hh + 8·vv + 64·dd maintained incrementally at significance events (the
+# JBIG2 lane's incremental-window trick adapted to 2D neighborhoods:
+# python lists + one list read per visit instead of an 8-read recompute).
+_ZC_FLAT = []
+for _bc in range(3):
+    _lut = [0] * 275
+    for _hh in range(3):
+        for _vv in range(3):
+            for _dd in range(5):
+                _lut[_hh + 8 * _vv + 64 * _dd] = int(_ZC[_bc, _hh, _vv, _dd])
+    _ZC_FLAT.append(_lut)
+
+# sign coding (Table D.3): flat (hsum+2)·5 + vsum+2 → context / xor, with
+# the ±2 sums pre-clamped to ±1
+_SC_TBL = {(1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+           (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+           (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1)}
+_SC_CTX25 = [0] * 25
+_SC_XOR25 = [0] * 25
+for _hsum in range(-2, 3):
+    for _vsum in range(-2, 3):
+        _hc = max(-1, min(1, _hsum))
+        _vc = max(-1, min(1, _vsum))
+        _c, _x = _SC_TBL[(_hc, _vc)]
+        _SC_CTX25[(_hsum + 2) * 5 + _vsum + 2] = _c
+        _SC_XOR25[(_hsum + 2) * 5 + _vsum + 2] = _x
 
 
 class _T1:
-    """Shared tier-1 state: padded significance/sign planes + per-plane
-    visited and refinement flags.  Both the decoder and the encoder drive
-    the same pass methods; ``bitof``/``put`` is the only asymmetry."""
+    """Shared tier-1 state over FLAT python lists (padded, stride w+2):
+    significance/sign planes, per-plane visited/refined flags, and a packed
+    per-cell neighbor counter (hh + 8·vv + 64·dd) updated incrementally at
+    each significance event — so a pass visit costs two list reads and the
+    ZC context is one LUT read.  Both the decoder and the encoder drive the
+    same pass methods; ``code(kind, p, ctx, xor)`` is the only asymmetry
+    (p = flat padded index)."""
+
+    __slots__ = ("w", "h", "st", "zclut", "sig", "sgn", "visited",
+                 "refined", "nbr", "hs", "vs", "mag")
 
     def __init__(self, w: int, h: int, band: str):
         if not (0 < w <= 1024 and 0 < h <= 1024 and w * h <= 4096):
             raise ValueError(f"JP2: bad code-block geometry {w}x{h}")
         self.w, self.h = w, h
-        self.zc = _ZC[_BAND_CLASS[band]]
-        self.sig = np.zeros((h + 2, w + 2), dtype=np.uint8)
-        self.sgn = np.zeros((h + 2, w + 2), dtype=np.int8)  # ±1 when sig
-        self.visited = np.zeros((h, w), dtype=bool)
-        self.refined = np.zeros((h, w), dtype=bool)
-        self.mag = np.zeros((h, w), dtype=np.int64)
+        st = self.st = w + 2
+        n = (h + 2) * st
+        self.zclut = _ZC_FLAT[_BAND_CLASS[band]]
+        self.sig = [0] * n
+        self.sgn = [0] * n  # ±1 when sig
+        self.visited = [0] * n
+        self.refined = [0] * n
+        self.nbr = [0] * n  # hh + 8·vv + 64·dd; 0 ⇔ all-zero contexts
+        self.hs = [0] * n  # signed horizontal/vertical sign sums (D.3.2)
+        self.vs = [0] * n
+        self.mag = [0] * n
 
-    # neighbor summaries at block coords (y, x); padded arrays offset +1
-    def _hvd(self, y: int, x: int) -> tuple[int, int, int]:
-        s = self.sig
-        hh = int(s[y + 1, x]) + int(s[y + 1, x + 2])
-        vv = int(s[y, x + 1]) + int(s[y + 2, x + 1])
-        dd = (int(s[y, x]) + int(s[y, x + 2])
-              + int(s[y + 2, x]) + int(s[y + 2, x + 2]))
-        return hh, vv, dd
+    def _set_sig(self, p: int, negative: int, plane: int):
+        st = self.st
+        s = -1 if negative else 1
+        self.sig[p] = 1
+        self.sgn[p] = s
+        self.mag[p] |= 1 << plane
+        nbr = self.nbr
+        nbr[p - 1] += 1
+        nbr[p + 1] += 1
+        nbr[p - st] += 8
+        nbr[p + st] += 8
+        nbr[p - st - 1] += 64
+        nbr[p - st + 1] += 64
+        nbr[p + st - 1] += 64
+        nbr[p + st + 1] += 64
+        hs, vs = self.hs, self.vs
+        hs[p - 1] += s
+        hs[p + 1] += s
+        vs[p - st] += s
+        vs[p + st] += s
 
-    def _sc_ctx(self, y: int, x: int) -> tuple[int, int]:
-        # sgn is ±1 only where sig is set, so the clamped sums ARE the
-        # D.3.2 horizontal/vertical contributions
-        g = self.sgn
-        hc = max(-1, min(1, int(g[y + 1, x]) + int(g[y + 1, x + 2])))
-        vc = max(-1, min(1, int(g[y, x + 1]) + int(g[y + 2, x + 1])))
-        c, xo = _SC[hc + 1, vc + 1]
-        return int(c), int(xo)
+    def _sc(self, p: int) -> tuple[int, int]:
+        i = (self.hs[p] + 2) * 5 + self.vs[p] + 2
+        return _SC_CTX25[i], _SC_XOR25[i]
 
-    def _set_sig(self, y: int, x: int, negative: bool, plane: int):
-        self.sig[y + 1, x + 1] = 1
-        self.sgn[y + 1, x + 1] = -1 if negative else 1
-        self.mag[y, x] |= 1 << plane
-
-    # --- the three passes; `code(kind, y, x, ctx, xor)` returns the bit
+    # --- the three passes; `code(kind, p, ctx, xor)` returns the bit
     # (decoder: MQ-decodes it; encoder: MQ-encodes the true bit) ---
 
     def spp(self, plane: int, code):
-        w, h = self.w, self.h
+        w, h, st = self.w, self.h, self.st
+        sig, nbr, visited = self.sig, self.nbr, self.visited
+        zclut = self.zclut
         for y0 in range(0, h, 4):
+            ymax = min(y0 + 4, h)
+            base = (y0 + 1) * st + 1
             for x in range(w):
-                for y in range(y0, min(y0 + 4, h)):
-                    if self.sig[y + 1, x + 1]:
-                        continue
-                    hh, vv, dd = self._hvd(y, x)
-                    if hh == vv == dd == 0:
-                        continue
-                    self.visited[y, x] = True
-                    zc = int(self.zc[hh, vv, min(dd, 4)])
-                    if code("sig", y, x, zc, 0):
-                        sc, xo = self._sc_ctx(y, x)
-                        neg = code("sgn", y, x, sc, xo)
-                        self._set_sig(y, x, bool(neg), plane)
+                p = base + x
+                for _y in range(y0, ymax):
+                    if not sig[p] and nbr[p]:
+                        visited[p] = 1
+                        if code("sig", p, zclut[nbr[p]], 0):
+                            sc, xo = self._sc(p)
+                            self._set_sig(p, code("sgn", p, sc, xo), plane)
+                    p += st
 
     def mrp(self, plane: int, code):
-        w, h = self.w, self.h
+        w, h, st = self.w, self.h, self.st
+        sig, nbr, visited, refined = (self.sig, self.nbr, self.visited,
+                                      self.refined)
+        mag = self.mag
         for y0 in range(0, h, 4):
+            ymax = min(y0 + 4, h)
+            base = (y0 + 1) * st + 1
             for x in range(w):
-                for y in range(y0, min(y0 + 4, h)):
-                    if not self.sig[y + 1, x + 1] or self.visited[y, x]:
-                        continue
-                    if self.refined[y, x]:
-                        ctx = _CTX_MR0 + 2
-                    else:
-                        hh, vv, dd = self._hvd(y, x)
-                        ctx = _CTX_MR0 + (1 if hh + vv + dd > 0 else 0)
-                    bit = code("mag", y, x, ctx, 0)
-                    self.mag[y, x] |= int(bit) << plane
-                    self.refined[y, x] = True
-                    self.visited[y, x] = True
+                p = base + x
+                for _y in range(y0, ymax):
+                    if sig[p] and not visited[p]:
+                        if refined[p]:
+                            ctx = _CTX_MR0 + 2
+                        else:
+                            ctx = _CTX_MR0 + (1 if nbr[p] else 0)
+                        mag[p] |= code("mag", p, ctx, 0) << plane
+                        refined[p] = 1
+                        visited[p] = 1
+                    p += st
 
     def cp(self, plane: int, code, segmark: bool):
-        w, h = self.w, self.h
+        w, h, st = self.w, self.h, self.st
+        sig, nbr, visited = self.sig, self.nbr, self.visited
+        zclut = self.zclut
+        st2, st3 = 2 * st, 3 * st
         for y0 in range(0, h, 4):
             stripe_h = min(4, h - y0)
+            full = stripe_h == 4
+            base = (y0 + 1) * st + 1
             for x in range(w):
-                y = y0
+                p = base + x
                 # run mode: full stripe, all insignificant+unvisited with
                 # all-zero contexts
-                if stripe_h == 4:
-                    run_ok = True
-                    for yy in range(y0, y0 + 4):
-                        if self.sig[yy + 1, x + 1] or self.visited[yy, x]:
-                            run_ok = False
-                            break
-                        hh, vv, dd = self._hvd(yy, x)
-                        if hh or vv or dd:
-                            run_ok = False
-                            break
-                    if run_ok:
-                        if not code("rlc", y0, x, _CTX_RLC, 0):
-                            continue  # whole column stays insignificant
-                        r = (int(code("uni", y0, x, _CTX_UNI, 0)) << 1) | \
-                            int(code("uni", y0, x, _CTX_UNI, 0))
-                        y = y0 + r
-                        sc, xo = self._sc_ctx(y, x)
-                        neg = code("sgn", y, x, sc, xo)
-                        self._set_sig(y, x, bool(neg), plane)
-                        y += 1
-                while y < y0 + stripe_h:
-                    if not self.sig[y + 1, x + 1] and not self.visited[y, x]:
-                        hh, vv, dd = self._hvd(y, x)
-                        zc = int(self.zc[hh, vv, min(dd, 4)])
-                        if code("sig", y, x, zc, 0):
-                            sc, xo = self._sc_ctx(y, x)
-                            neg = code("sgn", y, x, sc, xo)
-                            self._set_sig(y, x, bool(neg), plane)
+                if full and not (
+                        sig[p] or visited[p] or nbr[p]
+                        or sig[p + st] or visited[p + st] or nbr[p + st]
+                        or sig[p + st2] or visited[p + st2] or nbr[p + st2]
+                        or sig[p + st3] or visited[p + st3] or nbr[p + st3]):
+                    if not code("rlc", p, _CTX_RLC, 0):
+                        continue  # whole column stays insignificant
+                    r = (code("uni", p, _CTX_UNI, 0) << 1) | \
+                        code("uni", p, _CTX_UNI, 0)
+                    p += r * st
+                    sc, xo = self._sc(p)
+                    self._set_sig(p, code("sgn", p, sc, xo), plane)
+                    p += st
+                    y = r + 1
+                else:
+                    y = 0
+                while y < stripe_h:
+                    if not sig[p] and not visited[p]:
+                        if code("sig", p, zclut[nbr[p]], 0):
+                            sc, xo = self._sc(p)
+                            self._set_sig(p, code("sgn", p, sc, xo), plane)
                     y += 1
-        self.visited[:] = False
+                    p += st
+        self.visited = [0] * len(visited)
         if segmark:
             seg = 0
             for _ in range(4):
-                seg = (seg << 1) | int(code("uni", 0, 0, _CTX_UNI, 0))
+                seg = (seg << 1) | code("uni", 0, _CTX_UNI, 0)
             if seg != 0xA:
                 raise ValueError("JP2: segmentation symbol mismatch")
+
+    def interior(self, flat: list) -> np.ndarray:
+        """(h, w) int64 view of a padded flat plane."""
+        return np.array(flat, dtype=np.int64).reshape(
+            self.h + 2, self.st)[1:-1, 1:-1]
 
 
 def _t1_decode(data: bytes, w: int, h: int, band: str, npasses: int,
@@ -437,9 +480,10 @@ def _t1_decode(data: bytes, w: int, h: int, band: str, npasses: int,
     t1 = _T1(w, h, band)
     mq = _MQDecoder(data)
     cx = _t1_ctx()
+    dec = mq.decode
 
-    def code(kind, y, x, ctx, xor):
-        return mq.decode(cx, ctx) ^ xor
+    def code(kind, p, ctx, xor):
+        return dec(cx, ctx) ^ xor
 
     done = 0
     plane = totplanes - 1
@@ -455,8 +499,8 @@ def _t1_decode(data: bytes, w: int, h: int, band: str, npasses: int,
         if done < npasses:
             t1.cp(plane, code, segmark)
             done += 1
-    sign = np.where(t1.sgn[1:-1, 1:-1] < 0, -1, 1).astype(np.int64)
-    return t1.mag, sign
+    sign = np.where(t1.interior(t1.sgn) < 0, -1, 1).astype(np.int64)
+    return t1.interior(t1.mag), sign
 
 
 def _t1_encode(coeffs: np.ndarray, band: str, totplanes: int,
@@ -472,10 +516,16 @@ def _t1_encode(coeffs: np.ndarray, band: str, totplanes: int,
         raise ValueError("JP2: coefficient exceeds the coded bitplanes")
     zb = totplanes - maxmag.bit_length()
     planes = totplanes - zb
-    neg_true = coeffs < 0
     t1 = _T1(w, h, band)
+    st = t1.st
+    pad = np.zeros((h + 2, w + 2), dtype=np.int64)
+    pad[1:-1, 1:-1] = mag_true
+    magt = pad.ravel().tolist()
+    pad[1:-1, 1:-1] = coeffs < 0
+    negt = pad.ravel().tolist()
     mq = _MQEncoder()
     cx = _t1_ctx()
+    enc = mq.encode
 
     npasses = 3 * planes - 2
     done = 0
@@ -484,31 +534,31 @@ def _t1_encode(coeffs: np.ndarray, band: str, totplanes: int,
     # 1010 segmentation symbol at cleanup end
     uni_bits: list[int] = []
 
-    def code(kind, y, x, ctx, xor):
+    def code(kind, p, ctx, xor):
         """Determine the TRUE bit for this event, MQ-encode the coded
         form (sign events code bit^xor), return the true bit — so the
         pass methods update state identically to the decoder."""
-        if kind == "rlc":
-            bit = int(any((int(mag_true[y + i, x]) >> plane) & 1
-                          for i in range(4)))
-            if bit:
-                r = next(i for i in range(4)
-                         if (int(mag_true[y + i, x]) >> plane) & 1)
-                uni_bits.extend([(r >> 1) & 1, r & 1])
-            mq.encode(cx, ctx, bit)
-            return bit
-        if kind == "uni":
-            if not uni_bits:
-                uni_bits.extend([1, 0, 1, 0])  # segmentation symbol
-            bit = uni_bits.pop(0)
-            mq.encode(cx, ctx, bit)
+        if kind == "sig" or kind == "mag":
+            bit = (magt[p] >> plane) & 1
+            enc(cx, ctx, bit)
             return bit
         if kind == "sgn":
-            bit = int(neg_true[y, x])
-            mq.encode(cx, ctx, bit ^ xor)
+            bit = negt[p]
+            enc(cx, ctx, bit ^ xor)
             return bit
-        bit = (int(mag_true[y, x]) >> plane) & 1  # "sig" / "mag"
-        mq.encode(cx, ctx, bit)
+        if kind == "rlc":
+            r = next((i for i in range(4)
+                      if (magt[p + i * st] >> plane) & 1), None)
+            if r is None:
+                enc(cx, ctx, 0)
+                return 0
+            uni_bits.extend([(r >> 1) & 1, r & 1])
+            enc(cx, ctx, 1)
+            return 1
+        if not uni_bits:  # "uni"
+            uni_bits.extend([1, 0, 1, 0])  # segmentation symbol
+        bit = uni_bits.pop(0)
+        enc(cx, ctx, bit)
         return bit
 
     t1.cp(plane, code, segmark)
@@ -523,7 +573,7 @@ def _t1_encode(coeffs: np.ndarray, band: str, totplanes: int,
         if done < npasses:
             t1.cp(plane, code, segmark)
             done += 1
-    if not np.array_equal(t1.mag, mag_true):
+    if not np.array_equal(t1.interior(t1.mag), mag_true):
         raise AssertionError("JP2 tier-1 encoder self-check failed")
     return mq.flush(), npasses, zb
 
