@@ -86,14 +86,16 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-_CORPUS_VERSION = "v6"  # bump when a codec's fixture output changes
+_CORPUS_VERSION = "v7"  # bump when a codec's fixture output changes
 # (v2: 'mixed' rotation grew a 7th format — pdfscan/CCITT — in round 4;
 #  v3: an 8th — G4 TIFF, the fax-archive shape;
 #  v4: the pdfscan slot rotates its archive codec — every third scanned
 #  PDF is JBIG2 (MQ-coded generic region) instead of CCITT G4;
 #  v5: the rotation gains JBIG2 symbol/text mode with /JBIG2Globals —
 #  the jbig2enc scanner-output shape — as every fourth scanned PDF;
-#  v6: a 9th format — reversible-5/3 JPEG 2000 (from-scratch T.800))
+#  v6: a 9th format — reversible-5/3 JPEG 2000 (from-scratch T.800);
+#  v7: jp2 pages encode at 5 decomposition levels — the kakadu/openjpeg
+#  default, and the cheap shape for document pages)
 
 
 def ensure_corpus(spark, n_docs: int, codec: str = "img1") -> tuple[str, str]:

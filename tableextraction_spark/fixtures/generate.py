@@ -401,8 +401,12 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
         from ..jp2 import encode_jp2_gray
 
         # real JPEG 2000 pages (reversible 5/3 — lossless): the from-
-        # scratch T.800 codec joins the crawl rotation
-        encode = lambda img: encode_jp2_gray(img, levels=2)  # noqa: E731
+        # scratch T.800 codec joins the crawl rotation.  5 decomposition
+        # levels is the kakadu/openjpeg default — and for document pages
+        # (mostly-constant background) it is also the cheap shape: the
+        # dense DC band shrinks 16× vs levels=2 and the detail bands
+        # stay sparse, so tier-1 codes ~25% fewer decisions
+        encode = lambda img: encode_jp2_gray(img, levels=5)  # noqa: E731
     elif codec == "tiff":
         from ..tiff import encode_tiff_gray
 

@@ -83,6 +83,14 @@ _QE = [
     (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
 ]
 
+# flat per-field views of Table E.1: the decoder's fast path (MPS, no
+# renormalization — the overwhelmingly common event) needs only Qe, so
+# loading one int beats unpacking the 4-tuple on every decision
+_QE_Q = [r[0] for r in _QE]
+_QE_NMPS = [r[1] for r in _QE]
+_QE_NLPS = [r[2] for r in _QE]
+_QE_SW = [r[3] for r in _QE]
+
 
 class _MQDecoder:
     """T.88 E.3 software-conventions decoder.  Context state lives in the
@@ -119,40 +127,43 @@ class _MQDecoder:
 
     def decode(self, cx: "_Ctx", k: int) -> int:
         i = cx.idx[k]
-        qe, nmps, nlps, switch = _QE[i]
-        self.a -= qe
-        if ((self.c >> 16) & 0xFFFF) < qe:
-            # LPS exchange path
-            if self.a < qe:
-                d = cx.mps[k]
-                cx.idx[k] = nmps
-            else:
-                d = 1 - cx.mps[k]
-                if switch:
-                    cx.mps[k] ^= 1
-                cx.idx[k] = nlps
-            self.a = qe
-        else:
+        qe = _QE_Q[i]
+        a = self.a - qe
+        # self.c stays masked to 32 bits, so c>>16 is already ≤ 0xFFFF
+        if (self.c >> 16) >= qe:
             self.c -= qe << 16
-            if self.a & 0x8000:
+            if a & 0x8000:  # MPS, no renormalization — the hot path
+                self.a = a
                 return cx.mps[k]
             # MPS exchange path
-            if self.a < qe:
+            if a < qe:
                 d = 1 - cx.mps[k]
-                if switch:
+                if _QE_SW[i]:
                     cx.mps[k] ^= 1
-                cx.idx[k] = nlps
+                cx.idx[k] = _QE_NLPS[i]
             else:
                 d = cx.mps[k]
-                cx.idx[k] = nmps
+                cx.idx[k] = _QE_NMPS[i]
+        else:
+            # LPS exchange path
+            if a < qe:
+                d = cx.mps[k]
+                cx.idx[k] = _QE_NMPS[i]
+            else:
+                d = 1 - cx.mps[k]
+                if _QE_SW[i]:
+                    cx.mps[k] ^= 1
+                cx.idx[k] = _QE_NLPS[i]
+            a = qe
         while True:  # RENORMD
             if self.ct == 0:
                 self._bytein()
-            self.a = (self.a << 1) & 0xFFFF
+            a = (a << 1) & 0xFFFF
             self.c = (self.c << 1) & 0xFFFFFFFF
             self.ct -= 1
-            if self.a & 0x8000:
+            if a & 0x8000:
                 break
+        self.a = a
         return d
 
 

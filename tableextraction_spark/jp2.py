@@ -41,7 +41,8 @@ import struct
 
 import numpy as np
 
-from .jbig2 import _Ctx, _MQDecoder, _MQEncoder
+from .jbig2 import (_QE_NLPS, _QE_NMPS, _QE_Q, _QE_SW, _Ctx, _MQDecoder,
+                    _MQEncoder)
 
 __all__ = [
     "decode_jp2",
@@ -333,7 +334,8 @@ class _T1:
     (p = flat padded index)."""
 
     __slots__ = ("w", "h", "st", "zclut", "sig", "sgn", "visited",
-                 "refined", "nbr", "hs", "vs", "mag")
+                 "refined", "nbr", "hs", "vs", "mag", "scnt", "gocc",
+                 "ngc")
 
     def __init__(self, w: int, h: int, band: str):
         if not (0 < w <= 1024 and 0 < h <= 1024 and w * h <= 4096):
@@ -350,22 +352,49 @@ class _T1:
         self.hs = [0] * n  # signed horizontal/vertical sign sums (D.3.2)
         self.vs = [0] * n
         self.mag = [0] * n
+        # occupancy counters of "interesting" cells (sig or nbr>0), at two
+        # granularities, bucketed by PADDED coords so padding-cell bumps
+        # land conservatively (a spurious count only disables a skip,
+        # never enables one):
+        #   scnt[(row+3)>>2]                 — per 4-row stripe
+        #   gocc[stripe·ngc + (col+15)>>4]   — per 16-col group in a stripe
+        # All three passes skip a stripe whose scnt is 0 and a 16×4 tile
+        # whose gocc is 0 — for sparse subbands (document pages: constant
+        # background, localized ink) that removes most of the per-pixel
+        # scan.  Counts are monotone (sig/nbr never clear), so a zero is
+        # always a true "nothing to code here".
+        nstripes = (((h + 1 + 3) >> 2) + 2)
+        self.scnt = [0] * nstripes
+        self.ngc = ngc = ((w + 1 + 15) >> 4) + 2
+        self.gocc = [0] * (nstripes * ngc)
 
     def _set_sig(self, p: int, negative: int, plane: int):
         st = self.st
         s = -1 if negative else 1
-        self.sig[p] = 1
+        sig, nbr, scnt, gocc = self.sig, self.nbr, self.scnt, self.gocc
+        ngc = self.ngc
+        r, col = divmod(p, st)
+        b0 = (r + 3) >> 2  # this row's stripe bucket
+        bm = (r + 2) >> 2  # row above
+        bp = (r + 4) >> 2  # row below
+        g0 = (col + 15) >> 4  # this column's group
+        gm = (col + 14) >> 4  # column to the left
+        gp = (col + 16) >> 4  # column to the right
+        if not nbr[p]:  # center becomes interesting via sig (nbr was 0)
+            scnt[b0] += 1
+            gocc[b0 * ngc + g0] += 1
+        sig[p] = 1
         self.sgn[p] = s
         self.mag[p] |= 1 << plane
-        nbr = self.nbr
-        nbr[p - 1] += 1
-        nbr[p + 1] += 1
-        nbr[p - st] += 8
-        nbr[p + st] += 8
-        nbr[p - st - 1] += 64
-        nbr[p - st + 1] += 64
-        nbr[p + st - 1] += 64
-        nbr[p + st + 1] += 64
+        for q, d, b, g in ((p - 1, 1, b0, gm), (p + 1, 1, b0, gp),
+                           (p - st, 8, bm, g0), (p + st, 8, bp, g0),
+                           (p - st - 1, 64, bm, gm), (p - st + 1, 64, bm, gp),
+                           (p + st - 1, 64, bp, gm), (p + st + 1, 64, bp, gp)):
+            v = nbr[q]
+            nbr[q] = v + d
+            if not v and not sig[q]:
+                scnt[b] += 1
+                gocc[b * ngc + g] += 1
         hs, vs = self.hs, self.vs
         hs[p - 1] += s
         hs[p + 1] += s
@@ -383,58 +412,79 @@ class _T1:
         w, h, st = self.w, self.h, self.st
         sig, nbr, visited = self.sig, self.nbr, self.visited
         zclut = self.zclut
+        scnt, gocc, ngc = self.scnt, self.gocc, self.ngc
         for y0 in range(0, h, 4):
+            sb = (y0 >> 2) + 1
+            if not scnt[sb]:  # no sig/nbr cell in stripe → nothing to code
+                continue
+            gbase = sb * ngc + 1
             ymax = min(y0 + 4, h)
             base = (y0 + 1) * st + 1
-            for x in range(w):
-                p = base + x
-                for _y in range(y0, ymax):
-                    if not sig[p] and nbr[p]:
-                        visited[p] = 1
-                        if code("sig", p, zclut[nbr[p]], 0):
-                            sc, xo = self._sc(p)
-                            self._set_sig(p, code("sgn", p, sc, xo), plane)
-                    p += st
+            for x0 in range(0, w, 16):
+                if not gocc[gbase + (x0 >> 4)]:  # dead 16×4 tile
+                    continue
+                for x in range(x0, min(x0 + 16, w)):
+                    p = base + x
+                    for _y in range(y0, ymax):
+                        if not sig[p] and nbr[p]:
+                            visited[p] = 1
+                            if code("sig", p, zclut[nbr[p]], 0):
+                                sc, xo = self._sc(p)
+                                self._set_sig(p, code("sgn", p, sc, xo),
+                                              plane)
+                        p += st
 
     def mrp(self, plane: int, code):
         w, h, st = self.w, self.h, self.st
         sig, nbr, visited, refined = (self.sig, self.nbr, self.visited,
                                       self.refined)
         mag = self.mag
+        scnt, gocc, ngc = self.scnt, self.gocc, self.ngc
         for y0 in range(0, h, 4):
+            sb = (y0 >> 2) + 1
+            if not scnt[sb]:  # no sig cell → nothing to refine
+                continue
+            gbase = sb * ngc + 1
             ymax = min(y0 + 4, h)
             base = (y0 + 1) * st + 1
-            for x in range(w):
-                p = base + x
-                for _y in range(y0, ymax):
-                    if sig[p] and not visited[p]:
-                        if refined[p]:
-                            ctx = _CTX_MR0 + 2
-                        else:
-                            ctx = _CTX_MR0 + (1 if nbr[p] else 0)
-                        mag[p] |= code("mag", p, ctx, 0) << plane
-                        refined[p] = 1
-                        visited[p] = 1
-                    p += st
+            for x0 in range(0, w, 16):
+                if not gocc[gbase + (x0 >> 4)]:  # dead 16×4 tile
+                    continue
+                for x in range(x0, min(x0 + 16, w)):
+                    p = base + x
+                    for _y in range(y0, ymax):
+                        if sig[p] and not visited[p]:
+                            if refined[p]:
+                                ctx = _CTX_MR0 + 2
+                            else:
+                                ctx = _CTX_MR0 + (1 if nbr[p] else 0)
+                            mag[p] |= code("mag", p, ctx, 0) << plane
+                            refined[p] = 1
+                            visited[p] = 1
+                        p += st
 
     def cp(self, plane: int, code, segmark: bool):
         w, h, st = self.w, self.h, self.st
         sig, nbr, visited = self.sig, self.nbr, self.visited
         zclut = self.zclut
+        gocc, ngc = self.gocc, self.ngc
         st2, st3 = 2 * st, 3 * st
         for y0 in range(0, h, 4):
             stripe_h = min(4, h - y0)
             full = stripe_h == 4
+            gbase = ((y0 >> 2) + 1) * ngc + 1
             base = (y0 + 1) * st + 1
             for x in range(w):
                 p = base + x
                 # run mode: full stripe, all insignificant+unvisited with
-                # all-zero contexts
-                if full and not (
+                # all-zero contexts (an empty 16×4 tile bucket proves it
+                # in one read — visited implies nbr>0 at spp time, so a
+                # visited cell always keeps its bucket nonzero)
+                if full and (not gocc[gbase + (x >> 4)] or not (
                         sig[p] or visited[p] or nbr[p]
                         or sig[p + st] or visited[p + st] or nbr[p + st]
                         or sig[p + st2] or visited[p + st2] or nbr[p + st2]
-                        or sig[p + st3] or visited[p + st3] or nbr[p + st3]):
+                        or sig[p + st3] or visited[p + st3] or nbr[p + st3])):
                     if not code("rlc", p, _CTX_RLC, 0):
                         continue  # whole column stays insignificant
                     r = (code("uni", p, _CTX_UNI, 0) << 1) | \
@@ -480,10 +530,66 @@ def _t1_decode(data: bytes, w: int, h: int, band: str, npasses: int,
     t1 = _T1(w, h, band)
     mq = _MQDecoder(data)
     cx = _t1_ctx()
-    dec = mq.decode
 
-    def code(kind, p, ctx, xor):
-        return dec(cx, ctx) ^ xor
+    # The MQ state machine (T.88 E.3, same algorithm as
+    # jbig2._MQDecoder.decode — round-trip tests against jbig2._MQEncoder
+    # pin the two implementations to each other) inlined into one closure
+    # over nonlocal state: one python call per decision instead of
+    # closure→method, and cell loads instead of attribute access.  At
+    # ~850k decisions per page this is the decoder's hot loop.
+    a, c, ct, bp = mq.a, mq.c, mq.ct, mq.bp
+    blen = len(data)
+    idx, mps = cx.idx, cx.mps
+    qq, qnm, qnl, qsw = _QE_Q, _QE_NMPS, _QE_NLPS, _QE_SW
+
+    def code(kind, p, k, xor):
+        nonlocal a, c, ct, bp
+        i = idx[k]
+        qe = qq[i]
+        a -= qe
+        if (c >> 16) >= qe:
+            c -= qe << 16
+            if a & 0x8000:  # MPS, no renormalization — the hot path
+                return mps[k] ^ xor
+            if a < qe:  # MPS exchange
+                d = 1 - mps[k]
+                if qsw[i]:
+                    mps[k] ^= 1
+                idx[k] = qnl[i]
+            else:
+                d = mps[k]
+                idx[k] = qnm[i]
+        else:
+            if a < qe:  # LPS exchange
+                d = mps[k]
+                idx[k] = qnm[i]
+            else:
+                d = 1 - mps[k]
+                if qsw[i]:
+                    mps[k] ^= 1
+                idx[k] = qnl[i]
+            a = qe
+        while True:  # RENORMD
+            if ct == 0:  # BYTEIN (past the end the spec feeds 1-bits)
+                b = data[bp] if bp < blen else 0xFF
+                if b == 0xFF:
+                    if (data[bp + 1] if bp + 1 < blen else 0xFF) > 0x8F:
+                        c += 0xFF00
+                        ct = 8
+                    else:
+                        bp += 1
+                        c += (data[bp] if bp < blen else 0xFF) << 9
+                        ct = 7
+                else:
+                    bp += 1
+                    c += (data[bp] if bp < blen else 0xFF) << 8
+                    ct = 8
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
+                break
+        return d ^ xor
 
     done = 0
     plane = totplanes - 1
