@@ -86,7 +86,7 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-_CORPUS_VERSION = "v7"  # bump when a codec's fixture output changes
+_CORPUS_VERSION = "v8"  # bump when a codec's fixture output changes
 # (v2: 'mixed' rotation grew a 7th format — pdfscan/CCITT — in round 4;
 #  v3: an 8th — G4 TIFF, the fax-archive shape;
 #  v4: the pdfscan slot rotates its archive codec — every third scanned
@@ -95,7 +95,9 @@ _CORPUS_VERSION = "v7"  # bump when a codec's fixture output changes
 #  the jbig2enc scanner-output shape — as every fourth scanned PDF;
 #  v6: a 9th format — reversible-5/3 JPEG 2000 (from-scratch T.800);
 #  v7: jp2 pages encode at 5 decomposition levels — the kakadu/openjpeg
-#  default, and the cheap shape for document pages)
+#  default, and the cheap shape for document pages;
+#  v8: the pdfscan slot rotates a fifth archive codec — JPX (JPEG 2000
+#  inside PDF, /JPXDecode) — every fifth scanned PDF)
 
 
 def ensure_corpus(spark, n_docs: int, codec: str = "img1") -> tuple[str, str]:

@@ -391,11 +391,13 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
         from ..pdfx import build_scanned_page_pdf
 
         # rotate the archive codecs real scanners emit — CCITT G4
-        # (dominant), JBIG2 arithmetic generic region, and JBIG2
-        # symbol/text mode with a /JBIG2Globals dictionary (the jbig2enc
-        # shape) — all pixel-exact for the binary fixture pages, so the
-        # golden gate (q55) covers every ITU archive codec end-to-end
-        arch = {0: "ccitt", 1: "ccitt", 2: "jbig2", 3: "jbig2sym"}[doc_num % 4]
+        # (dominant), JBIG2 arithmetic generic region, JBIG2 symbol/text
+        # mode with a /JBIG2Globals dictionary (the jbig2enc shape), and
+        # a JPX (JPEG 2000, reversible 5/3) page — all pixel-exact for
+        # the binary fixture pages, so the golden gate (q55) covers every
+        # ITU/ISO archive codec end-to-end
+        arch = {0: "ccitt", 1: "ccitt", 2: "jbig2",
+                3: "jbig2sym", 4: "jpx"}[doc_num % 5]
         encode = lambda img: build_scanned_page_pdf(img, codec=arch)  # noqa: E731
     elif codec == "jp2":
         from ..jp2 import encode_jp2_gray

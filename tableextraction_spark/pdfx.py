@@ -1854,6 +1854,19 @@ def build_scanned_pdf(imgs: list[np.ndarray], codec: str = "ccitt") -> bytes:
         glob_num = b.add_stream({}, b"".join(globs), compress=False)
         for _data, sd in page_payloads:
             sd["DecodeParms"] = b"<< /JBIG2Globals %d 0 R >>" % glob_num
+    elif codec == "jpx":
+        # the JPEG 2000 scanner shape: an 8-bit gray reversible-5/3 JPX
+        # codestream per page (lossless, so the downstream binarization
+        # reproduces the ink mask pixel-exactly).  Per ISO 32000-1 §7.4.9
+        # the codestream's own depth/colorspace take precedence, but the
+        # dict still carries the honest BitsPerComponent 8.
+        from .jp2 import encode_jp2_gray
+
+        for img in imgs:
+            page_payloads.append((
+                encode_jp2_gray(np.asarray(img, dtype=np.uint8), levels=5),
+                {"Filter": b"/JPXDecode", "BitsPerComponent": b"8"},
+            ))
     else:
         raise ValueError(f"build_scanned_pdf: unknown codec {codec!r}")
     kid_nums = []

@@ -150,11 +150,13 @@ def q55_scanned_pdf_golden_verify(spark, sf_dir):
     scanners emit — **CCITT G4** (``ccitt.py``, ITU T.6 from scratch, the
     dominant one, and the shape of the reference's own ``data/1.pdf…7.pdf``
     steel scans), **JBIG2 generic** (``jbig2.py``, ITU T.88 from scratch:
-    MQ-coded region with TPGDON), and **JBIG2 symbol/text mode** with the
+    MQ-coded region with TPGDON), **JBIG2 symbol/text mode** with the
     dictionary in a ``/JBIG2Globals`` stream (the ``jbig2enc`` scanner
-    shape).  Fixture pages are binary, so every round-trip is pixel-exact
-    and the extracted spans must equal the plan goldens exactly.
-    Empty-on-success."""
+    shape), and **JPX** (``jp2.py``, ITU T.800 from scratch: reversible
+    5/3 JPEG 2000 via the PDF ``/JPXDecode`` filter).  Fixture pages are
+    binary and every codec here is lossless on them, so every round-trip
+    is pixel-exact and the extracted spans must equal the plan goldens
+    exactly.  Empty-on-success."""
     from ..fixtures.spark_gen import expected_dataframe
 
     n = max(8, _n_docs_for(sf_dir) // 2)

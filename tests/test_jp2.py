@@ -332,6 +332,25 @@ def test_pdf_jpx_image_xobject():
     assert np.array_equal(arr, img)
 
 
+def test_build_scanned_pdf_jpx_codec():
+    """The scanned-corpus fixture shape with the JPX archive codec: a
+    multi-page PDF whose pages are full-page reversible-5/3 JPEG 2000
+    images rasterizes pixel-exactly (cf. the CCITT/JBIG2 slots in
+    test_ccitt/test_jbig2 — q55 rotates all five)."""
+    from tableextraction_spark import pdfx
+
+    img1 = np.full((80, 160), 255, np.uint8)
+    img1[10:16, 12:148] = 0
+    img1[40:41, 10:150] = 0
+    img2 = np.full((80, 160), 255, np.uint8)
+    img2[60:70, 30:60] = 0
+    pdf = pdfx.build_scanned_pdf([img1, img2], codec="jpx")
+    pages = [arr for _i, _n, arr in pdfx.iter_pdf_pages(pdf)]
+    assert len(pages) == 2
+    assert np.array_equal(pages[0], img1)
+    assert np.array_equal(pages[1], img2)
+
+
 # ------------------------------------------------------------ bounds
 
 

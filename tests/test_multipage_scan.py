@@ -175,13 +175,13 @@ def test_error_row_names_the_failing_page():
     assert len(keys) == len(set(keys))  # no success/error key collision
 
 
-@pytest.mark.parametrize("codec", ["ccitt", "jbig2", "jbig2sym"])
+@pytest.mark.parametrize("codec", ["ccitt", "jbig2", "jbig2sym", "jpx"])
 def test_multipage_scanned_pdf_equals_per_page_blobs(codec):
     """Multi-page SCANNED PDFs — the reference-corpus shape (data/*.pdf
     are multi-page fax scans): one document blob whose pages are 1-bit
     archive-codec image XObjects (jbig2sym: all dictionaries shared in
-    ONE /JBIG2Globals stream) produces byte-identical object rows to its
-    per-page split."""
+    ONE /JBIG2Globals stream; jpx: 8-bit reversible JPEG 2000) produces
+    byte-identical object rows to its per-page split."""
     pages, _blobs = _skew_doc_pages()
     pages = pages[:3]
     combined = _stage(
