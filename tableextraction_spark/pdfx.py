@@ -1802,17 +1802,20 @@ def build_scanned_pdf(imgs: list[np.ndarray], codec: str = "ccitt") -> bytes:
     scanner/archive pipelines (and the reference's steel-standard corpus
     ``data/1.pdf…7.pdf``, which are multi-page scans) store pages.
     ``codec`` picks the archive encoding: ``"ccitt"`` (G4, the dominant
-    one), ``"jbig2"`` (arithmetic generic region with TPGDON), or
+    one), ``"jbig2"`` (arithmetic generic region with TPGDON),
     ``"jbig2sym"`` (symbol/text mode with EVERY page's dictionary in ONE
     shared ``/JBIG2Globals`` stream — the multi-page arrangement that
-    stream exists for).  Ink = pixels ≤ the kernel's binarization
-    threshold, so for the binary {0,255} fixture pages the rasterized
-    result is pixel-exact to the raster codecs and span equality is
-    preserved end-to-end."""
+    stream exists for), or ``"jpx"`` (8-bit gray reversible-5/3 JPEG
+    2000 via ``/JPXDecode`` — the one non-1-bit slot).  For the 1-bit
+    codecs, ink = pixels ≤ the kernel's binarization threshold; jpx is
+    lossless on the raw gray page — either way, for the binary {0,255}
+    fixture pages the rasterized result is pixel-exact to the raster
+    codecs and span equality is preserved end-to-end."""
     from .kernel.binarize import THRESHOLD
 
     b = _Builder()
-    page_bits = [np.asarray(img) <= THRESHOLD for img in imgs]
+    if codec != "jpx":  # the 1-bit codecs encode the ink mask
+        page_bits = [np.asarray(img) <= THRESHOLD for img in imgs]
     glob_num = None
     page_payloads: list[tuple[bytes, dict]] = []
     if codec == "ccitt":
