@@ -13,13 +13,16 @@ Real formats, no library excuse (same standard that brought PNG/JPEG to the
 image path): **WAV** (RIFF/WAVE, PCM 8/16-bit, mono or multi-channel —
 stdlib ``wave``) decodes natively; stereo downmixes to mono by channel mean
 (the conventional feature-extraction reduction).  **FLAC** (``flac.py``
-from-scratch decoder — the format real speech corpora ship) and
+from-scratch decoder — the format real speech corpora ship),
+**Ogg/Vorbis** (``ogg.py`` RFC 3533 page walk + ``vorbis.py`` from-scratch
+Vorbis I: codebooks, floor1, residues 0/1/2, coupling, IMDCT),
 **AVI/MJPEG** video (``avi.py`` RIFF walk + the from-scratch JPEG codec),
 **MP4/ISO-BMFF with MJPEG samples** (``mp4.py`` box walk + sample tables)
 and **animated GIF** decode natively too.  The *Spark-side plumbing is
 real* — schemas, 1→N frame explode, Arrow batch shapes, per-row error
 capture — and fully tested; only genuinely-library-bound formats
-(MP3/OGG audio, MKV/WebM containers, non-MJPEG MP4 codecs) remain
+(MP3 audio — its fixed ISO 11172-3 Huffman tables cannot be transcribed
+faithfully without the spec text — and non-MJPEG video codecs) remain
 stubbed: such payloads raise a named error pointing at the deploy-time
 library.
 
@@ -55,7 +58,8 @@ def encode_audio(pcm: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """AUD1, real WAV, or real FLAC bytes → (mono int16 PCM, sample_rate)."""
+    """AUD1, real WAV, FLAC, or Ogg/Vorbis bytes → (mono int16 PCM,
+    sample_rate)."""
     magic, rate = _AUD_HEADER.unpack_from(payload, 0)
     if magic == b"RIFF":
         return _decode_wav(payload)
@@ -63,8 +67,12 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         from .flac import decode_flac  # from-scratch lossless decoder
 
         return decode_flac(payload)
+    if magic == b"OggS":
+        from .vorbis import decode_ogg_vorbis  # from-scratch Vorbis I
+
+        return decode_ogg_vorbis(payload)
     if magic != AUD_MAGIC:
-        _raise_real_format(payload, "audio", "soundfile/librosa (MP3/OGG)")
+        _raise_real_format(payload, "audio", "soundfile/librosa (MP3)")
     if rate <= 0:
         raise ValueError(f"corrupt AUD1 header: sample_rate={rate}")
     pcm = np.frombuffer(payload, dtype=np.int16, offset=_AUD_HEADER.size)

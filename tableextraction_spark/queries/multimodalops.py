@@ -5,7 +5,7 @@ pytest only; q47 puts them in the driver's hard rows+schema+hash gate the
 same way q24/q46 gate the raster/PDF lanes.  A deterministic clip corpus —
 real AVI/MJPEG containers (``avi.py``), animated GIFs, MP4/ISO-BMFF with
 MJPEG samples (``mp4.py``), Matroska with MJPEG blocks across all lacing
-modes (``mkv.py``), and real RIFF/WAVE + FLAC PCM clips — is
+modes (``mkv.py``), and real RIFF/WAVE + FLAC + Ogg/Vorbis clips — is
 synthesized DISTRIBUTED (mapInPandas over a
 range frame; no driver-side payload bytes), run through the real Spark
 stages, and compared against plan-derived expectations computed RELATIONALLY
@@ -48,6 +48,7 @@ def _clip_batches(batches: Iterator) -> Iterator:
     from ..mkv import encode_mkv_mjpeg
     from ..mp4 import encode_mp4_mjpeg
     from ..multimodal import encode_wav
+    from ..vorbis import encode_vorbis_ogg
 
     for pdf in batches:
         rows = []
@@ -78,6 +79,10 @@ def _clip_batches(batches: Iterator) -> Iterator:
             rows.append((f"mkv-{i:04d}", "video", mkvb))
             rows.append((f"aud-{i:04d}", "audio", encode_wav(pcm, 8000)))
             rows.append((f"flac-{i:04d}", "audio", encode_flac(pcm, 8000)))
+            # third audio container: Ogg/Vorbis (lossy, but the decoder
+            # truncates to the granule so duration stays EXACT; RMS/error
+            # checks don't depend on quantization)
+            rows.append((f"ogg-{i:04d}", "audio", encode_vorbis_ogg(pcm, 8000)))
         yield pd.DataFrame(rows, columns=["media_ref", "kind", "content"])
 
 
@@ -159,9 +164,9 @@ def q47_multimodal_verify(spark, sf_dir):
     # --- audio: WAV features must be exact (duration = len/rate, both
     # dyadic rationals here → exact doubles on both sides) ---
     ln = F.lit(4000) + (F.col("i") % 4) * 500
-    # same expectation lattice for BOTH audio containers (WAV and FLAC)
+    # same expectation lattice for all THREE audio containers
     exp_a = idx.crossJoin(
-        spark.createDataFrame([("aud-",), ("flac-",)], "prefix string")
+        spark.createDataFrame([("aud-",), ("flac-",), ("ogg-",)], "prefix string")
     ).select(
         F.concat("prefix", F.lpad(F.col("i").cast("string"), 4, "0")).alias(
             "media_ref"
@@ -292,7 +297,7 @@ def q48_resize_format_verify(spark, sf_dir):
 
 INVENTORY_FORMATS = (
     "img1", "png", "jpeg", "gif", "bmp", "tiff", "jp2",
-    "wav", "flac", "avi", "mp4", "mkv",
+    "wav", "flac", "ogg", "avi", "mp4", "mkv",
 )
 INVENTORY_SCHEMA = "media_ref string, content binary"
 
@@ -313,6 +318,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
     from ..multimodal import encode_wav
     from ..png import encode_png
     from ..tiff import encode_tiff_gray
+    from ..vorbis import encode_vorbis_ogg
 
     for pdf in batches:
         rows = []
@@ -324,6 +330,10 @@ def _inventory_batches(batches: Iterator) -> Iterator:
             img = ((x + y + i) % 256).astype(np.uint8)
             ln = 4000 + 500 * (i % 4)
             pcm = ((np.arange(ln) * 37) % 4096 - 2048).astype(np.int16)
+            # ogg gets its own length lattice: multiples of 8 keep the
+            # granule duration exact at the probe's 3-decimal rounding
+            ln_ogg = 4000 + 512 * (i % 4)
+            pcm_ogg = ((np.arange(ln_ogg) * 37) % 4096 - 2048).astype(np.int16)
             nf = 3 + i % 5
             enc = {
                 "img1": lambda: encode_image(img),
@@ -333,6 +343,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
                 "bmp": lambda: encode_bmp_gray(img),
                 "wav": lambda: encode_wav(pcm, 8000),
                 "flac": lambda: encode_flac(pcm, 8000),
+                "ogg": lambda: encode_vorbis_ogg(pcm_ogg, 8000),
                 "avi": lambda: encode_avi_mjpeg(
                     [encode_jpeg_gray(img)] * nf, w, h, fps=10
                 ),
@@ -351,7 +362,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
 
 def q49_media_inventory_verify(spark, sf_dir):
     """The crawl-inventory stage (header-only `probe_media`) in the hard
-    gate, empty-on-success: a distributed mixed-format corpus (all twelve
+    gate, empty-on-success: a distributed mixed-format corpus (all thirteen
     native formats in one batch) probes to exactly the format / kind /
     dimensions / sample-rate / duration the plan arithmetic predicts —
     every field compared as a string so one query pins the whole row."""
@@ -364,7 +375,7 @@ def q49_media_inventory_verify(spark, sf_dir):
         (F.col("i") % len(INVENTORY_FORMATS)) + 1,
     )
     is_img = fmt.isin("img1", "png", "jpeg", "gif", "bmp", "tiff", "jp2")
-    is_aud = fmt.isin("wav", "flac")
+    is_aud = fmt.isin("wav", "flac", "ogg")
     is_vid = fmt.isin("avi", "mp4", "mkv")
     h = F.lit(24) + (F.col("i") % 3) * 8
     w = F.lit(32) + (F.col("i") % 2) * 8
@@ -381,11 +392,14 @@ def q49_media_inventory_verify(spark, sf_dir):
         F.when(is_aud, 0).otherwise(w).cast("string").alias("want_w"),
         F.when(is_aud, 0).otherwise(h).cast("string").alias("want_h"),
         F.when(is_aud, 8000).otherwise(0).cast("string").alias("want_rate"),
-        # audio: exact dyadic len/8000; avi: nf*100000/1e6 (fps=10);
+        # ogg: granule/8000 with a 3-decimal-exact lattice (the probe
+        # rounds to 3); other audio: exact dyadic len/8000;
+        # avi: nf*100000/1e6 (fps=10);
         # mp4: mvhd duration nf over timescale 10; mkv: Duration ms ×
         # TimestampScale/1e9 (nf*1e8/1e9 — correctly rounded = nf/10.0) —
         # all computed with the same double ops the probe uses
-        F.when(is_aud, ln.cast("double") / F.lit(8000.0))
+        F.when(fmt == "ogg", (F.lit(4000) + (F.col("i") % 4) * 512).cast("double") / F.lit(8000.0))
+        .when(is_aud, ln.cast("double") / F.lit(8000.0))
         .when(fmt == "avi", (nf * F.lit(100000)).cast("double") / F.lit(1000000.0))
         .when(fmt.isin("mp4", "mkv"), nf.cast("double") / F.lit(10.0))
         .otherwise(F.lit(0.0))

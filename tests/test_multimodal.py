@@ -230,3 +230,17 @@ def test_resize_images_routes_real_formats(spark):
         out = mm.decode_image(bytes(r.content))
         assert out.shape == (8, 10)
     assert got["junk"].error and got["junk"].content is None
+
+
+def test_ogg_vorbis_routes_through_decode_audio():
+    """OggS magic routes to the from-scratch Vorbis decoder; sample count
+    is granule-exact so duration features are exact."""
+    from tableextraction_spark.vorbis import encode_vorbis_ogg, expected_synthesis
+
+    pcm = ((np.arange(3000) * 37) % 4096 - 2048).astype(np.int16)
+    out, rate = mm.decode_audio(encode_vorbis_ogg(pcm, 8000))
+    assert rate == 8000 and len(out) == 3000
+    exp = np.clip(
+        np.rint(expected_synthesis(pcm)[0] * 32768.0), -32768, 32767
+    ).astype(np.int16)
+    assert np.array_equal(out, exp)
