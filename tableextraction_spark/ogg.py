@@ -113,7 +113,11 @@ class OggWriter:
         for k, seg in enumerate(segs):
             if len(self._segments) >= self.max_segments:
                 self._flush()
-                self._continued = True  # next page starts mid-packet
+                # the next page is a continuation ONLY if this packet
+                # already has segments on the flushed page; a packet that
+                # ended exactly at the page boundary must NOT mark the
+                # next page continued
+                self._continued = k > 0
             self._segments.append(seg)
             if k == len(segs) - 1:
                 self._granule = granule
@@ -121,12 +125,9 @@ class OggWriter:
             self._flush()
 
     def close(self, granule: int) -> bytes:
-        """Stamp the final page EOS with the stream-total granule."""
-        if self._segments:
-            self._granule = granule
-        else:
-            # an empty EOS page still carries the stream-end granule
-            self._granule = granule
+        """Stamp the final page EOS with the stream-total granule (an
+        empty EOS page still carries it)."""
+        self._granule = granule
         self._flush(eos=True)
         return b"".join(self.pages)
 
@@ -169,14 +170,21 @@ def iter_ogg_packets(buf: bytes) -> Iterator[tuple[bytes, int]]:
         if not (htype & CONTINUED) and pending:
             # muxer dropped the tail of an unfinished packet — RFC 3533 §6
             pending = bytearray()
+        # a CONTINUED page with nothing pending means we joined mid-packet:
+        # discard segments up to the first packet boundary (RFC 3533 §6)
+        orphaned = bool(htype & CONTINUED) and not pending
         off = body_off
         for k, lv in enumerate(lacing):
-            pending += buf[off : off + lv]
+            if not orphaned:
+                pending += buf[off : off + lv]
             off += lv
             if lv < 255:
-                # page granule applies to packets ending on this page
-                yield bytes(pending), granule
-                pending = bytearray()
+                if orphaned:
+                    orphaned = False
+                else:
+                    # page granule applies to packets ending on this page
+                    yield bytes(pending), granule
+                    pending = bytearray()
         pos = body_off + body_len
     # a packet still pending at EOF was never terminated: drop per RFC 3533
 

@@ -49,8 +49,11 @@ _MAX_ENTRIES = 1 << 22  # codebook allocation bound for hostile input
 _FAST_BITS = 13  # Huffman fast-table width (covers the fixture books fully)
 
 
-class EndOfPacket(Exception):
-    """Raised by the bit reader when a read crosses the packet end."""
+class EndOfPacket(ValueError):
+    """Raised by the bit reader when a read crosses the packet end.
+    Subclasses ValueError so an uncaught escape (e.g. a hostile audio
+    packet shorter than its mode-number bits) is still a per-row error
+    upstream, never a task-killing foreign exception."""
 
 
 def ilog(x: int) -> int:
@@ -410,8 +413,11 @@ class Floor1:
         self.sort_idx = sorted(range(len(xs)), key=lambda i: xs[i])
         self.codebooks = codebooks
 
-    def decode(self, br: BitReader) -> list[int] | None:
-        """Packet-side decode → final_Y list (None = unaudible channel)."""
+    def decode(self, br: BitReader) -> tuple[list[int], list[bool]] | None:
+        """Packet-side decode → (final_Y, step2 flags), or None for an
+        unaudible channel.  step2 travels WITH the result: curves are
+        rendered after every channel has decoded, and a shared Floor1
+        object must not leak one channel's flags into another's curve."""
         if not br.read_bit():
             return None
         rng = _RANGES[self.multiplier - 1]
@@ -464,17 +470,16 @@ class Floor1:
                 step2.append(False)
                 fy = predicted
             final_y.append(max(0, min(rng - 1, fy)))
-        self._step2 = step2
-        return final_y
+        return final_y, step2
 
-    def curve(self, final_y: list[int], n: int) -> np.ndarray:
+    def curve(self, final_y: list[int], step2: list[bool], n: int) -> np.ndarray:
         """Synthesis step 2: render the piecewise line, map through the
         inverse-dB table; n = half the block size."""
         fy = np.zeros(n, dtype=np.int64)
         lx, ly = 0, final_y[self.sort_idx[0]] * self.multiplier
         hx = 0
         for i in self.sort_idx[1:]:
-            if not self._step2[i]:
+            if not step2[i]:
                 continue
             hx = self.x_list[i]
             hy = final_y[i] * self.multiplier
@@ -793,7 +798,7 @@ class VorbisDecoder:
             for c in range(ch):
                 fl = self.floors[mapping.submap_floor[mapping.mux[c]]]
                 floor_y.append((fl, fl.decode(br)))
-            no_residue = [fy is None for _, fy in floor_y]
+            no_residue = [dec is None for _, dec in floor_y]
             for m, a in mapping.coupling:
                 if not (no_residue[m] and no_residue[a]):
                     no_residue[m] = no_residue[a] = False
@@ -836,10 +841,10 @@ class VorbisDecoder:
         frames = np.zeros((ch, n))
         window = vorbis_window(n, bs0, prev_flag, next_flag, bool(mode.blockflag))
         for c in range(ch):
-            fl, fy = floor_y[c]
-            if fy is None:
+            fl, dec = floor_y[c]
+            if dec is None:
                 continue
-            spectrum = fl.curve(fy, half) * residue_vec[c]
+            spectrum = fl.curve(dec[0], dec[1], half) * residue_vec[c]
             frames[c] = imdct(spectrum) * window
         return frames, n, prev_flag, next_flag
 

@@ -309,3 +309,107 @@ def test_vorbis_any_pcm_roundtrips_to_oracle(n, seed, stereo):
     exp = exp.mean(axis=0) if stereo else exp[0]
     assert np.array_equal(out, to_int16(exp))
     assert len(out) == n
+
+
+def test_ogg_page_boundary_packet_not_marked_continued():
+    """A packet ending exactly at the max_segments page boundary must not
+    mark the NEXT page continued (regression: the writer set the flag
+    whenever a flush happened mid-write-loop)."""
+    w = OggWriter(serial=9, max_segments=2)
+    w.write_packet(b"a" * 300, granule=1)  # exactly 2 segments (255+45)
+    w.write_packet(b"b" * 10, granule=2)  # must start a FRESH page
+    buf = w.close(2)
+    pages = [b"OggS" + p for p in buf.split(b"OggS")[1:]]
+    # header_type byte is at offset 5; bit 0 = continued
+    # page 1: packet a (exactly 2 segments); page 2: packet b + EOS
+    flags = [p[5] & 0x01 for p in pages]
+    assert flags == [0, 0], flags
+    assert [p for p, _ in iter_ogg_packets(buf)] == [b"a" * 300, b"b" * 10]
+
+
+def test_ogg_orphaned_continued_packet_discarded():
+    """Joining a stream at a CONTINUED page discards the partial packet
+    up to the first boundary (RFC 3533 §6) instead of yielding its tail
+    as data."""
+    w = OggWriter(serial=9, max_segments=2)
+    w.write_packet(b"x" * 600, granule=5)  # spans pages
+    w.write_packet(b"y" * 7, granule=6)
+    buf = w.close(6)
+    pages = buf.split(b"OggS")[1:]
+    # drop the first page; renumber is not attempted — instead start the
+    # kept pages as their own buffer and relax: rebuild with sequence 0
+    import struct
+
+    kept = bytearray(b"OggS" + pages[1])
+    assert kept[5] & 0x01  # really a continued page
+    # fix sequence numbers so only the orphan rule is under test
+    out = bytearray()
+    seq = 0
+    for page in [bytes(kept), *(b"OggS" + p for p in pages[2:])]:
+        page = bytearray(page)
+        struct.pack_into("<I", page, 18, seq)
+        seq += 1
+        struct.pack_into("<I", page, 22, 0)
+        from tableextraction_spark.ogg import ogg_crc
+
+        struct.pack_into("<I", page, 22, ogg_crc(bytes(page)))
+        out += page
+    pkts = [p for p, _ in iter_ogg_packets(bytes(out))]
+    assert pkts == [b"y" * 7]  # the x-tail was discarded, y survived
+
+
+def test_floor1_classed_decode_is_stateless_across_channels():
+    """A floor with partitions > 0 (classed Y residuals — the shape real
+    encoders emit, which the fixture encoder never writes): decoding a
+    second packet must not change the curve of the first (regression:
+    step2 flags were stored on the shared Floor1 object)."""
+    from tableextraction_spark.vorbis import BitReader, BitWriter, Floor1
+
+    book = Codebook(1, [2, 2, 2, 2])
+    hdr = BitWriter()
+    hdr.write(1, 5)  # one partition
+    hdr.write(0, 4)  # class 0
+    hdr.write(1, 3)  # class dim - 1 → 2
+    hdr.write(0, 2)  # subclass bits
+    hdr.write(0 + 1, 8)  # subclass book → book 0
+    hdr.write(0, 2)  # multiplier - 1
+    hdr.write(6, 4)  # rangebits → X = [0, 64]
+    hdr.write(20, 6)  # X[2]
+    hdr.write(40, 6)  # X[3]
+    fl = Floor1(BitReader(hdr.bytes()), [book])
+
+    def packet(y0, y1, r2, r3):
+        bw = BitWriter()
+        bw.write(1, 1)
+        bw.write(y0, 8)
+        bw.write(y1, 8)
+        for r in (r2, r3):
+            code, ln = book.codewords[r]
+            bw.write_codeword(code, ln)
+        return BitReader(bw.bytes())
+
+    dec_a = fl.decode(packet(100, 50, 3, 0))
+    curve_a_before = fl.curve(dec_a[0], dec_a[1], 64).copy()
+    dec_b = fl.decode(packet(10, 200, 0, 2))
+    curve_b = fl.curve(dec_b[0], dec_b[1], 64)
+    curve_a_after = fl.curve(dec_a[0], dec_a[1], 64)
+    assert np.array_equal(curve_a_before, curve_a_after)
+    assert not np.array_equal(curve_a_before, curve_b)
+    # the r3=0 point decodes as predicted-only (step2 False there)
+    assert dec_a[1][3] is False or dec_a[1][3] == False  # noqa: E712
+
+
+def test_endofpacket_is_a_valueerror():
+    """A hostile audio packet shorter than its header bits surfaces as a
+    ValueError (per-row error upstream), not a foreign exception type."""
+    from tableextraction_spark.vorbis import EndOfPacket
+
+    assert issubclass(EndOfPacket, ValueError)
+    pcm = make_pcm(500)
+    pkts = list(iter_ogg_packets(encode_vorbis_ogg(pcm, 8000)))
+    w = OggWriter(serial=2)
+    for i, (p, g) in enumerate(pkts[:3]):
+        w.write_packet(p, g)
+    w.write_packet(b"", 0)  # zero-length audio packet: skipped, not fatal
+    out, rate = decode_ogg_vorbis(w.close(0))
+    assert rate == 8000 and len(out) == 0
