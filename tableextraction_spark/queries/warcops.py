@@ -80,7 +80,16 @@ def _warc_batches(batches: Iterator) -> Iterator:
                     url=f"http://site{i}.example/p0",
                 )
             )
-            rows.append((f"crawl/part-{i:04d}.warc.gz", encode_warc(recs)))
+            # rotate the two crawl container layouts through the gate:
+            # per-record gzip members (Common Crawl) and zstd frames
+            # (IIPC warc-zstd) — identical record content either way
+            if i % 3 == 2:
+                rows.append(
+                    (f"crawl/part-{i:04d}.warc.zst",
+                     encode_warc(recs, compression="zstd"))
+                )
+            else:
+                rows.append((f"crawl/part-{i:04d}.warc.gz", encode_warc(recs)))
         yield pd.DataFrame(rows, columns=["path", "content"])
 
 
@@ -135,7 +144,8 @@ def q53_warc_ingest_verify(spark, sf_dir):
     want_shape = idx.select(
         F.concat(
             F.lit("crawl/part-"), F.lpad(F.col("i").cast("string"), 4, "0"),
-            F.lit(".warc.gz"),
+            # mirror of the generator's container rotation (gz / zst)
+            F.when(F.col("i") % 3 == 2, ".warc.zst").otherwise(".warc.gz"),
         ).alias("warc_path"),
         (F.lit(2) + F.col("i") % 3).cast("long").alias("want_html_rows"),
         F.lit(1).cast("long").alias("want_404"),

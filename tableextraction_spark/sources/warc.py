@@ -18,6 +18,11 @@ Format (published spec):
   boundaries gets record-level random access, which is exactly what makes
   the format splittable at 100 TB: a task can own a byte range and start at
   the first member boundary past its range start.
+- The IIPC warc-zstd layout (``.warc.zst``) concatenates standard zstd
+  frames the same way; frame boundaries are computed from RFC 8878
+  headers alone (no decompression), so the byte-range ownership rule is
+  identical.  Decompression uses pyarrow's bundled zstd; dictionaried
+  archives refuse loudly per frame.
 
 Scale shape: WARC files are the INPUT layout; ``warc_to_docs`` runs one
 Arrow-batched ``mapInPandas`` over (path, payload) rows — per-file work,
@@ -95,6 +100,138 @@ def gunzip_members(buf: bytes) -> list[tuple[int, int, bytes]]:
             )
         pos = end
     return out
+
+
+# --- zstd frame walk (IIPC warc-zstd layout: records in zstd frames) ---
+#
+# The warc-zstd spec (iipc/warc-specifications) concatenates standard zstd
+# frames (RFC 8878), each holding one or more complete WARC records, with
+# an optional skippable frame carrying a compression dictionary.  Frame
+# BOUNDARIES are computable from the frame header + block headers alone —
+# no decompression — so byte-range tasks get the same ownership rule as
+# the .warc.gz member walk.  Decompression itself uses pyarrow's bundled
+# zstd (streaming, no size hint needed); dictionary-compressed archives
+# refuse loudly (pyarrow's codec API has no dictionary parameter).
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"  # 0xFD2FB528 LE
+_ZSTD_SKIP_LO, _ZSTD_SKIP_HI = 0x184D2A50, 0x184D2A5F
+_ZSTD_DICT_MAGIC = 0x184D2A5D  # warc-zstd: the dictionary skippable frame
+
+
+def _zstd_frame_end(mv, pos: int) -> int:
+    """End offset of the zstd frame at ``pos`` by walking its header and
+    block headers (RFC 8878 §3.1.1) — no decompression.  Skippable frames
+    resolve from their length field.  Raises ValueError on truncation,
+    reserved bits, or a dictionary requirement (named — deploy a real
+    zstd binding for dictionaried archives)."""
+    n = len(mv)
+    if pos + 4 > n:
+        raise ValueError(f"truncated zstd magic at offset {pos}")
+    magic = int.from_bytes(mv[pos : pos + 4], "little")
+    if _ZSTD_SKIP_LO <= magic <= _ZSTD_SKIP_HI:
+        if pos + 8 > n:
+            raise ValueError(f"truncated zstd skippable frame at {pos}")
+        size = int.from_bytes(mv[pos + 4 : pos + 8], "little")
+        end = pos + 8 + size
+        if end > n:
+            raise ValueError(f"zstd skippable frame overruns buffer at {pos}")
+        return end
+    if bytes(mv[pos : pos + 4]) != _ZSTD_MAGIC:
+        raise ValueError(f"not a zstd frame at offset {pos}")
+    p = pos + 4
+    if p >= n:
+        raise ValueError(f"truncated zstd frame header at {pos}")
+    desc = mv[p]
+    p += 1
+    fcs_flag = desc >> 6
+    single = (desc >> 5) & 1
+    if (desc >> 3) & 1:
+        raise ValueError(f"zstd reserved descriptor bit set at {pos}")
+    checksum = (desc >> 2) & 1
+    did_flag = desc & 3
+    if did_flag:
+        raise ValueError(
+            "zstd frame requires a compression dictionary — warc-zstd "
+            "dictionaried archives need a real zstd binding (pyarrow's "
+            "codec has no dictionary API); re-pack without a dictionary "
+            "or deploy python-zstandard"
+        )
+    if not single:
+        p += 1  # window descriptor
+    p += (1 if single else 0, 2, 4, 8)[fcs_flag]
+    while True:
+        if p + 3 > n:
+            raise ValueError(f"truncated zstd block header in frame at {pos}")
+        bh = mv[p] | (mv[p + 1] << 8) | (mv[p + 2] << 16)
+        p += 3
+        btype = (bh >> 1) & 3
+        if btype == 3:
+            raise ValueError(f"zstd reserved block type in frame at {pos}")
+        p += 1 if btype == 1 else bh >> 3  # RLE blocks store ONE byte
+        if p > n:
+            raise ValueError(f"zstd block overruns buffer in frame at {pos}")
+        if bh & 1:  # last block
+            break
+    if checksum:
+        p += 4
+        if p > n:
+            raise ValueError(f"truncated zstd checksum in frame at {pos}")
+    return p
+
+
+def _zstd_member(mv, pos: int) -> tuple[bytes, int]:
+    """One zstd frame starting at ``pos`` → (decoded bytes, end offset);
+    skippable frames decode to b'' (callers treat empty units as no-ops).
+    The (data-frame) decompress is pyarrow streaming — size-hint-free."""
+    end = _zstd_frame_end(mv, pos)
+    magic = int.from_bytes(mv[pos : pos + 4], "little")
+    if _ZSTD_SKIP_LO <= magic <= _ZSTD_SKIP_HI:
+        if magic == _ZSTD_DICT_MAGIC:
+            raise ValueError(
+                "warc-zstd dictionary frame present — the whole archive is "
+                "dictionary-compressed; deploy python-zstandard to read it"
+            )
+        return b"", end  # other skippable frames carry no records
+    import pyarrow as pa
+
+    try:
+        data = pa.input_stream(
+            pa.BufferReader(bytes(mv[pos:end])), compression="zstd"
+        ).read()
+    except OSError as e:  # ArrowIOError: corrupt frame body
+        raise ValueError(f"corrupt zstd frame at offset {pos}: {e}") from e
+    return bytes(data), end
+
+
+def _iter_zstd_units_tolerant(buf: bytes):
+    """Yield (frame bytes | None, error | None) per zstd frame, resyncing
+    at the next frame magic after a corrupt frame — one bad frame costs
+    one error unit, not the rest of the crawl file."""
+    pos = 0
+    n = len(buf)
+    mv = memoryview(buf)
+    while pos < n:
+        try:
+            data, end = _zstd_member(mv, pos)
+        except ValueError as e:
+            yield None, f"ValueError: {e}"
+            nxt = buf.find(_ZSTD_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        if data:
+            yield data, None
+        pos = end
+
+
+def _is_zstd_head(head: bytes) -> bool:
+    if len(head) < 4:
+        return False
+    if head[:4] == _ZSTD_MAGIC:
+        return True
+    magic = int.from_bytes(head[:4], "little")
+    return _ZSTD_SKIP_LO <= magic <= _ZSTD_SKIP_HI
 
 
 # --- WARC record parsing (uncompressed bytes) ---
@@ -272,14 +409,21 @@ def iter_warc_docs(buf: bytes):
     ``(url, record_id, warc_date, http_status, content_type, payload,
     error)``.  Only ``WARC-Type: response`` records emit rows.
 
-    Damage is contained to ONE record: a corrupt gzip member resyncs at
-    the next member magic, a malformed record resyncs at the next WARC
-    version line, a bad HTTP block errors that row — in every case the
-    remaining records of the file still yield (a 50k-record crawl file
-    must not lose 50k docs to one truncated record).
+    Magic-routed container: per-record gzip members (.warc.gz, the
+    Common Crawl layout), concatenated zstd frames (.warc.zst, the IIPC
+    warc-zstd layout — dictionaried archives refuse loudly per frame),
+    or plain concatenated records.
+
+    Damage is contained to ONE record: a corrupt gzip member or zstd
+    frame resyncs at the next magic, a malformed record resyncs at the
+    next WARC version line, a bad HTTP block errors that row — in every
+    case the remaining records of the file still yield (a 50k-record
+    crawl file must not lose 50k docs to one truncated record).
     """
     if buf[:2] == b"\x1f\x8b":
         units = _iter_members_tolerant(buf)
+    elif _is_zstd_head(buf[:4]):
+        units = _iter_zstd_units_tolerant(buf)
     else:
         units = iter([(buf, None)])
     yield from _docs_from_units(units)
@@ -407,21 +551,27 @@ def list_warc_splits(
 
 def iter_warc_docs_range(path: str, start: int, end: int):
     """Doc rows of the gzip members STARTING in ``[start, end)`` of a
-    .warc.gz file.  Reads ``[start, end + margin)`` — the margin covers the
-    last owned member's overrun past ``end`` (a member larger than the
-    margin errors loudly rather than silently truncating).  Plain
-    (non-member-gzip) WARC files are not splittable: the split containing
-    offset 0 processes the whole file; others yield nothing."""
+    .warc.gz (gzip members) or .warc.zst (zstd frames) file.  Reads
+    ``[start, end + margin)`` — the margin covers the last owned member's
+    overrun past ``end`` (a member larger than the margin errors loudly
+    rather than silently truncating).  Plain (non-member-compressed) WARC
+    files are not splittable: the split containing offset 0 processes the
+    whole file; others yield nothing."""
     import os
 
     size = os.path.getsize(path)
     with open(path, "rb") as f:
-        if start == 0:
-            head = f.read(2)
-            if head != b"\x1f\x8b":
+        head = f.read(4)  # container magic decides the sync pattern
+        if head[:2] == b"\x1f\x8b":
+            sync, inflate = b"\x1f\x8b\x08", _inflate_member
+        elif _is_zstd_head(head):
+            sync, inflate = _ZSTD_MAGIC, _zstd_member
+        else:
+            # plain WARC: not splittable — split 0 owns the whole file
+            if start == 0:
                 f.seek(0)
                 yield from iter_warc_docs(f.read())
-                return
+            return
         f.seek(start)
         # eager read = range + small margin (2× amplification worst case);
         # the rare member longer than the margin re-reads below under the
@@ -431,20 +581,21 @@ def iter_warc_docs_range(path: str, start: int, end: int):
     window = end - start  # member starts are owned while local pos < window
     pos = 0
     synced = start == 0  # split 0 starts ON a boundary by format definition
-    # magic scans pass `window + 2` as the end bound: find() bounds the
-    # END of the 3-byte match, so a member starting at local offset
-    # window-1 or window-2 (still OWNED: its start is < end) would
+    # magic scans pass `window + len(sync) - 1` as the end bound: find()
+    # bounds the END of the match, so a member starting at local offset
+    # window-1 .. window-(len-1) (still OWNED: its start is < end) would
     # otherwise be found by NO split and its record silently lost
     # (found in review); ownership is enforced by `nxt < window` below.
+    scan_end = window + len(sync) - 1
     while pos < window:
         if not synced:
-            nxt = buf.find(b"\x1f\x8b\x08", pos, window + 2)
+            nxt = buf.find(sync, pos, scan_end)
             if nxt < 0 or nxt >= window:
                 return
             pos = nxt
         try:
             try:
-                data, mend = _inflate_member(mv, pos)
+                data, mend = inflate(mv, pos)
             except ValueError as e:
                 # re-read under the hard cap ONLY for a buffer-end
                 # truncation (the trailing owned member overran the eager
@@ -456,7 +607,7 @@ def iter_warc_docs_range(path: str, start: int, end: int):
                 with open(path, "rb") as f:
                     f.seek(start + pos)
                     big = f.read(min(size - start - pos, _SPLIT_MEMBER_MARGIN))
-                data, bend = _inflate_member(memoryview(big), 0)
+                data, bend = inflate(memoryview(big), 0)
                 mend = pos + bend
         except ValueError as e:
             if synced:
@@ -465,7 +616,7 @@ def iter_warc_docs_range(path: str, start: int, end: int):
                        f"ValueError: {e}")
             # false-positive magic before first sync: skip silently — the
             # bytes belong to the left split's trailing member
-            nxt = buf.find(b"\x1f\x8b\x08", pos + 1, window + 2)
+            nxt = buf.find(sync, pos + 1, scan_end)
             if nxt < 0 or nxt >= window:
                 return
             pos = nxt
@@ -643,11 +794,25 @@ def encode_warc_record(
     return "\r\n".join(h).encode() + b"\r\n\r\n" + content + b"\r\n\r\n"
 
 
-def encode_warc(records: list[bytes], per_record_gzip: bool = True) -> bytes:
-    """Records → one .warc(.gz) byte string.  ``per_record_gzip`` writes the
-    Common Crawl layout (one gzip member per record, concatenated)."""
+def encode_warc(
+    records: list[bytes],
+    per_record_gzip: bool = True,
+    compression: str = "gzip",
+) -> bytes:
+    """Records → one .warc(.gz|.zst) byte string.  ``compression="gzip"``
+    writes the Common Crawl layout (one gzip member per record);
+    ``"zstd"`` writes the IIPC warc-zstd layout (one zstd frame per
+    record, pyarrow codec); ``per_record_gzip=False`` writes plain
+    concatenated records."""
     if not per_record_gzip:
         return b"".join(records)
+    if compression == "zstd":
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd")
+        return b"".join(bytes(codec.compress(rec)) for rec in records)
+    if compression != "gzip":
+        raise ValueError(f"unsupported WARC compression {compression!r}")
     out = []
     for rec in records:
         co = zlib.compressobj(6, zlib.DEFLATED, 31)

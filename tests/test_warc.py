@@ -407,3 +407,115 @@ def test_range_member_starting_at_window_edge_not_lost(tmp_path):
     # members 5..11 are owned by exactly one of the two splits
     assert sorted(got) == sorted(f"http://ex.org/{i}" for i in range(5, 12))
     assert len(got) == 7
+
+
+# --- warc-zstd (IIPC layout: concatenated zstd frames) ---
+
+def _zst_fixture(records=None):
+    return encode_warc(records or _fixture_records(), compression="zstd")
+
+
+def test_zstd_layout_agrees_with_gzip_and_plain():
+    recs = _fixture_records()
+    plain = [r for r in iter_warc_docs(encode_warc(recs, per_record_gzip=False))]
+    gz = [r for r in iter_warc_docs(encode_warc(recs))]
+    zst = [r for r in iter_warc_docs(_zst_fixture(recs))]
+    assert zst == plain == gz
+    assert sum(1 for r in zst if r[0]) == 3  # the three response records
+
+
+def test_zstd_frame_walk_no_decompression():
+    """Frame boundaries resolve from headers alone and tile the file."""
+    from tableextraction_spark.sources.warc import _zstd_frame_end
+
+    buf = _zst_fixture()
+    mv = memoryview(buf)
+    pos, frames = 0, 0
+    while pos < len(buf):
+        pos = _zstd_frame_end(mv, pos)
+        frames += 1
+    assert pos == len(buf) and frames == 5
+
+
+def test_zstd_skippable_frame_skipped_dict_refused():
+    import struct
+
+    recs = _fixture_records()
+    body = _zst_fixture(recs)
+    pad = struct.pack("<II", 0x184D2A50, 7) + b"padding"  # benign skippable
+    rows = list(iter_warc_docs(pad + body))
+    assert sum(1 for r in rows if r[0]) == 3
+    assert not any(r[-1] for r in rows)
+    # the warc-zstd DICTIONARY skippable frame refuses loudly, per frame
+    dic = struct.pack("<II", 0x184D2A5D, 4) + b"DICT"
+    rows = list(iter_warc_docs(dic + body))
+    errs = [r[-1] for r in rows if r[-1]]
+    assert errs and "python-zstandard" in errs[0]
+    # the frames themselves are dict-less here, so the records still decode
+    assert sum(1 for r in rows if r[0]) == 3
+
+
+def test_zstd_dictionary_flagged_frame_refused():
+    """A frame whose descriptor demands a dictionary (did_flag != 0) is a
+    named per-frame error, never a silent misdecode."""
+    buf = bytearray(_zst_fixture())
+    buf[4] |= 0x01  # set Dictionary_ID_flag on the first frame
+    rows = list(iter_warc_docs(bytes(buf)))
+    errs = [r[-1] for r in rows if r[-1]]
+    assert errs and "dictionary" in errs[0]
+
+
+def test_zstd_corrupt_frame_contained():
+    recs = _fixture_records()
+    buf = bytearray(_zst_fixture(recs))
+    from tableextraction_spark.sources.warc import _zstd_frame_end
+
+    mv = memoryview(bytes(buf))
+    first_end = _zstd_frame_end(mv, 0)
+    second_end = _zstd_frame_end(mv, first_end)
+    buf[first_end + 20] ^= 0xFF  # corrupt the second frame's body
+    rows = list(iter_warc_docs(bytes(buf)))
+    errs = [r for r in rows if r[-1]]
+    oks = [r for r in rows if r[0]]
+    assert len(errs) >= 1  # the damaged record errors...
+    assert len(oks) >= 2  # ...the rest survive the resync
+    assert second_end > first_end
+
+
+def test_zstd_range_splits_tile_file_exactly(tmp_path):
+    """Byte-range ownership over .warc.zst == whole-file walk, across
+    split sizes that land inside frames, on frames, and past EOF."""
+    import os
+
+    from tableextraction_spark.sources.warc import (
+        iter_warc_docs_range,
+        list_warc_splits,
+    )
+
+    recs = []
+    for i in range(120):
+        body = (f"<html><body>zdoc {i} " + "filler " * (20 + i % 67)
+                + "</body></html>").encode()
+        recs.append(encode_warc_record(
+            "response", encode_http_response(body),
+            url=f"http://zex.org/{i}", record_id=str(i),
+        ))
+    path = tmp_path / "big.warc.zst"
+    path.write_bytes(encode_warc(recs, compression="zstd"))
+    path = str(path)
+    whole = sorted(r[0] for r in iter_warc_docs(open(path, "rb").read())
+                   if r[0])
+    assert len(whole) == 120
+    for split_bytes in (999, 4096, 17001, os.path.getsize(path) * 2):
+        splits = list_warc_splits([path], split_bytes)
+        got = []
+        for p, s, e in splits:
+            got.extend(r[0] for r in iter_warc_docs_range(p, s, e) if r[0])
+        assert sorted(got) == whole, f"split_bytes={split_bytes}"
+
+
+def test_zstd_hostile_truncations_never_hang():
+    buf = _zst_fixture()
+    for cut in (3, 4, 5, 9, 30, len(buf) - 1):
+        rows = list(iter_warc_docs(buf[:cut]))  # error rows, no exception
+        assert all(len(r) == 8 for r in rows)
