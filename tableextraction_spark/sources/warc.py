@@ -369,8 +369,10 @@ def _dechunk(body: bytes) -> bytes:
 def parse_http_response(body: bytes) -> tuple[int, dict[str, str], bytes]:
     """HTTP response bytes → (status, headers, decoded payload).
 
-    Handles Transfer-Encoding: chunked and Content-Encoding: gzip/deflate
-    (zlib; auto wbits).  Raises ValueError on malformed input.
+    Handles Transfer-Encoding: chunked and Content-Encoding:
+    gzip/deflate (zlib; auto wbits), br (pyarrow's bundled brotli), and
+    zstd (RFC 8878 — some CDNs serve it).  Raises ValueError on
+    malformed input.
     """
     if not body.startswith(b"HTTP/"):
         raise ValueError("not an HTTP response")
@@ -393,6 +395,19 @@ def parse_http_response(body: bytes) -> tuple[int, dict[str, str], bytes]:
             payload = zlib.decompress(payload)
         except zlib.error:  # raw-deflate servers exist; spec-tolerated
             payload = zlib.decompress(payload, wbits=-15)
+    elif enc in ("br", "zstd"):
+        import pyarrow as pa
+
+        codec = "brotli" if enc == "br" else "zstd"
+        try:
+            payload = pa.input_stream(
+                pa.BufferReader(payload), compression=codec
+            ).read()
+        except OSError as e:
+            raise ValueError(f"corrupt {enc} body: {e}") from e
+        payload = bytes(payload)
+    elif enc and enc not in ("identity",):
+        raise ValueError(f"unsupported Content-Encoding {enc!r}")
     return status, headers, payload
 
 
@@ -748,16 +763,27 @@ def encode_http_response(
     content_type: str = "text/html; charset=utf-8",
     chunked: bool = False,
     gzip_body: bool = False,
+    encoding: str | None = None,
 ) -> bytes:
     reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently"}.get(
         status, "X"
     )
     body = payload
     headers = [f"Content-Type: {content_type}"]
-    if gzip_body:
+    if gzip_body and encoding is None:
+        encoding = "gzip"
+    if encoding == "gzip":
         co = zlib.compressobj(6, zlib.DEFLATED, 31)
         body = co.compress(body) + co.flush()
         headers.append("Content-Encoding: gzip")
+    elif encoding in ("br", "zstd"):
+        import pyarrow as pa
+
+        codec = "brotli" if encoding == "br" else "zstd"
+        body = bytes(pa.Codec(codec).compress(body))
+        headers.append(f"Content-Encoding: {encoding}")
+    elif encoding is not None:
+        raise ValueError(f"unsupported fixture encoding {encoding!r}")
     if chunked:
         headers.append("Transfer-Encoding: chunked")
         out, pos = [], 0

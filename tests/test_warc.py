@@ -519,3 +519,30 @@ def test_zstd_hostile_truncations_never_hang():
     for cut in (3, 4, 5, 9, 30, len(buf) - 1):
         rows = list(iter_warc_docs(buf[:cut]))  # error rows, no exception
         assert all(len(r) == 8 for r in rows)
+
+
+def test_brotli_and_zstd_content_encoding_bodies():
+    """Content-Encoding: br / zstd payloads decode (pyarrow codecs); an
+    unknown encoding is a per-row error, not silently-raw bytes."""
+    from tableextraction_spark.sources.warc import parse_http_response
+
+    for enc in ("br", "zstd"):
+        resp = encode_http_response(HTML, encoding=enc, chunked=bool(enc == "br"))
+        status, headers, payload = parse_http_response(resp)
+        assert (status, payload) == (200, HTML)
+        assert headers["content-encoding"] == enc
+    rows = list(iter_warc_docs(encode_warc([
+        encode_warc_record(
+            "response", encode_http_response(HTML, encoding="zstd"),
+            url="http://z.example/", record_id="z1",
+        )
+    ])))
+    assert [r[0] for r in rows if r[0]] == ["http://z.example/"]
+    bogus = encode_http_response(HTML).replace(
+        b"Content-Type:", b"Content-Encoding: sdch\r\nContent-Type:", 1
+    )
+    rows = list(iter_warc_docs(encode_warc([
+        encode_warc_record("response", bogus, url="http://s.example/",
+                           record_id="s1")
+    ])))
+    assert rows and rows[0][-1] and "sdch" in rows[0][-1]
