@@ -187,6 +187,98 @@ WHERE 1 = 0
 """
 
 
+# --- q56: CDX urlkey canonicalization, TRUE cross-engine oracle ---
+#
+# Two INDEPENDENT implementations of the same pywb-subset SURT rules —
+# Catalyst expressions (sources/warc.cdx_urlkey) vs DuckDB SQL below —
+# over an identical deterministic URL lattice, value-hash compared by the
+# driver.  Unlike the empty-on-success gates, a canonicalization bug on
+# either side cannot cancel out.
+
+_CDX_SCHEMES = ("http", "https")
+_CDX_HOSTS = (
+    "Example.COM",
+    "sub.Ex-Archive.org",
+    "www.News.example",
+    "WWW2.data.Example.co.uk",
+    "cdn.example",
+)
+_CDX_PORTS = ("", ":80", ":443", ":8080")
+_CDX_PATHS = ("", "/Path/To/Page", "/index.html")
+_CDX_QUERIES = ("", "?b=2&a=1", "?z=9&m=3&a=1#Frag", "?single=1")
+_CDX_N = 240  # lcm of the slot counts: every combination appears
+
+
+def _cdx_pick(vals, k):
+    return F.element_at(
+        F.array(*[F.lit(v) for v in vals]), (F.col("i") % k + 1).cast("int")
+    )
+
+
+def q56_cdx_urlkey_verify(spark, sf_dir):
+    """CDX urlkey over the canonicalization lattice (scheme × host-case ×
+    www-prefix × port × path × query-order × fragment).  Fixed-size
+    corpus: the lattice covers the rule space; scale belongs to q53."""
+    from ..sources.warc import cdx_urlkey
+
+    idx = spark.range(_CDX_N).select(F.col("id").alias("i"))
+    url = F.concat(
+        _cdx_pick(_CDX_SCHEMES, 2),
+        F.lit("://"),
+        _cdx_pick(_CDX_HOSTS, 5),
+        _cdx_pick(_CDX_PORTS, 4),
+        _cdx_pick(_CDX_PATHS, 3),
+        _cdx_pick(_CDX_QUERIES, 4),
+    )
+    return idx.select(
+        "i", url.alias("url"), cdx_urlkey(url).alias("urlkey")
+    )
+
+
+Q56_SQL = """
+WITH lat AS (
+  SELECT i,
+    (['http','https'])[(i % 2) + 1] || '://' ||
+    (['Example.COM','sub.Ex-Archive.org','www.News.example',
+      'WWW2.data.Example.co.uk','cdn.example'])[(i % 5) + 1] ||
+    (['', ':80', ':443', ':8080'])[(i % 4) + 1] ||
+    (['', '/Path/To/Page', '/index.html'])[(i % 3) + 1] ||
+    (['', '?b=2&a=1', '?z=9&m=3&a=1#Frag', '?single=1'])[(i % 4) + 1]
+      AS url
+  FROM (SELECT unnest(range(240)) AS i)
+), c AS (
+  SELECT i, url,
+    regexp_replace(regexp_replace(lower(url), '#.*$', ''),
+                   '^https?://', '') AS u
+  FROM lat
+), parts AS (
+  SELECT i, url,
+    regexp_extract(u, '^([^/?]*)', 1) AS hostport,
+    regexp_replace(u, '^[^/?]*', '') AS pathq
+  FROM c
+), hp AS (
+  SELECT i, url, pathq,
+    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                   '^www[0-9]*\\.', '') AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+  FROM parts
+)
+SELECT i, url,
+  array_to_string(list_reverse(string_split(host, '.')), ',')
+  || CASE WHEN port IN ('', '80', '443') THEN '' ELSE ':' || port END
+  || ')'
+  || CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = ''
+          THEN '/' ELSE regexp_extract(pathq, '^([^?]*)', 1) END
+  || CASE WHEN regexp_extract(pathq, '\\?(.*)$', 1) = '' THEN ''
+          ELSE '?' || array_to_string(
+                 list_sort(string_split(
+                   regexp_extract(pathq, '\\?(.*)$', 1), '&')), '&') END
+  AS urlkey
+FROM hp
+"""
+
+
 QUERIES = {
     "q53_warc_ingest_verify": (q53_warc_ingest_verify, Q53_SQL),
+    "q56_cdx_urlkey_verify": (q56_cdx_urlkey_verify, Q56_SQL),
 }

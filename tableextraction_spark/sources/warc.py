@@ -757,6 +757,61 @@ def html_text(payload: bytes, content_type: str) -> str:
 
 # --- fixture writer (tests + gate corpus; standards-shaped output) ---
 
+# --- CDX index (the archive world's standard crawl index) ---
+
+def cdx_urlkey(url):
+    """SURT-canonicalized url key as a pure Catalyst expression (pywb
+    canonicalization subset, zero UDFs): lowercase, fragment stripped,
+    scheme stripped, host reversed comma-joined, default ports (80/443)
+    dropped and others appended after the host, empty path → '/', query
+    parameters sorted.  ``http://www.Example.COM:80/Path?b=2&a=1`` →
+    ``com,example)/path?a=1&b=2``.  The q56 gate pins this against an
+    INDEPENDENT DuckDB SQL implementation of the same rules, value-hash
+    compared."""
+    from pyspark.sql import functions as F
+
+    u = F.regexp_replace(F.lower(url), "#.*$", "")
+    u = F.regexp_replace(u, "^https?://", "")
+    hostport = F.regexp_extract(u, "^([^/?]*)", 1)
+    pathq = F.regexp_replace(u, "^[^/?]*", "")
+    host = F.regexp_replace(hostport, ":\\d+$", "")
+    port = F.regexp_extract(hostport, ":(\\d+)$", 1)
+    host = F.regexp_replace(host, "^www\\d*\\.", "")
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    path = F.when(path == "", "/").otherwise(path)
+    query = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        rev,
+        F.when(port.isin("", "80", "443"), "").otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        path,
+        F.when(query == "", "").otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
+def warc_cdx_index(docs):
+    """``warc_to_docs`` rows → CDX-shaped index rows (urlkey, 14-digit
+    timestamp, url, mime, status, sha1-hex digest, payload length) — the
+    first derived dataset every web archive builds.  Pure Catalyst
+    column work (scan → project, zero shuffles, zero Python); sort/dedup
+    policy is the caller's.  Digest is hex SHA-1 (classic CDX uses
+    base32, which Spark lacks natively — documented deviation; the
+    digest's job, dedup joins, only needs determinism)."""
+    from pyspark.sql import functions as F
+
+    return docs.where(F.col("error").isNull() & (F.col("url") != "")).select(
+        cdx_urlkey(F.col("url")).alias("urlkey"),
+        F.regexp_replace("warc_date", "[^0-9]", "").alias("timestamp14"),
+        "url",
+        F.col("content_type").alias("mime"),
+        F.col("http_status").alias("status"),
+        F.sha1("payload").alias("digest_sha1"),
+        F.length("payload").alias("length"),
+    )
+
+
 def encode_http_response(
     payload: bytes,
     status: int = 200,

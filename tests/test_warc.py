@@ -546,3 +546,35 @@ def test_brotli_and_zstd_content_encoding_bodies():
                            record_id="s1")
     ])))
     assert rows and rows[0][-1] and "sdch" in rows[0][-1]
+
+
+def test_cdx_index_rows(spark):
+    """warc_cdx_index over a crawl fixture: one CDX row per response
+    record, urlkey canonicalized, 14-digit timestamp, sha1 digest."""
+    import hashlib
+
+    from tableextraction_spark.sources.warc import warc_cdx_index, warc_to_docs
+
+    recs = [
+        encode_warc_record(
+            "response", encode_http_response(HTML),
+            url="http://www.Example.COM:80/A/B?b=2&a=1", record_id="c1",
+        ),
+        encode_warc_record(
+            "response", encode_http_response(b"x", content_type="text/plain"),
+            url="https://sub.ex.org:8080/", record_id="c2",
+        ),
+        encode_warc_record("request", b"GET / HTTP/1.1\r\n\r\n",
+                           url="http://www.example.com/"),
+    ]
+    files = spark.createDataFrame(
+        [("p.warc.gz", encode_warc(recs))], "path string, content binary"
+    )
+    rows = {r["urlkey"]: r for r in warc_cdx_index(warc_to_docs(spark, files)).collect()}
+    assert set(rows) == {"com,example)/a/b?a=1&b=2", "org,ex,sub:8080)/"}
+    r = rows["com,example)/a/b?a=1&b=2"]
+    assert r["timestamp14"] == "20240101000000"
+    assert r["mime"] == "text/html"
+    assert r["status"] == 200
+    assert r["digest_sha1"] == hashlib.sha1(HTML).hexdigest()
+    assert r["length"] == len(HTML)
