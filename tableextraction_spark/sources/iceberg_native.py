@@ -336,6 +336,67 @@ def snapshot_ids(table_dir: str) -> list[int]:
     return [s["snapshot-id"] for s in meta.get("snapshots", [])]
 
 
+def read_table_incremental(
+    table_dir: str, from_snapshot_id: int, to_snapshot_id: int | None = None
+) -> dict:
+    """Incremental scan: the data files live at ``to`` (default: current)
+    but NOT live at ``from`` — the resume-from-checkpoint shape a 100 TB
+    pipeline re-runs nightly (process only what arrived since the last
+    committed snapshot, instead of rescanning the table).
+
+    Exact for append+delete workloads.  If any file live at ``from``
+    disappeared by ``to`` (a compaction/rewrite — its rows may resurface
+    inside the 'new' files), refuses loudly rather than double-counting;
+    the fallback is a full scan of ``to``.  ``to``'s row-level deletes are
+    returned filtered to the new files (deletes landing on files already
+    consumed at ``from`` are the consumer's reconciliation problem, stated
+    here rather than silently dropped: ``stale_deletes`` carries them).
+
+    Return shape matches :func:`read_table_snapshot` plus
+    ``stale_deletes``.
+    """
+    ids = snapshot_ids(table_dir)
+    if to_snapshot_id is None:
+        to_snapshot_id = ids[-1] if ids else None
+    if from_snapshot_id not in ids or to_snapshot_id not in ids:
+        raise ValueError(
+            f"unknown snapshot range {from_snapshot_id}..{to_snapshot_id} "
+            f"(table has {ids})"
+        )
+    if ids.index(from_snapshot_id) > ids.index(to_snapshot_id):
+        raise ValueError(
+            f"from-snapshot {from_snapshot_id} is newer than to-snapshot "
+            f"{to_snapshot_id}"
+        )
+    old = read_table_snapshot(table_dir, from_snapshot_id)
+    new = read_table_snapshot(table_dir, to_snapshot_id)
+    old_paths = {f["path"] for f in old["data_files"]}
+    new_paths = {f["path"] for f in new["data_files"]}
+    vanished = old_paths - new_paths
+    if vanished:
+        raise ValueError(
+            f"{len(vanished)} data file(s) live at snapshot "
+            f"{from_snapshot_id} are gone at {to_snapshot_id} (compaction/"
+            f"rewrite) — an incremental diff would double-count rewritten "
+            f"rows; run a full scan of snapshot {to_snapshot_id} instead"
+        )
+    added = [f for f in new["data_files"] if f["path"] not in old_paths]
+    added_set = {f["path"] for f in added}
+    return {
+        "data_files": added,
+        "position_deletes": {
+            p: v for p, v in new["position_deletes"].items() if p in added_set
+        },
+        "equality_deletes": new["equality_deletes"],
+        "partition_spec": new["partition_spec"],
+        "stale_deletes": {
+            p: v
+            for p, v in new["position_deletes"].items()
+            if p not in added_set
+        },
+    }
+
+
 # --- fixture writer (spec-shaped minimal table) ---
 
 _MANIFEST_FILE_SCHEMA = {

@@ -616,3 +616,65 @@ def test_partition_pruning_skips_files(spark, tmp_path):
     spec_id = [{"name": "doc_id", "transform": "identity",
                 "source-id": 1, "field-id": 1000}]
     assert _partition_pruned(dfs_none, spec_id, fields, {docs[0]}) == dfs_none
+
+
+def test_incremental_scan_between_snapshots(tmp_path, spark):
+    """Incremental = files added in (from, to]; deletes at `to` split into
+    new-file deletes (applied) vs stale (surfaced, not dropped)."""
+    from tableextraction_spark.sources.iceberg_native import (
+        read_table_incremental,
+    )
+
+    files = _write_parts(tmp_path, spark)
+    tdir = str(tmp_path / "tbl")
+    write_table(tdir, files[:2], snapshot_id=1)
+    write_table(tdir, files[:4], snapshot_id=2)
+    write_table(tdir, files, snapshot_id=3)
+    inc = read_table_incremental(tdir, 1, 2)
+    assert {f["path"] for f in inc["data_files"]} == {p for p, _r, _s in files[2:4]}
+    inc13 = read_table_incremental(tdir, 1, 3)
+    assert {f["path"] for f in inc13["data_files"]} == {p for p, _r, _s in files[2:]}
+    # default `to` = current snapshot
+    assert read_table_incremental(tdir, 3)["data_files"] == []
+    # union property: from-files + incremental == to-files
+    base = {f["path"] for f in read_table_files(tdir, snapshot_id=1)}
+    assert base | {f["path"] for f in inc13["data_files"]} == {
+        f["path"] for f in read_table_files(tdir, snapshot_id=3)
+    }
+
+
+def test_incremental_scan_delete_partitioning(tmp_path, spark):
+    """A position delete landing on an OLD file surfaces as stale_deletes;
+    one landing on a NEW file rides along for the scan to apply."""
+    from tableextraction_spark.sources.iceberg_native import (
+        read_table_incremental,
+    )
+
+    files = _write_parts(tmp_path, spark)
+    tdir = str(tmp_path / "tbl")
+    write_table(tdir, files[:2], snapshot_id=1)
+    write_table(
+        tdir, files[:4], snapshot_id=2,
+        position_deletes={files[0][0]: [1], files[3][0]: [0, 2]},
+    )
+    inc = read_table_incremental(tdir, 1, 2)
+    assert set(inc["position_deletes"]) == {files[3][0]}
+    assert inc["position_deletes"][files[3][0]] == [0, 2]
+    assert set(inc["stale_deletes"]) == {files[0][0]}
+
+
+def test_incremental_scan_refuses_compaction(tmp_path, spark):
+    from tableextraction_spark.sources.iceberg_native import (
+        read_table_incremental,
+    )
+
+    files = _write_parts(tmp_path, spark)
+    tdir = str(tmp_path / "tbl")
+    write_table(tdir, files[:3], snapshot_id=1)
+    write_table(tdir, files[2:], snapshot_id=2)  # files 0-1 vanished
+    with pytest.raises(ValueError, match="compaction"):
+        read_table_incremental(tdir, 1, 2)
+    with pytest.raises(ValueError, match="newer than"):
+        read_table_incremental(tdir, 2, 1)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        read_table_incremental(tdir, 7, None)
