@@ -2,7 +2,7 @@
 
 ``entry(spark)`` — flagship: the full extraction pipeline (synthetic
 interleaved text+media corpus → detected tables → ordered spans).
-``queries()`` / ``oracle_sql()`` — 56 entries: operator coverage from
+``queries()`` / ``oracle_sql()`` — 58 entries: operator coverage from
 SURVEY.md §2 plus the training-data/curation ops (exact + MinHash-LSH +
 SimHash + embedding dedup, ANN with measured recall, quality / langid /
 token stats / winnowing, near-dup clustering incl. the fixpoint production

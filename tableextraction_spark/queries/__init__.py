@@ -18,10 +18,12 @@ from .multimodalops import QUERIES as _MM
 from .scrubops import QUERIES as _SCRUB
 from .warcops import QUERIES as _WARC
 from .icebergops import QUERIES as _ICE
+from .rankops import QUERIES as _RANK
 
 REGISTRY: dict = {}
 for part in (
-    _REL, _TEXT, _VEC, _EXTRACT, _PIPE, _HTML, _MM, _SCRUB, _WARC, _ICE
+    _REL, _TEXT, _VEC, _EXTRACT, _PIPE, _HTML, _MM, _SCRUB, _WARC, _ICE,
+    _RANK,
 ):
     overlap = REGISTRY.keys() & part.keys()
     if overlap:  # pragma: no cover
