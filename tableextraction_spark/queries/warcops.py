@@ -201,7 +201,7 @@ _CDX_HOSTS = (
     "sub.Ex-Archive.org",
     "www.News.example",
     "WWW2.data.Example.co.uk",
-    "cdn.example",
+    "user:Pass@cdn.example",  # userinfo must strip from the key
 )
 _CDX_PORTS = ("", ":80", ":443", ":8080")
 _CDX_PATHS = ("", "/Path/To/Page", "/index.html")
@@ -240,7 +240,7 @@ WITH lat AS (
   SELECT i,
     (['http','https'])[(i % 2) + 1] || '://' ||
     (['Example.COM','sub.Ex-Archive.org','www.News.example',
-      'WWW2.data.Example.co.uk','cdn.example'])[(i % 5) + 1] ||
+      'WWW2.data.Example.co.uk','user:Pass@cdn.example'])[(i % 5) + 1] ||
     (['', ':80', ':443', ':8080'])[(i % 4) + 1] ||
     (['', '/Path/To/Page', '/index.html'])[(i % 3) + 1] ||
     (['', '?b=2&a=1', '?z=9&m=3&a=1#Frag', '?single=1'])[(i % 4) + 1]
@@ -258,9 +258,10 @@ WITH lat AS (
   FROM c
 ), hp AS (
   SELECT i, url, pathq,
-    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
-                   '^www[0-9]*\\.', '') AS host,
-    regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+    regexp_replace(regexp_replace(regexp_replace(hostport, '^[^@]*@', ''),
+                   ':[0-9]+$', ''), '^www[0-9]*\\.', '') AS host,
+    regexp_extract(regexp_replace(hostport, '^[^@]*@', ''),
+                   ':([0-9]+)$', 1) AS port
   FROM parts
 )
 SELECT i, url,

@@ -613,11 +613,15 @@ def iter_warc_docs_range(path: str, start: int, end: int):
                 data, mend = inflate(mv, pos)
             except ValueError as e:
                 # re-read under the hard cap ONLY for a buffer-end
-                # truncation (the trailing owned member overran the eager
-                # margin) — zlib corruption and false-positive magics fail
+                # truncation/overrun (the trailing owned member overran
+                # the eager margin; zstd frames report this as either a
+                # truncated header or a block overrunning the buffer) —
+                # zlib corruption and false-positive magics fail
                 # identically on a bigger buffer, so re-reading them is
                 # pure wasted I/O
-                if "truncated" not in str(e) or start + len(buf) >= size:
+                msg = str(e)
+                boundary = "truncated" in msg or "overruns buffer" in msg
+                if not boundary or start + len(buf) >= size:
                     raise
                 with open(path, "rb") as f:
                     f.seek(start + pos)
@@ -774,6 +778,7 @@ def cdx_urlkey(url):
     u = F.regexp_replace(u, "^https?://", "")
     hostport = F.regexp_extract(u, "^([^/?]*)", 1)
     pathq = F.regexp_replace(u, "^[^/?]*", "")
+    hostport = F.regexp_replace(hostport, "^[^@]*@", "")  # strip userinfo
     host = F.regexp_replace(hostport, ":\\d+$", "")
     port = F.regexp_extract(hostport, ":(\\d+)$", 1)
     host = F.regexp_replace(host, "^www\\d*\\.", "")

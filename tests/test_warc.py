@@ -578,3 +578,31 @@ def test_cdx_index_rows(spark):
     assert r["status"] == 200
     assert r["digest_sha1"] == hashlib.sha1(HTML).hexdigest()
     assert r["length"] == len(HTML)
+
+
+@pytest.mark.parametrize("compression", ["gzip", "zstd"])
+def test_range_member_overrunning_eager_margin_rereads(tmp_path, monkeypatch, compression):
+    """A trailing owned member/frame larger than the eager read margin
+    triggers the bounded re-read instead of erroring (both container
+    layouts; the zstd path reports the overrun as 'overruns buffer')."""
+    import tableextraction_spark.sources.warc as w
+
+    big_body = b"<html><body>" + b"x" * 300_000 + b"</body></html>"
+    recs = [
+        encode_warc_record(
+            "response", encode_http_response(big_body),
+            url="http://m.example/big", record_id="m1",
+        ),
+        encode_warc_record(
+            "response", encode_http_response(HTML),
+            url="http://m.example/small", record_id="m2",
+        ),
+    ]
+    path = tmp_path / f"m.warc.{'gz' if compression == 'gzip' else 'zst'}"
+    path.write_bytes(encode_warc(recs, compression=compression))
+    monkeypatch.setattr(w, "_SPLIT_READ_MARGIN", 64)  # force the overrun
+    size = path.stat().st_size
+    got = []
+    for s, e in ((0, 10), (10, size)):  # split 0 owns the big member
+        got.extend(r[0] for r in w.iter_warc_docs_range(str(path), s, e) if r[0])
+    assert sorted(got) == ["http://m.example/big", "http://m.example/small"]
