@@ -234,6 +234,10 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 try:
                     # magic-routed: IMG1/PNG/JPEG/GIF/BMP/TIFF/%PDF (page 1)
                     img = decode_page(bytes(blob))
+                    if img.ndim == 3:  # color page (e.g. palette/RGB PNG)
+                        from .media import rgb_to_gray
+
+                        img = rgb_to_gray(img)
                     h, w = img.shape
                     yi = (np.arange(out_h) * h // out_h).astype(np.intp)
                     xi = (np.arange(out_w) * w // out_w).astype(np.intp)

@@ -203,7 +203,7 @@ WHERE 1 = 0
 
 
 RESIZE_W, RESIZE_H = 24, 18
-_LOSSLESS = ("img1", "png", "gif", "bmp", "tiff", "jp2")
+_LOSSLESS = ("img1", "png", "pngi", "pngp", "gif", "bmp", "tiff", "jp2")
 IMAGES_SCHEMA = "media_ref string, content binary, want_md5 string"
 
 
@@ -222,12 +222,16 @@ def _image_batches(batches: Iterator) -> Iterator:
     from ..gif import encode_gif_gray
     from ..jp2 import encode_jp2_gray
     from ..media import encode_image
-    from ..png import encode_png
+    from ..png import encode_png, encode_png_palette
     from ..tiff import encode_tiff_gray
 
     enc = {
         "img1": encode_image,
         "png": encode_png,
+        # Adam7-interlaced and identity-palette PNGs: same pixels, two
+        # more decode lanes under the hash gate
+        "pngi": lambda img: encode_png(img, interlace=True),
+        "pngp": encode_png_palette,
         "gif": encode_gif_gray,
         "bmp": encode_bmp_gray,
         # LZW TIFF: lossless, and the strip decode exercises the TIFF-

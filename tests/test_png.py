@@ -120,12 +120,14 @@ def test_rgba_alpha_dropped():
 @pytest.mark.parametrize(
     "depth,color_type,interlace,match",
     [
-        (16, 0, 0, "bit depth"),
-        (8, 3, 0, "color type"),
-        (8, 0, 1, "interlaced"),
+        (16, 3, 0, "illegal PNG depth"),  # 16-bit palette is not legal
+        (4, 2, 0, "illegal PNG depth"),  # sub-byte RGB is not legal
+        (8, 5, 0, "color type"),
+        (8, 0, 2, "interlace method"),
+        (8, 3, 0, "missing PLTE"),  # palette without a PLTE chunk
     ],
 )
-def test_unsupported_variants_named(depth, color_type, interlace, match):
+def test_illegal_variants_named(depth, color_type, interlace, match):
     ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color_type, 0, 0, interlace)
     buf = (
         png.SIGNATURE
@@ -135,6 +137,68 @@ def test_unsupported_variants_named(depth, color_type, interlace, match):
     )
     with pytest.raises(ValueError, match=match):
         decode_png(buf)
+
+
+def test_full_variant_roundtrips():
+    """Every decode lane the spec allows, via the fixture encoders:
+    Adam7 (gray + RGB + degenerate sizes), identity-palette, 16-bit
+    high-byte reduction, and 1/2/4-bit quantized gray."""
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(png.encode_png(g, interlace=True)), g)
+    assert np.array_equal(decode_png(png.encode_png(rgb, interlace=True)), rgb)
+    for hw in ((1, 1), (2, 3), (7, 7), (8, 9), (5, 1)):
+        t = rng.integers(0, 256, hw, dtype=np.uint8)
+        assert np.array_equal(decode_png(png.encode_png(t, interlace=True)), t)
+    # grayscale palette maps by index exactly → gray output (the
+    # media.palette_to_gray rule shared with GIF/BMP)
+    assert np.array_equal(decode_png(png.encode_png_palette(g)), g)
+    # a COLOR palette still returns RGB
+    h, w = 5, 6
+    plte = bytes(
+        v for i in range(256) for v in ((i, (i * 7) % 256, (i * 13) % 256))
+    )
+    idx = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    buf = (
+        png.SIGNATURE
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"PLTE", plte)
+        + png._chunk(b"IDAT", zlib.compress(raw))
+        + png._chunk(b"IEND", b"")
+    )
+    rgb = decode_png(buf)
+    assert rgb.shape == (h, w, 3)
+    assert np.array_equal(rgb[:, :, 1].reshape(-1), (np.arange(h * w) * 7) % 256)
+    g16 = rng.integers(0, 65536, (19, 21)).astype(np.uint16)
+    assert np.array_equal(
+        decode_png(png.encode_png16(g16)), (g16 >> 8).astype(np.uint8)
+    )
+    for d in (1, 2, 4):
+        f = 255 // ((1 << d) - 1)
+        q = (rng.integers(0, 1 << d, (11, 13)) * f).astype(np.uint8)
+        assert np.array_equal(decode_png(png.encode_png_gray_depth(q, d)), q)
+
+
+def test_interlaced_truncated_pass_is_error():
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    # rebuild with one byte of decompressed pixel data missing
+    import zlib as _z
+
+    full = png.encode_png(g, interlace=True)
+    # corrupt: truncate the decompressed stream by re-compressing less
+    pos = full.find(b"IDAT") - 4
+    (ln,) = struct.unpack_from(">I", full, pos)
+    idat = full[pos + 8 : pos + 8 + ln]
+    short = _z.compress(_z.decompress(idat)[:-1])
+    rebuilt = (
+        full[:pos] + png._chunk(b"IDAT", short) + png._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length"):
+        decode_png(rebuilt)
 
 
 def test_not_a_png():
