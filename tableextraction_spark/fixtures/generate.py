@@ -395,10 +395,21 @@ def gen_doc(doc_num: int, with_blobs: bool = True, codec: str = "img1"):
         # mode with a /JBIG2Globals dictionary (the jbig2enc shape), and
         # a JPX (JPEG 2000, reversible 5/3) page — all pixel-exact for
         # the binary fixture pages, so the golden gate (q55) covers every
-        # ITU/ISO archive codec end-to-end
+        # ITU/ISO archive codec end-to-end.  Every third doc additionally
+        # ENCRYPTS the PDF (standard security handler, empty user
+        # password — the permissions-only shape scan archives ship),
+        # rotating RC4-128 / AES-128 / AES-256, so q55 also gates
+        # pdfcrypto's transparent stream decryption
         arch = {0: "ccitt", 1: "ccitt", 2: "jbig2",
                 3: "jbig2sym", 4: "jpx"}[doc_num % 5]
-        encode = lambda img: build_scanned_page_pdf(img, codec=arch)  # noqa: E731
+        crypt = {0: None, 1: "rc4-128", 2: None, 3: "aes-128",
+                 4: None, 5: "aes-256"}[doc_num % 6]
+
+        def encode(img, _arch=arch, _crypt=crypt):
+            from ..pdfx import encrypt_pdf
+
+            pdf = build_scanned_page_pdf(img, codec=_arch)
+            return encrypt_pdf(pdf, _crypt) if _crypt else pdf
     elif codec == "jp2":
         from ..jp2 import encode_jp2_gray
 

@@ -49,7 +49,10 @@ Named seams (deliberate, raise with the feature name so the decode stage
 captures a per-row error, never a task failure): embedded-outline fonts
 (Type1/TrueType/CFF glyph rasterization needs a font renderer — slot
 pypdfium2 via ``sources/pdf_adapter.py``), non-axis-aligned image placement,
-shading patterns, encryption, the JPX image codec.
+shading patterns.  Standard-security-handler ENCRYPTION (RC4/AES, the
+permissions-only empty-user-password shape scan archives ship) decrypts
+transparently via ``pdfcrypto.py``; a real user password is a named
+per-row refusal.
 
 Nonzero winding fill is approximated by even-odd (documented; the writer
 never emits self-overlapping paths, and axis-aligned document geometry is
@@ -533,7 +536,37 @@ class _Document:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        self._decrypt = None
+        self._encrypt_num = None
         self._load_xref()
+        self._setup_encryption()
+
+    def _setup_encryption(self):
+        """Standard security handler (pdfcrypto): derive the file key with
+        the EMPTY user password — the permissions-only encryption scan
+        archives ship.  Streams decrypt transparently in :meth:`get`; the
+        /Encrypt dict's own strings and cross-reference streams are exempt
+        per spec (the xref loader never routes through ``get``).  A real
+        user password raises a named ValueError."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        if isinstance(enc_ref, Ref):
+            self._encrypt_num = enc_ref.num
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise ValueError("PDF /Encrypt is not a dictionary")
+        ids = self.resolve(self.trailer.get("ID", []))
+        id0 = bytes(ids[0]) if isinstance(ids, list) and ids else b""
+        # resolve indirect members the handler reads
+        enc = {k: self.resolve(v) for k, v in enc.items()}
+        if "CF" in enc and isinstance(enc["CF"], dict):
+            enc["CF"] = {
+                k: self.resolve(v) for k, v in enc["CF"].items()
+            }
+        from .pdfcrypto import make_decryptor
+
+        self._decrypt = make_decryptor(enc, id0)
 
     # -- xref --------------------------------------------------------------
     def _load_xref(self):
@@ -695,8 +728,15 @@ class _Document:
             m = _re.match(rb"(\d+)\s+(\d+)\s+obj", self.buf[p.pos : p.pos + 40])
             if not m:
                 raise ValueError(f"PDF: bad object header for {num}")
+            gen = int(m.group(2))
             p.pos += m.end()
             obj = p.parse()
+            if (
+                self._decrypt is not None
+                and isinstance(obj, Stream)
+                and num != self._encrypt_num
+            ):
+                obj = Stream(obj.dict, self._decrypt(num, gen, obj.raw))
         else:
             _, stm_num, idx = ent
             obj = self._from_objstm(stm_num, idx)
@@ -773,10 +813,7 @@ def parse_pdf(payload: bytes) -> _Document:
     buf = bytes(payload)
     if not buf.lstrip()[:5].startswith(b"%PDF-"):
         raise ValueError(f"not a PDF: header {buf[:8]!r}")
-    doc = _Document(buf)
-    if "Encrypt" in doc.trailer:
-        raise NotImplementedError("PDF encryption (/Encrypt) is not supported")
-    return doc
+    return _Document(buf)
 
 
 def pdf_page_count(payload: bytes) -> int:
@@ -1639,6 +1676,100 @@ def _esc_string(bs: bytes) -> bytes:
         else:
             out += ("\\%03o" % c).encode()
     out += b")"
+    return bytes(out)
+
+
+def _ser_obj(o, remap: dict[int, int]) -> bytes:
+    """Serialize one (non-stream) PDF object for the encrypt_pdf rewriter.
+    ``str`` serializes as a Name (fixture-internal convention), ``bytes``
+    as a literal string; Refs renumber through ``remap`` (a dangling ref
+    becomes null)."""
+    if isinstance(o, Ref):
+        new = remap.get(o.num)
+        return b"null" if new is None else b"%d 0 R" % new
+    if isinstance(o, bool):
+        return b"true" if o else b"false"
+    if o is None:
+        return b"null"
+    if isinstance(o, int):
+        return b"%d" % o
+    if isinstance(o, float):
+        return repr(o).encode()
+    if isinstance(o, str):  # Name (includes the Name subclass)
+        return b"/" + o.encode()
+    if isinstance(o, bytes):
+        return _esc_string(o)
+    if isinstance(o, list):
+        return b"[ " + b" ".join(_ser_obj(x, remap) for x in o) + b" ]"
+    if isinstance(o, dict):
+        inner = b" ".join(
+            b"/%s %s" % (k.encode(), _ser_obj(v, remap)) for k, v in o.items()
+        )
+        return b"<< " + inner + b" >>"
+    raise ValueError(f"cannot serialize {type(o).__name__}")
+
+
+def encrypt_pdf(payload: bytes, method: str = "aes-128") -> bytes:
+    """Rewrite an (unencrypted) fixture PDF as a standard-security-handler
+    encrypted document with an EMPTY user password — the permissions-only
+    shape scan archives ship.  ``method``: 'rc4-40' | 'rc4-128' |
+    'aes-128' | 'aes-256'.  Object streams are flattened (their members
+    re-emit as top-level objects); stream bytes encrypt as stored
+    (post-filter), per spec."""
+    from .pdfcrypto import make_encryptor
+
+    doc = parse_pdf(bytes(payload))
+    if doc._decrypt is not None:
+        raise ValueError("encrypt_pdf input is already encrypted")
+    id0 = b"\x8bfixture-doc-id\x8b"[:16].ljust(16, b"\x00")
+    enc_d, encf = make_encryptor(method, id0=id0)
+    live = []
+    for num in sorted(doc.xref):
+        try:
+            obj = doc.get(num)
+        except ValueError:
+            continue
+        if isinstance(obj, Stream):
+            t = str(obj.dict.get("Type", ""))
+            if t in ("ObjStm", "XRef"):
+                continue  # flattened / rebuilt below
+        live.append((num, obj))
+    remap = {num: i + 1 for i, (num, _o) in enumerate(live)}
+    enc_num = len(live) + 1
+    out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for num, obj in live:
+        offsets.append(len(out))
+        if isinstance(obj, Stream):
+            data = encf(remap[num], 0, obj.raw)
+            d = dict(obj.dict)
+            d["Length"] = len(data)
+            body = (
+                _ser_obj(d, remap) + b"\nstream\n" + data + b"\nendstream"
+            )
+        else:
+            body = _ser_obj(obj, remap)
+        out += b"%d 0 obj\n" % remap[num] + body + b"\nendobj\n"
+    offsets.append(len(out))
+    out += b"%d 0 obj\n" % enc_num + _ser_obj(enc_d, remap) + b"\nendobj\n"
+    root = doc.trailer.get("Root")
+    if not isinstance(root, Ref) or root.num not in remap:
+        raise ValueError("fixture PDF has no serializable /Root")
+    xref_pos = len(out)
+    n = enc_num + 1
+    out += b"xref\n0 %d\n" % n
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    trailer = (
+        b"trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R "
+        b"/ID [ %s %s ] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (
+            n, remap[root.num], enc_num,
+            _esc_string(id0), _esc_string(id0), xref_pos,
+        )
+    )
+    out += trailer
     return bytes(out)
 
 

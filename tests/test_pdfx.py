@@ -183,7 +183,9 @@ def test_embedded_outline_font_named_error():
     assert runs[0][0][2] == "hi"
 
 
-def test_encrypted_pdf_named_error():
+def test_encrypted_pdf_missing_dict_named_error():
+    # /Encrypt pointing at a missing object: a named error, not a crash
+    # (full standard-handler decryption is covered in test_pdfcrypto.py)
     pdf = (
         b"%PDF-1.4\n"
         b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
@@ -191,7 +193,7 @@ def test_encrypted_pdf_named_error():
         b"trailer << /Root 1 0 R /Encrypt 9 0 R >>\n"
         b"%%EOF\n"
     )
-    with pytest.raises(NotImplementedError, match="ncrypt"):
+    with pytest.raises(ValueError, match="missing object 9"):
         pdfx.parse_pdf(pdf)
 
 
