@@ -287,7 +287,10 @@ def _file_key_r234(
     h = hashlib.md5()
     h.update(_padded(pwd))
     h.update(o[:32])
-    h.update(struct.pack("<i", p))
+    # P is a SIGNED 32-bit value but hostile files carry anything:
+    # hash its low 32 bits (identical for all legal values) instead of
+    # letting struct.error escape as a non-ValueError
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
     h.update(id0)
     if r >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")
@@ -394,7 +397,11 @@ def authenticate_empty_user(enc: dict, id0: bytes):
             cfm = str(cfd.get("CFM", "Identity"))
             if cfm == "V2":
                 cfm = "RC4"
-            if cfm not in ("RC4", "AESV2"):
+            if stmf == "Identity":
+                # streams are NOT encrypted (only strings are) — a real
+                # /V 4 configuration; the stream decryptor is a no-op
+                cfm = "Identity"
+            elif cfm not in ("RC4", "AESV2"):
                 raise ValueError(f"unsupported PDF crypt filter /{cfm}")
         key = _file_key_r234(b"", o, p, id0, r, n, em)
         want_u = compute_u(key, id0, r)
@@ -430,6 +437,8 @@ def make_decryptor(enc: dict, id0: bytes):
     file_key, cfm = authenticate_empty_user(enc, id0)
 
     def decrypt(num: int, gen: int, data: bytes) -> bytes:
+        if cfm == "Identity":
+            return data  # /StmF /Identity: streams stored in the clear
         if cfm == "AESV3":
             if len(data) < 16:
                 raise ValueError("AES stream shorter than its IV")

@@ -155,3 +155,31 @@ def test_make_encryptor_decryptor_all_methods_roundtrip():
         for num, gen in ((1, 0), (5, 0), (300, 1)):
             data = bytes((num * 37 + i) & 0xFF for i in range(77))
             assert dec(num, gen, encf(num, gen, data)) == data, (method, num)
+
+
+def test_stmf_identity_streams_pass_through():
+    """/V 4 with /StmF /Identity: streams are stored in the clear (only
+    strings are encrypted) — the stream decryptor must be a no-op, not a
+    refusal."""
+    from tableextraction_spark.pdfcrypto import compute_o, compute_u
+    from tableextraction_spark.pdfcrypto import _file_key_r234, make_decryptor
+
+    o = compute_o(b"owner", b"", 4, 16)
+    key = _file_key_r234(b"", o, -3904, b"\x01" * 16, 4, 16, True)
+    enc = {
+        "Filter": "Standard", "V": 4, "R": 4, "Length": 128, "P": -3904,
+        "O": o, "U": compute_u(key, b"\x01" * 16, 4),
+        "CF": {"StdCF": {"CFM": "AESV2", "Length": 16}},
+        "StmF": "Identity", "StrF": "StdCF",
+    }
+    dec = make_decryptor(enc, b"\x01" * 16)
+    assert dec(7, 0, b"clear stream bytes") == b"clear stream bytes"
+
+
+def test_hostile_p_value_is_valueerror_not_structerror():
+    from tableextraction_spark.pdfcrypto import authenticate_empty_user
+
+    enc = {"Filter": "Standard", "V": 2, "R": 3, "Length": 128,
+           "P": 2**40, "O": b"\x00" * 32, "U": b"\x00" * 32}
+    with pytest.raises(ValueError):  # auth fails, never struct.error
+        authenticate_empty_user(enc, b"\x00" * 16)
