@@ -86,7 +86,7 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-_CORPUS_VERSION = "v8"  # bump when a codec's fixture output changes
+_CORPUS_VERSION = "v9"  # bump when a codec's fixture output changes (v9: every third scanned PDF is encrypted - rc4-128/aes-128/aes-256)
 # (v2: 'mixed' rotation grew a 7th format — pdfscan/CCITT — in round 4;
 #  v3: an 8th — G4 TIFF, the fax-archive shape;
 #  v4: the pdfscan slot rotates its archive codec — every third scanned

@@ -6,7 +6,9 @@ implements baseline DCT JPEG (ITU-T T.81) directly in NumPy + stdlib:
 
 - decode: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI marker parse, Huffman
   entropy decode (16-bit canonical code table), dequantize, de-zigzag,
-  8×8 IDCT as two matrix multiplies, level shift; grayscale and YCbCr with
+  8×8 IDCT as two matrix multiplies, level shift; grayscale, YCbCr, and
+  Adobe 4-component CMYK/YCCK (APP14 transform 0/2, inverted-ink stored
+  convention — the shape PDFs embed) with
   4:4:4 or 4:2:0 chroma subsampling (nearest-neighbor upsample) → gray or
   RGB uint8 (BT.601 full-range, the JFIF convention).
 - encode: grayscale baseline with the spec's example luminance quantization
@@ -286,6 +288,27 @@ def _color_assemble(frame, planes, hmax, vmax):
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:
         return np.rint(out_planes[0]).astype(np.uint8)
+    if len(out_planes) == 4:
+        # Adobe 4-component JPEG (the shape PDFs embed).  Samples store
+        # the INVERTED-ink convention Adobe writers use, so the net
+        # conversion is RGB_ch = stored_ch · stored_K / 255 — equal to
+        # (1-c)(1-k)·255 in true inks.  APP14 transform 2 (YCCK) routes
+        # the first three planes through the YCbCr inverse first.
+        if frame.get("adobe") == 2:  # YCCK
+            y, cb, cr = out_planes[:3]
+            stored = [
+                y + 1.402 * (cr - 128),
+                y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                y + 1.772 * (cb - 128),
+            ]
+        else:  # CMYK (transform 0 / no marker: assume the Adobe shape —
+            # no other producer of 4-component JPEGs exists in practice)
+            stored = out_planes[:3]
+        k = np.clip(out_planes[3], 0, 255)
+        rgb = np.stack(
+            [np.clip(ch, 0, 255) * k / 255.0 for ch in stored], axis=2
+        )
+        return np.rint(np.clip(rgb, 0, 255)).astype(np.uint8)
     if len(out_planes) != 3:
         raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
     y, cb, cr = out_planes
@@ -309,6 +332,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     progressive = False
     coef = None  # progressive: per-comp dense (bY, bX, 64) zigzag coeff arrays
     restart_interval = 0
+    adobe_transform = None  # APP14: 0 CMYK, 1 YCbCr, 2 YCCK
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -349,7 +373,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "adobe": adobe_transform}
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
                 "only baseline (SOF0) and progressive (SOF2) JPEG supported, "
@@ -357,6 +381,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]  # 0 CMYK, 1 YCbCr, 2 YCCK
+            if frame is not None:
+                frame["adobe"] = adobe_transform
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             scan = {}
@@ -841,6 +869,56 @@ def encode_jpeg_gray(img: np.ndarray, quality_div: int = 1) -> bytes:
     sof = _seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
     sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return MAGIC + _tables_segments(q) + sof + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+def encode_jpeg_cmyk(
+    planes: "np.ndarray", quality_div: int = 8, yccck: bool = False
+) -> bytes:
+    """uint8 H×W×4 stored-convention planes (C'M'Y'K', the Adobe-inverted
+    samples) → 4-component baseline JPEG with the Adobe APP14 marker —
+    the shape PDFs embed.  ``yccck=True`` writes transform 2 (the first
+    three planes route through the forward YCbCr transform).  4:4:4, one
+    shared Annex-K table; interleaved MCU = one block per component."""
+    if planes.dtype != np.uint8 or planes.ndim != 3 or planes.shape[2] != 4:
+        raise ValueError(
+            f"expected uint8 H×W×4 planes, got {planes.dtype} {planes.shape}"
+        )
+    h, w = planes.shape[:2]
+    comps = [planes[:, :, c].astype(np.float64) for c in range(4)]
+    if yccck:
+        r, g, b = comps[:3]
+        comps[0] = 0.299 * r + 0.587 * g + 0.114 * b
+        comps[1] = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        comps[2] = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    q = np.maximum(1, QUANT_LUMA[ZIGZAG] // quality_div)
+    dc_codes = _encode_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _encode_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    padded = [_pad_to(c, 8) for c in comps]
+    bw = _BitWriter()
+    preds = [0, 0, 0, 0]
+    for by in range(0, padded[0].shape[0], 8):
+        for bx in range(0, padded[0].shape[1], 8):
+            for ci in range(4):
+                block = padded[ci][by : by + 8, bx : bx + 8] - 128.0
+                preds[ci] = _encode_block(bw, block, q, dc_codes, ac_codes, preds[ci])
+    bw.flush()
+    app14 = _seg(
+        0xEE,
+        b"Adobe" + struct.pack(">HHH", 100, 0, 0) + bytes([2 if yccck else 0]),
+    )
+    sof = _seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([4])
+        + b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3, 4)),
+    )
+    sos = _seg(
+        0xDA,
+        bytes([4]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3, 4))
+        + bytes([0, 63, 0]),
+    )
+    return MAGIC + app14 + _tables_segments(q) + sof + sos + bytes(bw.out) + b"\xff\xd9"
 
 
 def _rgb_planes_420(img: np.ndarray):

@@ -219,3 +219,52 @@ def test_extract_spans_equality_over_progressive_corpus(spark):
         ]
         exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in e["spans"]]
         assert got == exp, f"span mismatch in {e['doc_id']}"
+
+
+def test_cmyk_adobe_jpeg_decodes():
+    """4-component Adobe JPEG (the shape PDFs embed): stored planes obey
+    the inverted-ink convention, so RGB_ch = stored_ch·stored_K/255; both
+    APP14 transforms (0 = CMYK, 2 = YCCK) decode within quantization
+    error of the closed-form expectation."""
+    from tableextraction_spark.jpeg import encode_jpeg_cmyk
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    planes = np.stack(
+        [
+            (xx * 3 + 40) % 200 + 20,
+            (yy * 2 + 60) % 180 + 30,
+            (xx + yy) % 160 + 40,
+            np.full((h, w), 230),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    want = np.clip(planes[:, :, :3].astype(np.float64) * (230 / 255.0), 0, 255)
+    for yccck in (False, True):
+        out = decode_jpeg(encode_jpeg_cmyk(planes, yccck=yccck))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(np.float64) - want).max() < 3.0, yccck
+
+
+def test_cmyk_k_plane_scales_luma():
+    """stored_K = 0 (full ink) must decode to black regardless of CMY."""
+    from tableextraction_spark.jpeg import encode_jpeg_cmyk
+
+    planes = np.full((24, 24, 4), 200, dtype=np.uint8)
+    planes[:, :, 3] = 0
+    out = decode_jpeg(encode_jpeg_cmyk(planes))
+    assert out.max() <= 2  # quantization wiggle around 0
+
+
+def test_five_component_jpeg_refused():
+    from tableextraction_spark.jpeg import encode_jpeg_cmyk
+
+    buf = bytearray(encode_jpeg_cmyk(np.full((8, 8, 4), 128, np.uint8)))
+    i = buf.find(b"\xff\xc0")
+    # SOF nc byte: segment starts at i+2 (2-byte length), nc at +5 past
+    # precision/height/width
+    nc_off = i + 4 + 5
+    assert buf[nc_off] == 4
+    buf[nc_off] = 5
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(buf))
