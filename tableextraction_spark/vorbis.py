@@ -576,6 +576,27 @@ class Residue:
     ) -> None:
         psz = self.partition_size
         dim = book.dimensions
+        fast = book._fast
+        if dim == 1 and fast is not None:
+            # hot path for scalar books (the fixture shape and a common
+            # real-encoder shape): resolve every codeword in the partition
+            # through the fast table with localized reads, one vectorized
+            # add at the end.  A table miss (codeword longer than
+            # _FAST_BITS) rewinds and takes the general path.
+            peek, skip = br.peek, br.skip
+            vecs = book.vectors[:, 0]
+            pos0 = br.pos
+            idx = np.empty(psz, dtype=np.intp)
+            for t in range(psz):
+                e, ln = fast[peek(_FAST_BITS)]
+                if e < 0:
+                    br.pos = pos0
+                    break
+                skip(ln)
+                idx[t] = e
+            else:
+                v[offset : offset + psz] += vecs[idx]
+                return
         if self.rtype == 0:
             # interleaved: step vectors, stride step
             step = psz // dim
