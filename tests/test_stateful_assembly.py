@@ -182,31 +182,44 @@ def test_corrupt_output_aborts_not_silently_disables_dedup(spark, tmp_path):
         IdempotentSink(spark, str(out))
 
 
-def test_sink_within_run_memory_is_bounded_and_exact(spark, tmp_path):
-    """r3 verdict item 7: within-run dedup state must not grow with the id
-    count.  A deliberately TINY bloom (2^8 bits → false positives almost
-    certain) exercises the suspect-verify path: memory stays fixed and no
-    document is ever dropped or duplicated despite the false positives."""
+def test_sink_within_run_dedup_is_executor_side_and_exact(spark, tmp_path):
+    """r4 verdict item 4: the batch path must not round-trip ids through the
+    driver.  DataFrame.collect/toPandas/toLocalIterator are poisoned for the
+    duration of every append — any driver materialization raises — while
+    crash-replay-shaped batches still come out exactly-once."""
+    import pyspark.sql.dataframe as _dfmod
+
     from tableextraction_spark.streaming.sink import IdempotentSink
 
     out = str(tmp_path / "spans_out")
-    sink = IdempotentSink(spark, out, bloom_bits_log2=8)
-    nbytes0 = sink._bloom.bits.nbytes
+    sink = IdempotentSink(spark, out)
+    assert not hasattr(sink, "_bloom")  # driver-side id state is gone
+
+    def _poisoned(self, *a, **k):  # pragma: no cover - raising is the test
+        raise AssertionError("driver materialization in the batch path")
+
+    real = {n: getattr(_dfmod.DataFrame, n)
+            for n in ("collect", "toPandas", "toLocalIterator")}
     for batch in range(6):
         ids = [f"doc-{batch:02d}-{i:03d}" for i in range(40)]
         # replay half the PREVIOUS batch inside this one (crash-replay shape)
         if batch:
             ids += [f"doc-{batch-1:02d}-{i:03d}" for i in range(20)]
-        sink.append_new_docs(
-            spark.createDataFrame([(i, "x") for i in ids],
-                                  "doc_id string, payload string")
-        )
-    assert sink._bloom.bits.nbytes == nbytes0  # fixed memory, 6 batches in
-    assert not hasattr(sink, "run_ids")  # the unbounded set is gone
+        df = spark.createDataFrame([(i, "x") for i in ids],
+                                   "doc_id string, payload string")
+        for n in real:
+            setattr(_dfmod.DataFrame, n, _poisoned)
+        try:
+            sink.append_new_docs(df)
+        finally:
+            for n, fn in real.items():
+                setattr(_dfmod.DataFrame, n, fn)
+    # driver holds O(#batches) frame references, not O(ids) of data
+    assert len(sink._run_id_frames) == 6
     rows = spark.read.parquet(out).collect()
     got = sorted(r.doc_id for r in rows)
     want = sorted(f"doc-{b:02d}-{i:03d}" for b in range(6) for i in range(40))
-    assert got == want  # exactly once each, despite near-certain bloom FPs
+    assert got == want  # exactly once each, despite the replays
     sink.close()
 
 
