@@ -133,17 +133,25 @@ class OggWriter:
 
 
 def iter_ogg_packets(buf: bytes) -> Iterator[tuple[bytes, int]]:
-    """Yield ``(packet, page_granule)`` for every completed packet.
+    """Yield ``(packet, page_granule)`` for every completed packet of the
+    FIRST logical stream.
+
+    The iterator locks onto the first page's serial number; pages of other
+    serials (multiplexed skeleton/metadata streams) are CRC-verified and
+    skipped, and the locked stream's EOS ends iteration — so a chained
+    file (a second BOS after the first stream's EOS, RFC 3533 §4) decodes
+    its first link instead of raising.  Each serial's page sequence is
+    tracked independently: a gap or duplicate IN THE LOCKED STREAM raises
+    (silent packet loss is the one failure an audio gate cannot see).
 
     ``page_granule`` is the granule position of the page the packet ENDS
     on (-1 where the muxer stamped none).  Pages are CRC-verified; a
     mismatch or a malformed header raises ValueError naming the page.
-    Non-monotonic or duplicate sequence numbers raise too — silent packet
-    loss is the one failure an audio gate cannot see.
     """
     pos = 0
     pending = bytearray()
-    expect_seq: int | None = None
+    locked_serial: int | None = None
+    expect_seq: dict[int, int] = {}
     while pos < len(buf):
         if buf[pos : pos + 4] != MAGIC:
             raise ValueError(f"ogg: bad capture pattern at byte {pos}")
@@ -164,9 +172,18 @@ def iter_ogg_packets(buf: bytes) -> Iterator[tuple[bytes, int]]:
         page[22:26] = b"\x00\x00\x00\x00"
         if ogg_crc(bytes(page)) != crc:
             raise ValueError(f"ogg: CRC mismatch on page seq {seq} at byte {pos}")
-        if expect_seq is not None and seq != expect_seq:
-            raise ValueError(f"ogg: page sequence gap (want {expect_seq}, got {seq})")
-        expect_seq = seq + 1
+        if locked_serial is None:
+            locked_serial = serial  # first page wins (BOS in a valid file)
+        want = expect_seq.get(serial)
+        if want is not None and seq != want:
+            if serial == locked_serial:
+                raise ValueError(
+                    f"ogg: page sequence gap (want {want}, got {seq})"
+                )
+        expect_seq[serial] = seq + 1
+        if serial != locked_serial:
+            pos = body_off + body_len  # other muxed stream: skip its pages
+            continue
         if not (htype & CONTINUED) and pending:
             # muxer dropped the tail of an unfinished packet — RFC 3533 §6
             pending = bytearray()
@@ -185,6 +202,8 @@ def iter_ogg_packets(buf: bytes) -> Iterator[tuple[bytes, int]]:
                     # page granule applies to packets ending on this page
                     yield bytes(pending), granule
                     pending = bytearray()
+        if htype & EOS:
+            return  # locked stream ended; later chain links are ignored
         pos = body_off + body_len
     # a packet still pending at EOF was never terminated: drop per RFC 3533
 

@@ -299,7 +299,15 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"PNG pixel data length {len(raw)} != consumed {off}"
         )
     if color_type == 3:
-        codes = np.minimum(img[:, :, 0], len(plte) - 1)
+        codes = img[:, :, 0]
+        top = int(codes.max()) if codes.size else 0
+        if top >= len(plte):
+            # refuse loudly, matching the decoder's other hostile-input
+            # checks — a clamped index decodes to silently wrong pixels
+            raise ValueError(
+                f"PNG palette index {top} out of range for "
+                f"{len(plte)}-entry PLTE"
+            )
         # grayscale palettes map by index EXACTLY — the same rule as the
         # GIF/BMP lanes (media.palette_to_gray): float luma of (i,i,i)
         # truncates to i-1

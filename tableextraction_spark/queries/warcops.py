@@ -202,11 +202,13 @@ _CDX_HOSTS = (
     "www.News.example",
     "WWW2.data.Example.co.uk",
     "user:Pass@cdn.example",  # userinfo must strip from the key
+    "192.168.0.1",  # IPv4: passes through unreversed (pywb parity)
+    "[2001:DB8::1]",  # bracketed IPv6: unreversed, port rule past the ]
 )
 _CDX_PORTS = ("", ":80", ":443", ":8080")
 _CDX_PATHS = ("", "/Path/To/Page", "/index.html")
 _CDX_QUERIES = ("", "?b=2&a=1", "?z=9&m=3&a=1#Frag", "?single=1")
-_CDX_N = 240  # lcm of the slot counts: every combination appears
+_CDX_N = 336  # 4×lcm(2,7,4,3): a dense mix of every slot pairing
 
 
 def _cdx_pick(vals, k):
@@ -225,7 +227,7 @@ def q56_cdx_urlkey_verify(spark, sf_dir):
     url = F.concat(
         _cdx_pick(_CDX_SCHEMES, 2),
         F.lit("://"),
-        _cdx_pick(_CDX_HOSTS, 5),
+        _cdx_pick(_CDX_HOSTS, 7),
         _cdx_pick(_CDX_PORTS, 4),
         _cdx_pick(_CDX_PATHS, 3),
         _cdx_pick(_CDX_QUERIES, 4),
@@ -240,12 +242,13 @@ WITH lat AS (
   SELECT i,
     (['http','https'])[(i % 2) + 1] || '://' ||
     (['Example.COM','sub.Ex-Archive.org','www.News.example',
-      'WWW2.data.Example.co.uk','user:Pass@cdn.example'])[(i % 5) + 1] ||
+      'WWW2.data.Example.co.uk','user:Pass@cdn.example',
+      '192.168.0.1','[2001:DB8::1]'])[(i % 7) + 1] ||
     (['', ':80', ':443', ':8080'])[(i % 4) + 1] ||
     (['', '/Path/To/Page', '/index.html'])[(i % 3) + 1] ||
     (['', '?b=2&a=1', '?z=9&m=3&a=1#Frag', '?single=1'])[(i % 4) + 1]
       AS url
-  FROM (SELECT unnest(range(240)) AS i)
+  FROM (SELECT unnest(range(336)) AS i)
 ), c AS (
   SELECT i, url,
     regexp_replace(regexp_replace(lower(url), '#.*$', ''),
@@ -265,7 +268,11 @@ WITH lat AS (
   FROM parts
 )
 SELECT i, url,
-  array_to_string(list_reverse(string_split(host, '.')), ',')
+  CASE WHEN regexp_matches(host, '^\\d{1,3}(\\.\\d{1,3}){3}$')
+            OR host LIKE '[%'
+       THEN host  -- IP hosts pass through unreversed (pywb parity)
+       ELSE array_to_string(list_reverse(string_split(host, '.')), ',')
+  END
   || CASE WHEN port IN ('', '80', '443') THEN '' ELSE ':' || port END
   || ')'
   || CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = ''

@@ -348,12 +348,23 @@ def read_table_incremental(
     disappeared by ``to`` (a compaction/rewrite — its rows may resurface
     inside the 'new' files), refuses loudly rather than double-counting;
     the fallback is a full scan of ``to``.  ``to``'s row-level deletes are
-    returned filtered to the new files (deletes landing on files already
+    returned filtered to the new files; deletes landing on rows already
     consumed at ``from`` are the consumer's reconciliation problem, stated
-    here rather than silently dropped: ``stale_deletes`` carries them).
+    here rather than silently dropped, split by kind:
 
-    Return shape matches :func:`read_table_snapshot` plus
-    ``stale_deletes``.
+    * ``stale_deletes`` — POSITION deletes targeting pre-``from`` data
+      files (keyed by data-file path, like ``position_deletes``).
+    * ``stale_equality_deletes`` — EQUALITY delete files committed after
+      ``from``.  An equality delete names row VALUES, not a file, so the
+      same delete file both applies to the added files (it stays in
+      ``equality_deletes``; the per-file sequence-number rule decides) and
+      may ALSO hit rows in files consumed before ``from`` — the consumer
+      must re-apply these keys to previously consumed data.  Equality
+      deletes already present at ``from`` cannot apply to the added files
+      (their sequence numbers are older) and were already reconciled.
+
+    Return shape matches :func:`read_table_snapshot` plus the two stale
+    fields.
     """
     ids = snapshot_ids(table_dir)
     if to_snapshot_id is None:
@@ -382,6 +393,7 @@ def read_table_incremental(
         )
     added = [f for f in new["data_files"] if f["path"] not in old_paths]
     added_set = {f["path"] for f in added}
+    old_eq_paths = {d["path"] for d in old["equality_deletes"]}
     return {
         "data_files": added,
         "position_deletes": {
@@ -394,6 +406,14 @@ def read_table_incremental(
             for p, v in new["position_deletes"].items()
             if p not in added_set
         },
+        # equality deletes committed after `from`: value-keyed, so they may
+        # target rows in files consumed before `from` — surfaced for the
+        # consumer to re-apply (see docstring); also still present in
+        # equality_deletes for the added files
+        "stale_equality_deletes": [
+            d for d in new["equality_deletes"]
+            if d["path"] not in old_eq_paths
+        ],
     }
 
 

@@ -769,9 +769,11 @@ def cdx_urlkey(url):
     scheme stripped, host reversed comma-joined, default ports (80/443)
     dropped and others appended after the host, empty path → '/', query
     parameters sorted.  ``http://www.Example.COM:80/Path?b=2&a=1`` →
-    ``com,example)/path?a=1&b=2``.  The q56 gate pins this against an
-    INDEPENDENT DuckDB SQL implementation of the same rules, value-hash
-    compared."""
+    ``com,example)/path?a=1&b=2``.  IP hosts pass through UNREVERSED
+    (pywb parity): dotted-quad IPv4 keeps its dots, bracketed IPv6
+    literals keep their brackets, with the port rule applied after the
+    closing bracket.  The q56 gate pins this against an INDEPENDENT
+    DuckDB SQL implementation of the same rules, value-hash compared."""
     from pyspark.sql import functions as F
 
     u = F.regexp_replace(F.lower(url), "#.*$", "")
@@ -782,7 +784,10 @@ def cdx_urlkey(url):
     host = F.regexp_replace(hostport, ":\\d+$", "")
     port = F.regexp_extract(hostport, ":(\\d+)$", 1)
     host = F.regexp_replace(host, "^www\\d*\\.", "")
-    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    is_ip = host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$") | host.startswith("[")
+    rev = F.when(is_ip, host).otherwise(
+        F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    )
     path = F.regexp_extract(pathq, "^([^?]*)", 1)
     path = F.when(path == "", "/").otherwise(path)
     query = F.regexp_extract(pathq, "\\?(.*)$", 1)

@@ -542,33 +542,41 @@ class Residue:
         classbook = self.codebooks[self.classbook]
         cw = classbook.dimensions
         classifs = np.zeros((ch, ptr + cw), dtype=np.int64)
-        for p in range(8):
-            pc = 0
-            while pc < ptr:
-                if p == 0:
-                    for j in range(ch):
-                        if not do_decode[j]:
-                            continue
-                        temp = classbook.decode_scalar(br)
-                        for i in range(cw - 1, -1, -1):
-                            classifs[j, pc + i] = temp % self.classifications
-                            temp //= self.classifications
-                for _ in range(cw):
-                    if pc >= ptr:
-                        break
-                    for j in range(ch):
-                        if not do_decode[j]:
-                            continue
-                        book = self.books[classifs[j, pc]][p]
-                        if book < 0:
-                            continue
-                        self._partition(
-                            br,
-                            self.codebooks[book],
-                            out[j],
-                            limit_begin + pc * self.partition_size,
-                        )
-                    pc += 1
+        try:
+            for p in range(8):
+                pc = 0
+                while pc < ptr:
+                    if p == 0:
+                        for j in range(ch):
+                            if not do_decode[j]:
+                                continue
+                            temp = classbook.decode_scalar(br)
+                            for i in range(cw - 1, -1, -1):
+                                classifs[j, pc + i] = (
+                                    temp % self.classifications
+                                )
+                                temp //= self.classifications
+                    for _ in range(cw):
+                        if pc >= ptr:
+                            break
+                        for j in range(ch):
+                            if not do_decode[j]:
+                                continue
+                            book = self.books[classifs[j, pc]][p]
+                            if book < 0:
+                                continue
+                            self._partition(
+                                br,
+                                self.codebooks[book],
+                                out[j],
+                                limit_begin + pc * self.partition_size,
+                            )
+                        pc += 1
+        except EndOfPacket:
+            # spec §1.3.2/§8.6.2 end-of-packet rule (libvorbis parity):
+            # a truncated packet keeps the residue decoded so far; only
+            # the un-decoded remainder stays zero
+            pass
         return out
 
     def _partition(
@@ -814,16 +822,16 @@ class VorbisDecoder:
             next_flag = br.read_bit()
         ch = self.channels
         half = n // 2
+        floor_y: list = [(None, None)] * ch
+        residue_vec = np.zeros((ch, half))
         try:
-            floor_y: list = []
             for c in range(ch):
                 fl = self.floors[mapping.submap_floor[mapping.mux[c]]]
-                floor_y.append((fl, fl.decode(br)))
+                floor_y[c] = (fl, fl.decode(br))
             no_residue = [dec is None for _, dec in floor_y]
             for m, a in mapping.coupling:
                 if not (no_residue[m] and no_residue[a]):
                     no_residue[m] = no_residue[a] = False
-            residue_vec = np.zeros((ch, half))
             for s in range(mapping.submaps):
                 res = self.residues[mapping.submap_residue[s]]
                 chans = [c for c in range(ch) if mapping.mux[c] == s]
@@ -838,9 +846,14 @@ class VorbisDecoder:
                     for i, c in enumerate(chans):
                         residue_vec[c] = dec[i]
         except EndOfPacket:
-            # spec end-of-packet rule: remainder of the frame is silence
-            floor_y = [(None, None)] * ch
-            residue_vec = np.zeros((ch, half))
+            # spec end-of-packet rule (§4.3, libvorbis/stb_vorbis parity):
+            # KEEP everything decoded before truncation — floor curves of
+            # earlier channels render against their (possibly partial)
+            # residues — and only the un-decoded remainder is silence.
+            # Channels whose floor never decoded stay (None, None) → muted;
+            # Residue.decode catches its own EndOfPacket and returns the
+            # partial vector, so a mid-residue cut keeps earlier partitions.
+            pass
         # inverse coupling (§4.3.5, square polar)
         for m, a in reversed(mapping.coupling):
             mag = residue_vec[m].copy()

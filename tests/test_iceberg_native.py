@@ -663,6 +663,41 @@ def test_incremental_scan_delete_partitioning(tmp_path, spark):
     assert set(inc["stale_deletes"]) == {files[0][0]}
 
 
+def test_incremental_scan_splits_equality_deletes(tmp_path, spark):
+    """Equality deletes are value-keyed: one committed after `from` both
+    applies to the added files (stays in equality_deletes) AND may hit
+    rows consumed before `from` — it must surface in
+    stale_equality_deletes.  One already present at `from` must not."""
+    from tableextraction_spark.sources.iceberg_native import (
+        read_table_incremental,
+    )
+
+    files = _write_parts(tmp_path, spark)
+    tdir = str(tmp_path / "tbl")
+    fields = [{"id": 1, "name": "doc_id", "type": "string",
+               "required": True}]
+    write_table(tdir, files[:2], snapshot_id=1, schema_fields=fields)
+    write_table(
+        tdir, files[:2], snapshot_id=2, schema_fields=fields,
+        equality_deletes=[{"ids": [1], "rows": [{"doc_id": "old-key"}]}],
+    )
+    write_table(
+        tdir, files[:4], snapshot_id=3, schema_fields=fields,
+        equality_deletes=[{"ids": [1], "rows": [{"doc_id": "new-key"}]}],
+    )
+    inc = read_table_incremental(tdir, 2, 3)
+    # `to`'s equality-delete set still rides along for the added files
+    assert [d["path"] for d in inc["equality_deletes"]] == \
+        [d["path"] for d in inc["stale_equality_deletes"]]
+    # the delete committed after `from` is flagged for reconciliation
+    stale = inc["stale_equality_deletes"]
+    assert len(stale) == 1 and stale[0]["path"].endswith(
+        "snap3-eqdel-0.parquet")
+    # from == to: nothing added, nothing stale
+    inc22 = read_table_incremental(tdir, 2, 2)
+    assert inc22["data_files"] == [] and inc22["stale_equality_deletes"] == []
+
+
 def test_incremental_scan_refuses_compaction(tmp_path, spark):
     from tableextraction_spark.sources.iceberg_native import (
         read_table_incremental,

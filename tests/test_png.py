@@ -201,6 +201,25 @@ def test_interlaced_truncated_pass_is_error():
         decode_png(rebuilt)
 
 
+def test_palette_index_out_of_range_refuses():
+    """Corrupt palette PNG (index ≥ len(PLTE)) must raise a named error,
+    not clamp to the last entry and decode silently wrong pixels."""
+    h, w = 2, 3
+    plte = bytes(v for i in range(4) for v in (i, i, i))  # 4 entries
+    idx = np.array([[0, 1, 2], [3, 200, 1]], dtype=np.uint8)  # 200 > 3
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    buf = (
+        png.SIGNATURE
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"PLTE", plte)
+        + png._chunk(b"IDAT", zlib.compress(raw))
+        + png._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index 200"):
+        decode_png(buf)
+
+
 def test_not_a_png():
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\x89PNGbogus....")

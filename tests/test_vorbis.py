@@ -185,6 +185,60 @@ def test_ogg_sequence_gap_detected():
         list(iter_ogg_packets(dropped))
 
 
+def test_ogg_multiplexed_streams_decode_first_serial():
+    """Skeleton-style muxing: pages of a second serial interleave with the
+    first BOS stream.  The iterator must lock onto the first serial and
+    skip the others instead of raising 'sequence gap' (each serial numbers
+    its own pages from 0)."""
+    a = OggWriter(serial=11)
+    a.write_packet(b"audio-0" * 20, granule=1, flush_after=True)
+    a.write_packet(b"audio-1" * 20, granule=2)
+    a_pages = a.close(2).split(b"OggS")[1:]
+    b = OggWriter(serial=22)
+    b.write_packet(b"meta-0", granule=0, flush_after=True)
+    b.write_packet(b"meta-1", granule=0)
+    b_pages = b.close(0).split(b"OggS")[1:]
+    # interleave: a0 b0 a1 b1 a2(eos) b2(eos)
+    mux = b"".join(
+        b"OggS" + p
+        for pair in zip(a_pages, b_pages)
+        for p in pair
+    )
+    got = [p for p, _g in iter_ogg_packets(mux)]
+    assert got == [b"audio-0" * 20, b"audio-1" * 20]
+
+
+def test_ogg_chained_file_decodes_first_link():
+    """A chained file (second BOS stream after the first EOS) must decode
+    its first link and stop — not raise on the restarted sequence."""
+    a = OggWriter(serial=5)
+    a.write_packet(b"first-link", granule=7)
+    b = OggWriter(serial=6)
+    b.write_packet(b"second-link", granule=9)
+    chained = a.close(7) + b.close(9)
+    got = list(iter_ogg_packets(chained))
+    assert got == [(b"first-link", 7)]
+
+
+def test_ogg_sequence_gap_in_locked_stream_still_raises():
+    """Serial-aware tracking must not weaken loss detection for the
+    stream actually being decoded."""
+    w = OggWriter(serial=7)
+    w.write_packet(b"a" * 10, granule=1, flush_after=True)
+    w.write_packet(b"b" * 10, granule=2, flush_after=True)
+    w.write_packet(b"c" * 10, granule=3)
+    buf = w.close(3)
+    pages = buf.split(b"OggS")[1:]
+    other = OggWriter(serial=9)
+    other.write_packet(b"zz", granule=0)
+    other_page = other.close(0).split(b"OggS")[1:][0]
+    # drop page 1 of serial 7 but keep an innocent serial-9 page in between
+    dropped = (b"OggS" + pages[0] + b"OggS" + other_page
+               + b"OggS" + pages[2])
+    with pytest.raises(ValueError, match="sequence gap"):
+        list(iter_ogg_packets(dropped))
+
+
 def test_ogg_crc_known_zero_input():
     # table sanity: CRC of empty input is 0; one zero byte stays 0
     assert ogg_crc(b"") == 0
@@ -413,3 +467,46 @@ def test_endofpacket_is_a_valueerror():
     w.write_packet(b"", 0)  # zero-length audio packet: skipped, not fatal
     out, rate = decode_ogg_vorbis(w.close(0))
     assert rate == 8000 and len(out) == 0
+
+
+def test_truncated_audio_packet_keeps_decoded_prefix():
+    """Spec §4.3 end-of-packet rule, libvorbis parity: a mid-frame cut
+    keeps the floors and residues decoded before it and zeroes only the
+    remainder — it must NOT discard the whole frame to silence."""
+    from tableextraction_spark.vorbis import VorbisDecoder
+
+    pcm = make_pcm(2000)
+    pkts = list(iter_ogg_packets(encode_vorbis_ogg(pcm, 8000)))
+    dec = VorbisDecoder()
+    for p, _g in pkts[:3]:
+        dec.header_packet(p)
+    audio = [p for p, _g in pkts[3:] if p]
+    pkt = audio[2]
+    full, n, pf, nf = dec.decode_audio_packet(pkt)
+    trunc, n2, pf2, nf2 = dec.decode_audio_packet(pkt[:-1])
+    assert (n2, pf2, nf2) == (n, pf, nf)
+    # decoded prefix survives: the truncated frame carries real signal...
+    assert np.abs(trunc).sum() > 0
+    # ...and the one dropped byte can only perturb the tail-coded residue,
+    # so the frame stays close to the full decode (the old zero-the-frame
+    # behavior fails this with diff == full energy)
+    assert np.abs(full - trunc).sum() < 0.5 * np.abs(full).sum()
+
+
+def test_truncated_packet_stream_still_decodes_end_to_end():
+    """A stream whose final audio packet is truncated decodes without
+    error and matches the intact stream everywhere before the cut."""
+    pcm = make_pcm(1500)
+    buf = encode_vorbis_ogg(pcm, 8000)
+    pkts = list(iter_ogg_packets(buf))
+    w = OggWriter(serial=3)
+    for p, g in pkts[:-1]:
+        w.write_packet(p, g)
+    last_p, last_g = pkts[-1]
+    w.write_packet(last_p[: max(1, len(last_p) - 2)], last_g)
+    out_t, rate = decode_ogg_vorbis(w.close(last_g))
+    out_f, _ = decode_ogg_vorbis(buf)
+    assert rate == 8000
+    m = min(len(out_t), len(out_f)) - 256  # the final frame may differ
+    assert m > 0
+    assert np.array_equal(out_t[:m], out_f[:m])

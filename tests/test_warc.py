@@ -580,6 +580,29 @@ def test_cdx_index_rows(spark):
     assert r["length"] == len(HTML)
 
 
+def test_cdx_urlkey_ip_hosts_pass_through_unreversed(spark):
+    """pywb parity: dotted-quad IPv4 and bracketed IPv6 hosts are NOT
+    dot-reversed, and the port rule still applies (default 80/443 drop,
+    others append) — a reversed IP would produce garbage keys."""
+    from pyspark.sql import functions as F
+
+    from tableextraction_spark.sources.warc import cdx_urlkey
+
+    cases = {
+        "http://192.168.0.1/Path": "192.168.0.1)/path",
+        "http://192.168.0.1:80/": "192.168.0.1)/",
+        "https://192.168.0.1:8080/x?b=2&a=1": "192.168.0.1:8080)/x?a=1&b=2",
+        "http://[2001:DB8::1]/": "[2001:db8::1])/",
+        "http://[2001:DB8::1]:8080/a": "[2001:db8::1]:8080)/a",
+        # hostnames still reverse — the IP lane must not leak
+        "http://www.Example.COM:80/A": "com,example)/a",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["k"] for r in
+           df.select("url", cdx_urlkey(F.col("url")).alias("k")).collect()}
+    assert got == cases
+
+
 @pytest.mark.parametrize("compression", ["gzip", "zstd"])
 def test_range_member_overrunning_eager_margin_rereads(tmp_path, monkeypatch, compression):
     """A trailing owned member/frame larger than the eager read margin
