@@ -5,10 +5,12 @@ resolution → FIELD-ID schema resolution (a data file predating a column
 rename stores the payload under its historical physical name; the current
 schema also carries an added column no file contains) → merge-on-read
 position-delete masking → EQUALITY-delete masking (a CDC-shaped delete of
-one whole doc_id at a later sequence number) → python-native media scan →
-decode kernel — the way q53 gates WARC ingestion: a deterministic
-Iceberg v2 table (three snapshots, multi-manifest, position deletes
-killing known pages, an equality delete killing a known doc) is
+one whole doc_id at a later sequence number) → type promotion + dropped
+column (snapshot 4's file stores page_no as int32 under a long schema and
+carries a physical column the current schema dropped) → python-native
+media scan → decode kernel — the way q53 gates WARC ingestion: a
+deterministic Iceberg v2 table (four snapshots, multi-manifest, position
+deletes killing known pages, an equality delete killing a known doc) is
 materialized once per scale under the bench tmp root, and the scan over
 the TABLE DIRECTORY is compared row-for-row against the scan over the
 same parquet parts minus the deleted pages.  Rows = disagreements.
@@ -45,7 +47,10 @@ def _materialize(spark, sf_dir: str) -> tuple[str, str, list[str]]:
     n = _n_docs_for(sf_dir)
     root = os.path.join(
         os.environ.get("TABLEX_BENCH_DIR", "/tmp/tablex_bench"),
-        f"iceberg_q54_v3_n{n}",  # v3: equality-delete snapshot added (r4)
+        # v4: snapshot 4 adds a data file with an int32 page_no (type
+        # promotion int→long) and a physical column the current schema
+        # has dropped (r5)
+        f"iceberg_q54_v4_n{n}",
     )
     tdir = os.path.join(root, "tbl")
     parts_dir = os.path.join(root, "parts")
@@ -139,6 +144,67 @@ def _materialize(spark, sf_dir: str) -> tuple[str, str, list[str]]:
             position_deletes={ice_parts[0][0]: dead0, ice_parts[1][0]: dead1},
             equality_deletes=[{"ids": [1], "rows": [{"doc_id": dead_doc}]}],
             schema_fields=schema_v2,
+        )
+        # snapshot 4: schema evolution beyond rename/add — a NEW data file
+        # whose page_no is physically int32 (current schema says long:
+        # int→long promotion) and which carries an extra physical column
+        # `fetch_meta` (field id 6) that the CURRENT schema has dropped —
+        # the reader must promote the one and never read the other.  The
+        # plain reference copy is written with canonical types, so any
+        # promotion bug becomes a row mismatch.
+        from ..fixtures.generate import gen_doc
+
+        extra_blobs = []
+        for dn in range(n, n + 3):
+            extra_blobs.extend(gen_doc(dn)[1])
+        import pandas as pd
+
+        pdf2 = (
+            pd.DataFrame(extra_blobs)[
+                ["media_ref", "doc_id", "page_no", "content"]
+            ]
+            .sort_values(["doc_id", "page_no"])
+            .reset_index(drop=True)
+        )
+        p2_plain = os.path.join(parts_dir, "blobs-2.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf2, preserve_index=False), p2_plain,
+            row_group_size=5,
+        )
+        fields2 = pa.schema([
+            pa.field("doc_id", pa.string(),
+                     metadata={b"PARQUET:field.id": b"1"}),
+            pa.field("media_ref", pa.string(),
+                     metadata={b"PARQUET:field.id": b"2"}),
+            pa.field("page_no", pa.int32(),  # promoted to long at read
+                     metadata={b"PARQUET:field.id": b"3"}),
+            pa.field("content", pa.binary(),
+                     metadata={b"PARQUET:field.id": b"4"}),
+            pa.field("fetch_meta", pa.string(),  # dropped from the schema
+                     metadata={b"PARQUET:field.id": b"6"}),
+        ])
+        t2 = pa.table(
+            {
+                "doc_id": pdf2["doc_id"].tolist(),
+                "media_ref": pdf2["media_ref"].tolist(),
+                "page_no": pa.array(
+                    pdf2["page_no"].tolist(), type=pa.int32()
+                ),
+                "content": pdf2["content"].tolist(),
+                "fetch_meta": ["crawler-v2"] * len(pdf2),
+            },
+            schema=fields2,
+        )
+        p2_ice = os.path.join(tdir, "data-2.parquet")
+        pq.write_table(t2, p2_ice, row_group_size=5)
+        write_table(
+            tdir,
+            [(*ice_parts[0], {}, 1), (*ice_parts[1], {}, 2),
+             (p2_ice, len(pdf2), os.path.getsize(p2_ice))],
+            snapshot_id=4,
+            position_deletes={ice_parts[0][0]: dead0, ice_parts[1][0]: dead1},
+            equality_deletes=[{"ids": [1], "rows": [{"doc_id": dead_doc}]}],
+            schema_fields=schema_v2,  # fetch_meta (id 6) dropped: absent
         )
         dead_refs = (
             list(pdf.iloc[dead0]["media_ref"])

@@ -455,6 +455,68 @@ def test_scan_resolves_renamed_column_between_snapshots(tmp_path, spark):
     assert got == want and len(got) > 0
 
 
+def test_scan_promotes_int_page_no_and_ignores_dropped_column(
+    tmp_path, spark
+):
+    """Schema evolution beyond rename/add (r4 verdict ask 6): a data file
+    whose page_no is physically int32 while the current schema says long
+    (promotion) and which carries a physical column (field id 6) the
+    current schema has DROPPED.  The scan must promote the one, never read
+    the other, and match a plain scan with canonical types."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.sources.media_parquet import (
+        detect_tables_python_scan,
+    )
+
+    _docs, blobs, _exp = gen_corpus(3)
+    schema = pa.schema([
+        pa.field("doc_id", pa.string(), metadata={b"PARQUET:field.id": b"1"}),
+        pa.field("media_ref", pa.string(),
+                 metadata={b"PARQUET:field.id": b"2"}),
+        pa.field("page_no", pa.int32(), metadata={b"PARQUET:field.id": b"3"}),
+        pa.field("content", pa.binary(),
+                 metadata={b"PARQUET:field.id": b"4"}),
+        pa.field("fetch_meta", pa.string(),
+                 metadata={b"PARQUET:field.id": b"6"}),
+    ])
+    t = pa.table({
+        "doc_id": [b["doc_id"] for b in blobs],
+        "media_ref": [b["media_ref"] for b in blobs],
+        "page_no": pa.array([b["page_no"] for b in blobs], type=pa.int32()),
+        "content": [b["content"] for b in blobs],
+        "fetch_meta": ["crawler-v2"] * len(blobs),
+    }, schema=schema)
+    p = str(tmp_path / "promoted.parquet")
+    pq.write_table(t, p, row_group_size=4)
+    tdir = str(tmp_path / "tbl")
+    # current schema: page_no long (the PROMOTED type), no field id 6
+    write_table(tdir, [(p, len(blobs), os.path.getsize(p))], snapshot_id=1,
+                schema_fields=ICEBERG_BLOB_SCHEMA)
+    got = detect_tables_python_scan(spark, tdir)
+    rows = sorted((r.media_ref, r.page_no, r.obj_no) for r in got.collect())
+    assert got.schema["page_no"].dataType.simpleString() == "int"
+    # reference: same pages through a canonical-typed plain parquet
+    plain = str(tmp_path / "plain")
+    os.makedirs(plain)
+    pq.write_table(
+        t.drop_columns(["fetch_meta"]).set_column(
+            2, "page_no",
+            pa.array([b["page_no"] for b in blobs], type=pa.int64()),
+        ),
+        f"{plain}/p0.parquet",
+    )
+    want = sorted(
+        (r.media_ref, r.page_no, r.obj_no)
+        for r in detect_tables_python_scan(spark, plain).collect()
+    )
+    assert rows == want and len(rows) > 0
+
+
 def _media_schema_fields():
     return [
         {"id": 1, "name": "doc_id", "type": "string", "required": True},

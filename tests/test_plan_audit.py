@@ -192,3 +192,56 @@ def test_q14_band_join_is_shuffle_never_signature_broadcast(spark):
     assert plan.count("BroadcastExchange") == plan.count(
         "BroadcastExchange IdentityBroadcastMode"
     )
+
+
+def test_extraction_python_scan_plan_keeps_pixels_out_of_jvm(spark, tmp_path):
+    """r4 verdict ask 7: the flagship media lane's plan properties were
+    asserted only in prose/bench — pin them.  On the python-native scan
+    path the JVM plan must contain NO parquet FileScan of the blobs table
+    (splits come from a parallelized RDD; pixel bytes live entirely inside
+    the Python task), no `content` column anywhere in the JVM plan, and
+    only KB-row exchanges (the groupBy/assembly side)."""
+    from tableextraction_spark.fixtures.spark_gen import (
+        blobs_dataframe,
+        docs_dataframe,
+    )
+    from tableextraction_spark.pipeline import extract_spans
+
+    bp = str(tmp_path / "blobs.parquet")
+    blobs_dataframe(spark, 12).write.parquet(bp)
+    out = extract_spans(spark, docs_dataframe(spark, 12), bp)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0  # no JVM scan of the media table
+    assert "content#" not in plan  # payload bytes never enter the JVM plan
+    assert "MapInArrow" in plan and "ExistingRDD" in plan
+    # the only exchanges are the KB-row doc_id hash partitionings for the
+    # assembly join plus the fixture frame's round-robin — never pixels
+    assert plan.count("Exchange") <= 3
+    assert plan.count("Exchange hashpartitioning(doc_id") == 2
+
+
+def test_extraction_jvm_scan_path_prunes_blob_columns(spark, tmp_path):
+    """Fallback JVM-scan path: the blobs FileScan must project exactly the
+    four decode columns — an extra corpus column (here `crawl_meta`) must
+    be pruned at the scan, not carried through the Arrow hop."""
+    from pyspark.sql import functions as F
+
+    from tableextraction_spark.fixtures.spark_gen import (
+        blobs_dataframe,
+        docs_dataframe,
+    )
+    from tableextraction_spark.pipeline import extract_spans
+
+    bp = str(tmp_path / "blobs5.parquet")
+    blobs_dataframe(spark, 8).withColumn(
+        "crawl_meta", F.lit("x")
+    ).write.parquet(bp)
+    out = extract_spans(
+        spark, docs_dataframe(spark, 8), spark.read.parquet(bp)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, "JVM path should scan the blobs parquet"
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "media_ref", "page_no", "content"}
+    assert "crawl_meta" not in plan
