@@ -132,7 +132,8 @@ def _video_stbl(buf: bytes, moov: tuple[int, int]) -> tuple[int, int]:
     raise ValueError("MP4 has no video track with a sample table")
 
 
-def _stsd_fourcc(buf: bytes, stbl: tuple[int, int]) -> bytes:
+def _stsd_entry(buf: bytes, stbl: tuple[int, int]) -> tuple[bytes, int, int]:
+    """First stsd SampleEntry → (fourcc, body_start, body_end)."""
     stsd = _find(buf, stbl[0], stbl[1], b"stsd")
     if stsd is None:
         raise ValueError("MP4 stbl has no stsd")
@@ -142,7 +143,13 @@ def _stsd_fourcc(buf: bytes, stbl: tuple[int, int]) -> bytes:
     # first SampleEntry: u32 size, u32 format fourcc
     if pos + 12 > stsd[1]:
         raise ValueError("MP4: stsd has no sample entry")
-    return buf[pos + 8 : pos + 12]
+    (size,) = _U32B.unpack_from(buf, pos)
+    end = min(pos + size, stsd[1]) if size >= 8 else stsd[1]
+    return buf[pos + 8 : pos + 12], pos + 12, end
+
+
+def _stsd_fourcc(buf: bytes, stbl: tuple[int, int]) -> bytes:
+    return _stsd_entry(buf, stbl)[0]
 
 
 def _sample_ranges(buf: bytes, stbl: tuple[int, int]) -> list[tuple[int, int]]:
@@ -227,12 +234,16 @@ def iter_mp4_mjpeg_frames(payload: bytes) -> Iterator[tuple[int, int, np.ndarray
     if moov is None:
         raise ValueError("MP4 has no moov box")
     stbl = _video_stbl(buf, moov)
-    fourcc = _stsd_fourcc(buf, stbl)
+    fourcc, e_start, e_end = _stsd_entry(buf, stbl)
+    if fourcc in (b"avc1", b"avc3"):
+        yield from _iter_avc_frames(buf, stbl, e_start, e_end)
+        return
     if fourcc not in _MJPEG_ENTRIES:
         name = _KNOWN_CODECS.get(fourcc, fourcc.decode("ascii", "replace"))
         raise ValueError(
             f"MP4 video codec {name!r} needs ffmpeg/pyav at deploy time — "
-            f"only MJPEG ('jpeg' sample entries) decodes natively"
+            f"only MJPEG ('jpeg' entries) and I_PCM-coded H.264 ('avc1') "
+            f"decode natively"
         )
     ranges = _sample_ranges(buf, stbl)
     n = len(ranges)
@@ -251,6 +262,33 @@ def iter_mp4_mjpeg_frames(payload: bytes) -> Iterator[tuple[int, int, np.ndarray
         yield i, n, rgb_to_gray(decode_jpeg(blob))
 
 
+def _iter_avc_frames(
+    buf: bytes, stbl: tuple[int, int], e_start: int, e_end: int
+) -> Iterator[tuple[int, int, np.ndarray]]:
+    """avc1/avc3 track: avcC config → per-sample H.264 decode (h264.py —
+    I_PCM payloads decode; CAVLC/CABAC raise their named seams)."""
+    from .h264 import decode_avcc_sample, parse_avcc, parse_pps, parse_sps
+
+    # VisualSampleEntry: 78 fixed bytes, then child boxes (avcC, ...)
+    avcc = _find(buf, e_start + 78, e_end, b"avcC")
+    if avcc is None:
+        raise ValueError("MP4 avc1 sample entry has no avcC box")
+    sps_nals, pps_nals, length_size = parse_avcc(buf[avcc[0] : avcc[1]])
+    from .h264 import strip_emulation_prevention
+
+    sps = parse_sps(strip_emulation_prevention(sps_nals[0][1:]))
+    pps = parse_pps(strip_emulation_prevention(pps_nals[0][1:]))
+    ranges = _sample_ranges(buf, stbl)
+    n = len(ranges)
+    if n == 0:
+        raise ValueError("MP4 video track has zero samples")
+    for i, (off, size) in enumerate(ranges):
+        blob = buf[off : off + size]
+        if len(blob) < size:
+            raise ValueError(f"sample {i}: offset table points outside mdat")
+        yield i, n, decode_avcc_sample(blob, sps, pps, length_size)
+
+
 # ------------------------------------------------------------------ encode
 
 
@@ -262,34 +300,9 @@ def _fbox(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
     return _box(btype, _U32B.pack((version << 24) | flags) + body)
 
 
-def encode_mp4_mjpeg(
-    jpeg_frames: list[bytes], width: int, height: int, fps: int = 10
-) -> bytes:
-    """Encoded-JPEG frames → a standards-shaped progressive MP4 (ftyp,
-    mdat, moov with full stsd/stts/stsc/stsz/stco sample tables).  Fixture
-    writer for the video lane — pairs with ``jpeg.encode_jpeg_gray`` /
-    ``encode_jpeg_rgb`` exactly as ``encode_avi_mjpeg`` does.
-
-    Samples are grouped ≤3 per chunk so readers must actually expand the
-    stsc first-chunk-run mapping (a single all-samples chunk would let a
-    broken expansion pass fixtures).
-    """
-    n = len(jpeg_frames)
-    timescale = max(1, fps)
-    ftyp = _box(b"ftyp", b"isom" + _U32B.pack(0x200) + b"isom" + b"mp41")
-
-    # mdat follows ftyp; chunk offsets are absolute file offsets
-    mdat_body = b"".join(jpeg_frames)
-    mdat = _box(b"mdat", mdat_body)
-    data_start = len(ftyp) + 8
-
-    spc = 3  # samples per chunk (last chunk may be short)
-    chunk_offsets, pos = [], data_start
-    for ci in range(0, n, spc):
-        chunk_offsets.append(pos)
-        pos += sum(len(f) for f in jpeg_frames[ci : ci + spc])
-
-    entry = (
+def _visual_entry_fields(width: int, height: int) -> bytes:
+    """The 78 fixed VisualSampleEntry bytes shared by every video fourcc."""
+    return (
         b"\x00" * 6 + _U16B.pack(1)          # reserved, data_ref_index
         + b"\x00" * 16                        # pre_defined/reserved
         + _U16B.pack(width) + _U16B.pack(height)
@@ -298,7 +311,81 @@ def encode_mp4_mjpeg(
         + b"\x00" * 32                        # compressorname
         + _U16B.pack(24) + _U16B.pack(0xFFFF)  # depth, pre_defined(-1)
     )
-    stsd = _fbox(b"stsd", 0, 0, _U32B.pack(1) + _box(b"jpeg", entry))
+
+
+def encode_mp4_h264(frames: list, fps: int = 10) -> bytes:
+    """Gray frames → a standards-shaped MP4 with an ``avc1`` track: the
+    h264.py fixture encoder's I_PCM IDR slices as length-prefixed samples,
+    SPS/PPS carried in the avcC configuration record.  Pairs with
+    ``_iter_avc_frames`` the way ``encode_mp4_mjpeg`` pairs with the
+    MJPEG lane."""
+    from .h264 import (
+        _build_idr_slice,
+        _build_pps,
+        _build_sps,
+        _nal,
+        build_avcc,
+        iter_annexb_nals,  # noqa: F401  (doc cross-ref)
+    )
+
+    if not frames:
+        raise ValueError("encode_mp4_h264 wants ≥1 frame")
+    height, width = frames[0].shape
+    mono = bool((height & 1) or (width & 1))
+    w_mbs = -(-width // 16)
+    h_mbs = -(-height // 16)
+    sps_nal = _nal(3, 7, _build_sps(width, height, mono))
+    pps_nal = _nal(3, 8, _build_pps())
+    samples = []
+    for f in frames:
+        nal = _nal(3, 5, _build_idr_slice(f, w_mbs, h_mbs, mono))
+        samples.append(_U32B.pack(len(nal)) + nal)
+    entry = _box(
+        b"avc1",
+        _visual_entry_fields(width, height)
+        + _box(b"avcC", build_avcc(sps_nal, pps_nal)),
+    )
+    return _encode_mp4_video(samples, entry, width, height, fps)
+
+
+def encode_mp4_mjpeg(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Encoded-JPEG frames → a standards-shaped progressive MP4 (ftyp,
+    mdat, moov with full stsd/stts/stsc/stsz/stco sample tables).  Fixture
+    writer for the video lane — pairs with ``jpeg.encode_jpeg_gray`` /
+    ``encode_jpeg_rgb`` exactly as ``encode_avi_mjpeg`` does.
+    """
+    entry = _box(b"jpeg", _visual_entry_fields(width, height))
+    return _encode_mp4_video(jpeg_frames, entry, width, height, fps)
+
+
+def _encode_mp4_video(
+    samples: list[bytes], entry_box: bytes, width: int, height: int,
+    fps: int = 10
+) -> bytes:
+    """Shared MP4 muxer: samples + a ready SampleEntry box → ftyp/mdat/moov.
+
+    Samples are grouped ≤3 per chunk so readers must actually expand the
+    stsc first-chunk-run mapping (a single all-samples chunk would let a
+    broken expansion pass fixtures).
+    """
+    n = len(samples)
+    timescale = max(1, fps)
+    ftyp = _box(b"ftyp", b"isom" + _U32B.pack(0x200) + b"isom" + b"mp41")
+
+    # mdat follows ftyp; chunk offsets are absolute file offsets
+    mdat_body = b"".join(samples)
+    mdat = _box(b"mdat", mdat_body)
+    data_start = len(ftyp) + 8
+
+    spc = 3  # samples per chunk (last chunk may be short)
+    chunk_offsets, pos = [], data_start
+    for ci in range(0, n, spc):
+        chunk_offsets.append(pos)
+        pos += sum(len(f) for f in samples[ci : ci + spc])
+
+    stsd = _fbox(b"stsd", 0, 0, _U32B.pack(1) + entry_box)
     stts = _fbox(b"stts", 0, 0, _U32B.pack(1) + _U32B.pack(n) + _U32B.pack(1))
     last_run = n - spc * ((n - 1) // spc) if n else spc
     stsc_rows = [(1, spc, 1)]
@@ -312,7 +399,7 @@ def encode_mp4_mjpeg(
     stsz = _fbox(
         b"stsz", 0, 0,
         _U32B.pack(0) + _U32B.pack(n)
-        + b"".join(_U32B.pack(len(f)) for f in jpeg_frames),
+        + b"".join(_U32B.pack(len(f)) for f in samples),
     )
     stco = _fbox(
         b"stco", 0, 0,

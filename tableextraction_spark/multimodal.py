@@ -144,15 +144,24 @@ def iter_video_frames(payload: bytes):
     """Lazily yield (frame_no, n_frames, frame) — one decoded frame live at
     a time, so a 10k-frame video never materializes in memory.  Routes on
     magic: VID1 (synthetic container), real AVI/MJPEG (RIFF walk, ``avi.py``),
-    animated GIF, MP4/ISO-BMFF with MJPEG samples (box walk + sample
-    tables, ``mp4.py``), or Matroska/WebM with MJPEG blocks (EBML walk,
-    ``mkv.py``); every container's structure parses natively — only
-    non-MJPEG *codecs* stay library-bound (named per-row errors)."""
+    animated GIF, MP4/ISO-BMFF with MJPEG or H.264/avc1 samples (box walk
+    + sample tables, ``mp4.py``; I_PCM-coded H.264 decodes natively via
+    ``h264.py``), raw Annex-B H.264 elementary streams, or Matroska/WebM
+    with MJPEG blocks (EBML walk, ``mkv.py``); every container's structure
+    parses natively — only library-bound *codecs* (CAVLC/CABAC H.264
+    residuals, HEVC/VP9/AV1) stay named per-row errors."""
     magic, n = _VID_HEADER.unpack_from(payload, 0)
     if len(payload) >= 12 and bytes(payload[4:8]) == b"ftyp":
         from .mp4 import iter_mp4_mjpeg_frames
 
         yield from iter_mp4_mjpeg_frames(payload)
+        return
+    if bytes(payload[:4]) in (b"\x00\x00\x00\x01", b"\x00\x00\x01\x67"):
+        from .h264 import decode_h264_annexb  # raw elementary stream
+
+        frames = decode_h264_annexb(bytes(payload))
+        for i, f in enumerate(frames):
+            yield i, len(frames), f
         return
     if bytes(payload[:4]) == b"\x1aE\xdf\xa3":
         from .mkv import iter_mkv_mjpeg_frames

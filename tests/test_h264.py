@@ -1,0 +1,232 @@
+"""H.264 (ITU-T | ISO 14496-10) structural layer + I_PCM payload tests.
+
+Exp-Golomb is pinned to the spec's §9.1 table values; emulation prevention
+round-trips hostile byte patterns; frame round trips go through both the
+Annex-B elementary stream and the MP4 avc1 (avcC) path; CAVLC/CABAC/
+deblocking raise their NAMED seams.
+"""
+
+import numpy as np
+import pytest
+
+from tableextraction_spark.h264 import (
+    _BitReader,
+    _BitWriter,
+    decode_h264_annexb,
+    encode_h264_annexb,
+    insert_emulation_prevention,
+    iter_annexb_nals,
+    parse_pps,
+    parse_sps,
+    strip_emulation_prevention,
+)
+
+
+def _frames(n, h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(n)]
+
+
+# ------------------------------------------------------------ primitives
+
+def test_exp_golomb_spec_values():
+    """§9.1 Table 9-1: codeNum ↔ bit strings; §9.1.1 Table 9-3: se(v)."""
+    bits = {0: "1", 1: "010", 2: "011", 3: "00100", 4: "00101",
+            5: "00110", 6: "00111", 7: "0001000", 8: "0001001"}
+    for v, s in bits.items():
+        w = _BitWriter()
+        w.ue(v)
+        assert "".join(map(str, w.bits)) == s
+        r = _BitReader(w.tobytes())
+        assert r.ue() == v
+    # se mapping: codeNum 0,1,2,3,4 → 0, 1, -1, 2, -2
+    for v in (0, 1, -1, 2, -2, 7, -7, 100, -100):
+        w = _BitWriter()
+        w.se(v)
+        assert _BitReader(w.tobytes()).se() == v
+
+
+def test_bitrw_roundtrip_mixed():
+    w = _BitWriter()
+    vals = [(3, 5), (0, 1), (1, 1), (255, 8), (1023, 10)]
+    for v, n in vals:
+        w.u(v, n)
+    r = _BitReader(w.tobytes())
+    assert [r.u(n) for _v, n in vals] == [v for v, _n in vals]
+
+
+def test_truncated_bitstream_raises():
+    r = _BitReader(b"\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        r.ue()  # 8 zero bits, no terminating 1
+
+
+def test_emulation_prevention_roundtrip():
+    hostile = [
+        b"\x00\x00\x00",
+        b"\x00\x00\x01\x02",
+        b"\x00\x00\x02",
+        b"\x00\x00\x03\x00\x00\x01",
+        b"\x7f\x00\x00\x00\x00\x00\x01",
+        bytes(range(256)) + b"\x00\x00\x01",
+    ]
+    for rbsp in hostile:
+        nal = insert_emulation_prevention(rbsp)
+        # no start-code-able pattern survives inside the NAL payload
+        for bad in (b"\x00\x00\x00", b"\x00\x00\x01", b"\x00\x00\x02"):
+            assert bad not in nal
+        assert strip_emulation_prevention(nal) == rbsp
+
+
+# ----------------------------------------------------------- round trips
+
+@pytest.mark.parametrize("h,w", [(32, 48), (33, 47), (16, 16), (70, 90)])
+def test_annexb_roundtrip_pixel_exact(h, w):
+    """Even dims → Baseline 4:2:0; odd dims → High 4:0:0 monochrome
+    (1×1 crop units represent any size exactly).  Both pixel-exact."""
+    frames = _frames(3, h, w)
+    buf = encode_h264_annexb(frames)
+    got = decode_h264_annexb(buf)
+    assert len(got) == 3
+    for a, b in zip(got, frames):
+        assert a.shape == (h, w) and np.array_equal(a, b)
+
+
+def test_annexb_profile_selection():
+    even = encode_h264_annexb(_frames(1, 32, 32))
+    odd = encode_h264_annexb(_frames(1, 31, 31))
+    sps_even = next(r for _i, t, r in iter_annexb_nals(even) if t == 7)
+    sps_odd = next(r for _i, t, r in iter_annexb_nals(odd) if t == 7)
+    assert parse_sps(sps_even)["profile"] == 66  # Baseline, 4:2:0
+    assert parse_sps(sps_odd)["chroma_format_idc"] == 0  # monochrome
+
+
+def test_mp4_avc1_roundtrip_and_routing():
+    from tableextraction_spark.mp4 import encode_mp4_h264
+    from tableextraction_spark.multimodal import iter_video_frames
+
+    frames = _frames(5, 33, 50, seed=9)
+    mp4 = encode_mp4_h264(frames, fps=4)
+    got = list(iter_video_frames(mp4))
+    assert [i for i, _n, _f in got] == list(range(5))
+    assert all(n == 5 for _i, n, _f in got)
+    for (_i, _n, a), b in zip(got, frames):
+        assert np.array_equal(a, b)
+
+
+def test_raw_annexb_routes_through_multimodal():
+    from tableextraction_spark.multimodal import decode_video
+
+    frames = _frames(2, 24, 24, seed=5)
+    got = decode_video(encode_h264_annexb(frames))
+    assert len(got) == 2 and np.array_equal(got[0], frames[0])
+
+
+# --------------------------------------------------------- named refusals
+
+def test_cabac_pps_named_refusal():
+    w = _BitWriter()
+    w.ue(0)  # pps_id
+    w.ue(0)  # sps_id
+    w.u(1, 1)  # entropy_coding_mode = CABAC
+    w.u(0, 1)
+    w.ue(0)
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="CABAC"):
+        parse_pps(w.tobytes())
+
+
+def test_cavlc_macroblock_named_refusal():
+    """An I-slice macroblock with any CAVLC-coded type (mb_type != 25)
+    names the coeff_token-table seam instead of decoding garbage."""
+    buf = bytearray(encode_h264_annexb(_frames(1, 16, 16)))
+    # locate the IDR slice NAL and rewrite its first mb_type (ue(25) =
+    # 00010 1010) to ue(0) = '1' by re-encoding the slice prefix
+    from tableextraction_spark.h264 import _nal
+
+    w = _BitWriter()
+    w.ue(0)   # first_mb_in_slice
+    w.ue(7)   # slice_type I
+    w.ue(0)   # pps_id
+    w.u(0, 4)  # frame_num
+    w.ue(0)   # idr_pic_id
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)   # slice_qp_delta
+    w.ue(1)   # disable deblocking
+    w.ue(0)   # mb_type I_4x4 ← the CAVLC-coded shape
+    w.rbsp_trailing()
+    sc = b"\x00\x00\x00\x01"
+    pieces = encode_h264_annexb(_frames(1, 16, 16)).split(sc)
+    stream = sc + pieces[1] + sc + pieces[2] + sc + _nal(3, 5, w.tobytes())
+    with pytest.raises(NotImplementedError, match="I_PCM|CAVLC|coeff"):
+        decode_h264_annexb(stream)
+
+
+def test_deblocking_enabled_named_refusal():
+    from tableextraction_spark.h264 import _nal
+
+    w = _BitWriter()
+    w.ue(0)
+    w.ue(7)
+    w.ue(0)
+    w.u(0, 4)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(0)   # disable_deblocking_filter_idc = 0 (filter ON)
+    w.se(0)   # alpha offset
+    w.se(0)   # beta offset
+    w.rbsp_trailing()
+    sc = b"\x00\x00\x00\x01"
+    pieces = encode_h264_annexb(_frames(1, 16, 16)).split(sc)
+    stream = sc + pieces[1] + sc + pieces[2] + sc + _nal(3, 5, w.tobytes())
+    with pytest.raises(NotImplementedError, match="deblocking"):
+        decode_h264_annexb(stream)
+
+
+def test_truncated_pcm_payload_is_value_error():
+    buf = encode_h264_annexb(_frames(1, 32, 32))
+    with pytest.raises(ValueError):
+        decode_h264_annexb(buf[: len(buf) - 40])
+
+
+def test_garbage_is_value_error():
+    with pytest.raises(ValueError, match="start code"):
+        decode_h264_annexb(b"not a video at all")
+
+
+def test_incomplete_picture_refuses():
+    """A stream whose slice covers only half the macroblocks must refuse
+    (undecoded macroblocks), not emit a half-black frame silently."""
+    frames = _frames(1, 32, 32)
+    full = encode_h264_annexb(frames)
+    from tableextraction_spark.h264 import (
+        _build_pps,
+        _build_sps,
+        _nal,
+    )
+
+    w = _BitWriter()
+    w.ue(0)
+    w.ue(7)
+    w.ue(0)
+    w.u(0, 4)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(0)
+    w.ue(1)
+    # exactly ONE I_PCM macroblock of the four
+    w.ue(25)
+    w.align_zero()
+    w.raw_bytes(bytes(256))
+    w.raw_bytes(b"\x80" * 128)
+    w.rbsp_trailing()
+    sc = b"\x00\x00\x00\x01"
+    stream = (sc + _nal(3, 7, _build_sps(32, 32, False))
+              + sc + _nal(3, 8, _build_pps())
+              + sc + _nal(3, 5, w.tobytes()))
+    with pytest.raises(ValueError, match="undecoded"):
+        decode_h264_annexb(stream)

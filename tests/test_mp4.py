@@ -95,14 +95,24 @@ def test_fragmented_mp4_raises_named_error():
         list(iter_mp4_mjpeg_frames(payload + _box(b"moof", b"")))
 
 
-def test_non_mjpeg_codec_raises_named_error():
+def test_unsupported_codec_raises_named_error():
     _, payload = _mjpeg(n=1)
-    # rewrite the stsd sample-entry fourcc in place: MJPEG → H.264
+    # rewrite the stsd sample-entry fourcc in place: MJPEG → HEVC
     # (layout: size 'stsd' verflags count entry_size fourcc → fourcc at +16)
     i = payload.index(b"stsd") + 16
     assert payload[i : i + 4] == b"jpeg"
+    mutated = payload[:i] + b"hvc1" + payload[i + 4 :]
+    with pytest.raises(ValueError, match="HEVC"):
+        list(iter_mp4_mjpeg_frames(mutated))
+
+
+def test_avc1_without_avcc_raises_named_error():
+    # avc1 decodes natively now — but only with its avcC config record.
+    # A bare fourcc swap produces an entry with no avcC child box.
+    _, payload = _mjpeg(n=1)
+    i = payload.index(b"stsd") + 16
     mutated = payload[:i] + b"avc1" + payload[i + 4 :]
-    with pytest.raises(ValueError, match="H.264"):
+    with pytest.raises(ValueError, match="avcC"):
         list(iter_mp4_mjpeg_frames(mutated))
 
 

@@ -101,6 +101,41 @@ def test_mp3_frame_header():
     assert d2["format"] == "mp3" and d2["sample_rate"] == 44100
 
 
+_EXTERNAL_MP3 = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+)
+
+
+def test_mp3_probe_against_external_real_world_file():
+    """External validation vector (r4 verdict ask 3, the attainable half):
+    a REAL encoder-produced MP3 found on this host (gsutil test data) —
+    not our fixtures — must probe to a self-consistent identification:
+    MPEG-2 Layer III behind an ID3v2 tag, with the duration agreeing with
+    size/bitrate arithmetic.  Payload DECODE stays a named seam: the ISO
+    11172-3 Huffman tables cannot be transcribed from memory without
+    risking self-consistent-but-wrong output, and this host carries no
+    table source or PCM oracle to pin them against (documented in
+    ROUND5_NOTES.md)."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.exists(_EXTERNAL_MP3):
+        _pytest.skip("external mp3 vector not present on this host")
+    with open(_EXTERNAL_MP3, "rb") as f:
+        data = f.read()
+    assert data[:3] == b"ID3"  # really an ID3v2-tagged file
+    d = probe_bytes(data)
+    assert (d["format"], d["kind"]) == ("mp3", "audio")
+    assert d["sample_rate"] == 22050
+    assert d["codec"] == "mpeg2-l3@64kbps"
+    # duration ≈ (size - ID3 tag) / (64 kbps), within one frame
+    ss = [b & 0x7F for b in data[6:10]]  # ID3v2 syncsafe size (7 bits/byte)
+    id3_len = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    expect = (len(data) - id3_len) * 8 / 64000
+    assert abs(d["duration_s"] - expect) < 0.05
+
+
 def test_garbage_is_unknown_never_raises():
     for blob in (b"", b"\x00", b"garbage" * 10, b"RIFF\x04\x00\x00\x00JUNK"):
         d = probe_bytes(blob)
