@@ -5,7 +5,9 @@ pytest only; q47 puts them in the driver's hard rows+schema+hash gate the
 same way q24/q46 gate the raster/PDF lanes.  A deterministic clip corpus —
 real AVI/MJPEG containers (``avi.py``), animated GIFs, MP4/ISO-BMFF with
 MJPEG samples (``mp4.py``), Matroska with MJPEG blocks across all lacing
-modes (``mkv.py``), and real RIFF/WAVE + FLAC + Ogg/Vorbis clips — is
+modes (``mkv.py``), MP4 with avc1 **H.264** I_PCM samples (``h264.py`` —
+the non-MJPEG codec, golden per-frame pixel hashes), and real RIFF/WAVE +
+FLAC + Ogg/Vorbis clips — is
 synthesized DISTRIBUTED (mapInPandas over a
 range frame; no driver-side payload bytes), run through the real Spark
 stages, and compared against plan-derived expectations computed RELATIONALLY
@@ -46,7 +48,7 @@ def _clip_batches(batches: Iterator) -> Iterator:
     from ..gif import encode_gif_animation
     from ..jpeg import encode_jpeg_gray
     from ..mkv import encode_mkv_mjpeg
-    from ..mp4 import encode_mp4_mjpeg
+    from ..mp4 import encode_mp4_h264, encode_mp4_mjpeg
     from ..multimodal import encode_wav
     from ..vorbis import encode_vorbis_ogg
 
@@ -71,12 +73,18 @@ def _clip_batches(batches: Iterator) -> Iterator:
                 jpgs, w, h, lacing=("none", "xiph", "ebml")[i % 3],
                 streaming=i % 2 == 1,
             )
+            # fifth container/codec pair: MP4 with avc1 H.264 I_PCM
+            # samples — the rotation's only non-MJPEG real video codec;
+            # I_PCM is lossless so this lane (and GIF) carries golden
+            # per-frame pixel hashes below
+            h264 = encode_mp4_h264(frames)
             ln = 4000 + 500 * (i % 4)
             pcm = ((np.arange(ln) * 37) % 4096 - 2048).astype(np.int16)
             rows.append((f"vid-{i:04d}", "video", avi))
             rows.append((f"gifv-{i:04d}", "video", gif))
             rows.append((f"mp4-{i:04d}", "video", mp4))
             rows.append((f"mkv-{i:04d}", "video", mkvb))
+            rows.append((f"h264-{i:04d}", "video", h264))
             rows.append((f"aud-{i:04d}", "audio", encode_wav(pcm, 8000)))
             rows.append((f"flac-{i:04d}", "audio", encode_flac(pcm, 8000)))
             # third audio container: Ogg/Vorbis (lossy, but the decoder
@@ -84,6 +92,36 @@ def _clip_batches(batches: Iterator) -> Iterator:
             # checks don't depend on quantization)
             rows.append((f"ogg-{i:04d}", "audio", encode_vorbis_ogg(pcm, 8000)))
         yield pd.DataFrame(rows, columns=["media_ref", "kind", "content"])
+
+
+GOLDEN_SCHEMA = "media_ref string, frame_no int, want_md5 string"
+_LOSSLESS_VIDEO = ("gifv-", "h264-")
+
+
+def _golden_frame_batches(batches: Iterator) -> Iterator:
+    """Plan-side golden pixel hashes for the LOSSLESS video codecs in the
+    rotation (GIF frames, H.264 I_PCM samples): md5 of each sampled source
+    frame's raw gray bytes, from the same index arithmetic as
+    ``_clip_batches`` — so decode must reproduce the source bit-exactly.
+    MJPEG lanes are excluded (lossy by design; counts/dims gate them)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for i in pdf["i"]:
+            i = int(i)
+            nf, h, w = 3 + i % 5, 24 + 8 * (i % 3), 32 + 8 * (i % 2)
+            y, x = np.mgrid[0:h, 0:w]
+            for f in range(0, nf, EVERY_N):
+                md5 = hashlib.md5(
+                    (((x * 2 + y + f * 16) % 256).astype(np.uint8)).tobytes()
+                ).hexdigest()
+                for prefix in _LOSSLESS_VIDEO:
+                    rows.append((f"{prefix}{i:04d}", f, md5))
+        yield pd.DataFrame(rows, columns=["media_ref", "frame_no", "want_md5"])
 
 
 def _mismatches(joined, checks: list[tuple[str, str, str]]):
@@ -118,7 +156,8 @@ def q47_multimodal_verify(spark, sf_dir):
     nf = F.lit(3) + F.col("i") % 5
     exp_v = idx.crossJoin(
         spark.createDataFrame(
-            [("vid-",), ("gifv-",), ("mp4-",), ("mkv-",)], "prefix string"
+            [("vid-",), ("gifv-",), ("mp4-",), ("mkv-",), ("h264-",)],
+            "prefix string",
         )
     ).select(
         F.concat("prefix", F.lpad(F.col("i").cast("string"), 4, "0")).alias(
@@ -131,9 +170,11 @@ def q47_multimodal_verify(spark, sf_dir):
         (F.lit(32) + (F.col("i") % 2) * 8).alias("want_w"),
         (F.lit(24) + (F.col("i") % 3) * 8).alias("want_h"),
     )
+    sampled = sample_frames(
+        media.where(F.col("kind") == "video"), every_n=EVERY_N
+    )
     got_v = (
-        sample_frames(media.where(F.col("kind") == "video"), every_n=EVERY_N)
-        .groupBy("media_ref")
+        sampled.groupBy("media_ref")
         .agg(
             F.count("*").alias("got_sampled"),
             F.max("frame_no").alias("got_max_no"),
@@ -192,7 +233,29 @@ def q47_multimodal_verify(spark, sf_dir):
             ("audio_error", "got_err", "zero"),
         ],
     )
-    return vid_bad.unionByName(aud_bad)
+    # --- golden frame hashes for the lossless codecs (GIF, H.264 I_PCM):
+    # every sampled frame's decoded pixel bytes (IMG1 payload minus its
+    # 12-byte header, hashed in-plan) must equal the plan-side source-frame
+    # md5 EXACTLY; a full join catches missing/extra frames on either side.
+    golden = idx.mapInPandas(_golden_frame_batches, GOLDEN_SCHEMA)
+    got_px = sampled.where(F.col("media_ref").rlike("^(gifv|h264)-")).select(
+        "media_ref",
+        "frame_no",
+        F.md5(
+            F.expr("substring(content, 13, length(content) - 12)")
+        ).alias("got_md5"),
+    )
+    px_bad = (
+        got_px.join(golden, ["media_ref", "frame_no"], "full")
+        .where(~F.col("got_md5").eqNullSafe(F.col("want_md5")))
+        .select(
+            "media_ref",
+            F.lit("video_frame_pixels_md5").alias("check"),
+            F.col("frame_no").cast("double").alias("got"),
+            F.lit(0.0).alias("want"),
+        )
+    )
+    return vid_bad.unionByName(aud_bad).unionByName(px_bad)
 
 
 Q47_SQL = """
