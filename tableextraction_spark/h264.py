@@ -32,6 +32,7 @@ port.
 
 from __future__ import annotations
 
+import re
 import struct
 from collections.abc import Iterator
 
@@ -115,14 +116,25 @@ class _BitReader:
 
 
 class _BitWriter:
-    __slots__ = ("bits",)
+    """MSB-first writer: a byte buffer plus a sub-byte bit accumulator —
+    ``raw_bytes`` on an aligned writer is a straight buffer append, so
+    megabyte PCM payloads cost memcpy, not per-bit list churn."""
+
+    __slots__ = ("out", "acc", "nacc")
 
     def __init__(self):
-        self.bits: list[int] = []
+        self.out = bytearray()
+        self.acc = 0  # pending bits, MSB-first, low nacc bits significant
+        self.nacc = 0
 
     def u(self, v: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.bits.append((v >> i) & 1)
+        acc = (self.acc << n) | (v & ((1 << n) - 1))
+        nacc = self.nacc + n
+        while nacc >= 8:
+            nacc -= 8
+            self.out.append((acc >> nacc) & 0xFF)
+        self.acc = acc & ((1 << nacc) - 1)
+        self.nacc = nacc
 
     def ue(self, v: int) -> None:
         k = v + 1
@@ -134,60 +146,51 @@ class _BitWriter:
         self.ue(2 * v - 1 if v > 0 else -2 * v)
 
     def align_zero(self) -> None:
-        while len(self.bits) & 7:
-            self.bits.append(0)
+        if self.nacc:
+            self.u(0, 8 - self.nacc)
 
     def raw_bytes(self, b: bytes) -> None:
-        assert len(self.bits) & 7 == 0
-        for byte in b:
-            self.u(byte, 8)
+        assert self.nacc == 0
+        self.out += b
 
     def rbsp_trailing(self) -> None:
-        self.bits.append(1)
+        self.u(1, 1)
         self.align_zero()
 
     def tobytes(self) -> bytes:
-        out = bytearray()
-        acc = n = 0
-        for b in self.bits:
-            acc = (acc << 1) | b
-            n += 1
-            if n == 8:
-                out.append(acc)
-                acc = n = 0
-        if n:
-            out.append(acc << (8 - n))
-        return bytes(out)
+        if not self.nacc:
+            return bytes(self.out)
+        # zero-pad a final partial byte (test surface; real RBSPs end
+        # with rbsp_trailing, which aligns)
+        return bytes(self.out) + bytes([(self.acc << (8 - self.nacc)) & 0xFF])
 
 
 # -------------------------------------------- NAL layer (§7.3.1, §7.4.1)
 
+_EP_STRIP = re.compile(b"\x00\x00\x03")
+_EP_INSERT = re.compile(b"\x00\x00(?=[\x00-\x03])")
+
+
 def strip_emulation_prevention(data: bytes) -> bytes:
-    """NAL payload → RBSP: drop the 0x03 in every 0x000003 run."""
+    """NAL payload → RBSP: drop the 0x03 in every 0x000003 run.
+
+    The regex's non-overlapping left-to-right scan is exactly the spec's
+    zeros-counter-resets-after-removal semantics (after a strip the scan
+    resumes at the byte following the 0x03, with zero pending zeros), and
+    runs at C speed over megabyte PCM slices."""
     if b"\x00\x00\x03" not in data:
         return data
-    out = bytearray()
-    zeros = 0
-    for b in data:
-        if zeros >= 2 and b == 3:
-            zeros = 0
-            continue  # emulation_prevention_three_byte
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-    return bytes(out)
+    return _EP_STRIP.sub(b"\x00\x00", data)
 
 
 def insert_emulation_prevention(rbsp: bytes) -> bytes:
-    """RBSP → NAL payload: escape 0x0000{00,01,02,03} with 0x03."""
-    out = bytearray()
-    zeros = 0
-    for b in rbsp:
-        if zeros >= 2 and b <= 3:
-            out.append(3)
-            zeros = 0
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-    return bytes(out)
+    """RBSP → NAL payload: escape 0x0000{00,01,02,03} with 0x03.
+
+    Same reset-semantics argument as ``strip_emulation_prevention``: the
+    lookahead byte is not consumed, so a run of zeros re-pairs after each
+    inserted 0x03 exactly as the spec's counter does (0,0,0,0,0 →
+    0,0,3,0,0,3,0)."""
+    return _EP_INSERT.sub(b"\x00\x00\x03", rbsp)
 
 
 def iter_annexb_nals(buf: bytes) -> Iterator[tuple[int, int, bytes]]:
@@ -387,6 +390,8 @@ def _decode_slice_ipcm(
     w_mbs = sps["w_mbs"]
     n_mbs = w_mbs * sps["h_mbs"]
     mono = sps["chroma_format_idc"] == 0
+    stride = 2 + 256 + (0 if mono else 128)
+    lview = luma.reshape(sps["h_mbs"], 16, w_mbs, 16)
     mb = first_mb
     while r.more_rbsp_data():
         if mb >= n_mbs:
@@ -408,6 +413,31 @@ def _decode_slice_ipcm(
         )
         done[mb] = True
         mb += 1
+        # Bulk fast path: after one I_PCM macroblock the reader is
+        # byte-aligned, and every FURTHER I_PCM macroblock is the fixed
+        # byte pattern 0x0D 0x00 (ue(25) = 9 bits + 7 pcm_alignment
+        # zeros) followed by the raw samples — so a run of them decodes
+        # as one strided view + one vectorized scatter.  Any header
+        # byte-pair that differs (a different mb_type, the rbsp stop
+        # bit) ends the run and falls back to the exact scalar walk.
+        p = r.pos >> 3
+        avail = (len(r.data) - p - 1) // stride  # ≥1 byte stays: trailing
+        run = min(avail, n_mbs - mb)
+        if run > 0:
+            region = np.frombuffer(
+                r.data, np.uint8, count=run * stride, offset=p
+            ).reshape(run, stride)
+            ok = (region[:, 0] == 0x0D) & (region[:, 1] == 0x00)
+            if not ok.all():
+                run = int(np.argmin(ok))
+            if run > 0:
+                idx = np.arange(mb, mb + run)
+                lview[idx // w_mbs, :, idx % w_mbs, :] = (
+                    region[:run, 2:258].reshape(run, 16, 16)
+                )
+                done[idx] = True
+                mb += run
+                r.pos += run * stride * 8
 
 
 def decode_h264_annexb(buf: bytes) -> list[np.ndarray]:
@@ -562,15 +592,32 @@ def _build_idr_slice(frame: np.ndarray, w_mbs: int, h_mbs: int,
     w.u(0, 1)  # long_term_reference
     w.se(0)  # slice_qp_delta
     w.ue(1)  # disable_deblocking_filter_idc = 1 (off)
-    for mb in range(w_mbs * h_mbs):
-        my, mx = divmod(mb, w_mbs)
-        w.ue(25)  # mb_type I_PCM
-        w.align_zero()  # pcm_alignment_zero_bit
-        w.raw_bytes(
-            padded[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16].tobytes()
-        )
+    n_mbs = w_mbs * h_mbs
+    blocks = (
+        padded.reshape(h_mbs, 16, w_mbs, 16)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_mbs, 256)
+    )
+    # first macroblock: its ue(25) starts mid-byte after the slice header,
+    # so the writer codes it bit-by-bit and the alignment pad lands it on
+    # a byte boundary …
+    w.ue(25)  # mb_type I_PCM
+    w.align_zero()  # pcm_alignment_zero_bit
+    w.raw_bytes(blocks[0].tobytes())
+    if not mono:
+        w.raw_bytes(b"\x80" * 128)  # neutral Cb, Cr (8×8 each)
+    # … after which every further I_PCM macroblock is the fixed byte
+    # pattern 0x0D 0x00 + samples (the same invariant the decoder's bulk
+    # path reads), built as one strided array instead of a per-MB loop
+    if n_mbs > 1:
+        stride = 2 + 256 + (0 if mono else 128)
+        bulk = np.empty((n_mbs - 1, stride), np.uint8)
+        bulk[:, 0] = 0x0D
+        bulk[:, 1] = 0x00
+        bulk[:, 2:258] = blocks[1:]
         if not mono:
-            w.raw_bytes(b"\x80" * 128)  # neutral Cb, Cr (8×8 each)
+            bulk[:, 258:] = 0x80
+        w.raw_bytes(bulk.tobytes())
     w.rbsp_trailing()
     return w.tobytes()
 

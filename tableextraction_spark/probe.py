@@ -292,16 +292,20 @@ def _probe_mp4(buf: bytes) -> dict:
                 return  # refuse to loop on garbage sizes
             pos += size
     walk(0, len(buf))
-    # video-track sample count from the stsz table — still header-only (no
-    # payload decode); any malformed table just leaves n_frames at 0
+    # video-track sample count from the stsz table and the REAL codec
+    # fourcc from the stsd sample entry (brand alone says 'isom' for
+    # mjpeg and avc1 alike) — still header-only (no payload decode); any
+    # malformed table just leaves n_frames at 0 / codec at the brand
     try:
-        from .mp4 import _find, _full_box, _require, _video_stbl
+        from .mp4 import _find, _full_box, _require, _stsd_fourcc, _video_stbl
 
         moov = _find(buf, 0, len(buf), b"moov")
         if moov is not None:
             stbl = _video_stbl(buf, moov)
             _, pos = _full_box(buf, *_require(buf, stbl, b"stsz"))
             out["n_frames"] = _U32B.unpack_from(buf, pos + 4)[0]
+            fourcc = _stsd_fourcc(buf, stbl).decode("ascii", "replace")
+            out["codec"] = f"{brand}/{fourcc}"
     except (ValueError, struct.error):
         pass
     return out

@@ -8,6 +8,8 @@ deblocking raise their NAMED seams.
 
 import numpy as np
 import pytest
+from hypothesis import given
+from hypothesis import strategies as st
 
 from tableextraction_spark.h264 import (
     _BitReader,
@@ -36,7 +38,10 @@ def test_exp_golomb_spec_values():
     for v, s in bits.items():
         w = _BitWriter()
         w.ue(v)
-        assert "".join(map(str, w.bits)) == s
+        # exact bit string: tobytes zero-pads the tail, so the first
+        # len(s) bits of the padded bytes must spell the spec codeword
+        got = "".join(f"{b:08b}" for b in w.tobytes())[: len(s)]
+        assert got == s
         r = _BitReader(w.tobytes())
         assert r.ue() == v
     # se mapping: codeNum 0,1,2,3,4 → 0, 1, -1, 2, -2
@@ -230,3 +235,72 @@ def test_incomplete_picture_refuses():
               + sc + _nal(3, 5, w.tobytes()))
     with pytest.raises(ValueError, match="undecoded"):
         decode_h264_annexb(stream)
+
+
+def test_cavlc_after_pcm_run_still_refuses():
+    """The bulk I_PCM run decoder must stop at the first header byte-pair
+    that isn't the fixed 0x0D 0x00 pattern and fall back to the exact
+    scalar parse — a CAVLC macroblock hiding BEHIND a run of I_PCM ones
+    still names the seam."""
+    from tableextraction_spark.h264 import _build_pps, _build_sps, _nal
+
+    w = _BitWriter()
+    w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+    w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
+    for _ in range(3):  # three good I_PCM macroblocks (48x16 → 3 of 3…)
+        w.ue(25)
+        w.align_zero()
+        w.raw_bytes(bytes(256))
+        w.raw_bytes(b"\x80" * 128)
+    w.ue(0)  # …then a CAVLC-coded I_4x4 where a 4th would overflow anyway
+    w.rbsp_trailing()
+    sc = b"\x00\x00\x00\x01"
+    stream = (sc + _nal(3, 7, _build_sps(64, 16, False))
+              + sc + _nal(3, 8, _build_pps())
+              + sc + _nal(3, 5, w.tobytes()))
+    with pytest.raises(NotImplementedError, match="I_PCM|CAVLC|coeff"):
+        decode_h264_annexb(stream)
+
+
+def _ep_strip_scalar(data: bytes) -> bytes:
+    out, zeros = bytearray(), 0
+    for b in data:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _ep_insert_scalar(rbsp: bytes) -> bytes:
+    out, zeros = bytearray(), 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+@given(
+    st.lists(
+        st.sampled_from([0, 0, 0, 1, 2, 3, 3, 4, 0x80, 0xFF]), max_size=400
+    ).map(bytes)
+)
+def test_emulation_prevention_regex_matches_scalar_reference(data):
+    """The C-speed regex strip/insert must agree byte-for-byte with the
+    literal §7.4.1 zeros-counter algorithm on zero/low-byte-dense input —
+    the adversarial density for emulation prevention."""
+    from tableextraction_spark.h264 import (
+        insert_emulation_prevention,
+        strip_emulation_prevention,
+    )
+
+    assert strip_emulation_prevention(data) == _ep_strip_scalar(data)
+    assert insert_emulation_prevention(data) == _ep_insert_scalar(data)
+    # and the pair round-trips
+    assert strip_emulation_prevention(
+        insert_emulation_prevention(data)
+    ) == data

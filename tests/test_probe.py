@@ -101,6 +101,23 @@ def test_mp3_frame_header():
     assert d2["format"] == "mp3" and d2["sample_rate"] == 44100
 
 
+def test_mp4_probe_reports_sample_entry_fourcc():
+    """A real MP4's codec field carries brand/fourcc — the stsd walk is
+    header-only, so mjpeg and avc1 tracks are distinguishable without
+    touching a payload byte."""
+    import numpy as np
+
+    from tableextraction_spark.jpeg import encode_jpeg_gray
+    from tableextraction_spark.mp4 import encode_mp4_h264, encode_mp4_mjpeg
+
+    frames = [np.full((32, 48), 40 * (f + 1), np.uint8) for f in range(3)]
+    dj = probe_bytes(encode_mp4_mjpeg([encode_jpeg_gray(f) for f in frames], 48, 32))
+    assert (dj["codec"], dj["n_frames"]) == ("isom/jpeg", 3)
+    dh = probe_bytes(encode_mp4_h264(frames))
+    assert (dh["codec"], dh["n_frames"]) == ("isom/avc1", 3)
+    assert (dh["width"], dh["height"]) == (48, 32)
+
+
 _EXTERNAL_MP3 = (
     "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
 )
