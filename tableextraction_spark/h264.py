@@ -266,10 +266,11 @@ def parse_sps(rbsp: bytes) -> dict:
     log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
     log2_max_poc_lsb = 0
+    poc_delta_always_zero = 0
     if poc_type == 0:
         log2_max_poc_lsb = r.ue() + 4
     elif poc_type == 1:
-        r.u(1)
+        poc_delta_always_zero = r.u(1)
         r.se()
         r.se()
         for _ in range(r.ue()):
@@ -299,6 +300,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "log2_max_frame_num": log2_max_frame_num,
         "poc_type": poc_type,
         "log2_max_poc_lsb": log2_max_poc_lsb,
+        "poc_delta_always_zero": poc_delta_always_zero,
         "w_mbs": w_mbs,
         "h_mbs": h_units,
         "crop": crop,
@@ -316,7 +318,7 @@ def parse_pps(rbsp: bytes) -> dict:
         raise NotImplementedError(
             "H264: CABAC entropy coding (§9.3) is a deploy-time seam"
         )
-    r.u(1)  # bottom_field_pic_order_in_frame_present_flag
+    bottom_field_poc = r.u(1)  # bottom_field_pic_order_in_frame_present
     if r.ue():  # num_slice_groups_minus1
         raise NotImplementedError("H264: FMO slice groups not supported")
     r.ue()  # num_ref_idx_l0_default_active_minus1
@@ -328,12 +330,14 @@ def parse_pps(rbsp: bytes) -> dict:
     r.se()  # chroma_qp_index_offset
     deblock_ctrl = r.u(1)
     r.u(1)  # constrained_intra_pred_flag
-    r.u(1)  # redundant_pic_cnt_present_flag
+    redundant_present = r.u(1)  # redundant_pic_cnt_present_flag
     return {
         "pps_id": pps_id,
         "sps_id": sps_id,
         "pic_init_qp": pic_init_qp,
         "deblock_ctrl": deblock_ctrl,
+        "bottom_field_poc": bottom_field_poc,
+        "redundant_present": redundant_present,
     }
 
 
@@ -356,8 +360,22 @@ def _parse_slice_header(
     r.u(sps["log2_max_frame_num"])  # frame_num
     if nal_type == 5:
         r.ue()  # idr_pic_id
+    # §7.3.3 picture-order-count fields (frame_mbs_only → field_pic_flag
+    # is absent and treated as 0 throughout)
     if sps["poc_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+        if pps["bottom_field_poc"]:
+            r.se()  # delta_pic_order_cnt_bottom
+    elif sps["poc_type"] == 1 and not sps["poc_delta_always_zero"]:
+        r.se()  # delta_pic_order_cnt[0]
+        if pps["bottom_field_poc"]:
+            r.se()  # delta_pic_order_cnt[1]
+    if pps["redundant_present"]:
+        if r.ue():  # redundant_pic_cnt: >0 marks a REDUNDANT copy of a
+            # primary slice — decoding it as primary would double-write
+            raise NotImplementedError(
+                "H264: redundant coded slices not supported"
+            )
     if nal_ref_idc:  # dec_ref_pic_marking (IDR form for nal_type 5)
         if nal_type == 5:
             r.u(1)  # no_output_of_prior_pics_flag
@@ -440,14 +458,68 @@ def _decode_slice_ipcm(
                 r.pos += run * stride * 8
 
 
-def decode_h264_annexb(buf: bytes) -> list[np.ndarray]:
-    """Annex-B elementary stream → list of uint8 (H, W) gray (luma) frames.
+def _resolve_param_sets(
+    rbsp: bytes, sps_by_id: dict[int, dict], pps_by_id: dict[int, dict]
+) -> tuple[dict, dict]:
+    """Peek a slice RBSP's pps_id (first_mb ue, slice_type ue, pps_id ue)
+    and resolve the active (sps, pps) pair with named errors."""
+    peek = _BitReader(rbsp)
+    peek.ue()
+    peek.ue()
+    pps_id = peek.ue()
+    pps = pps_by_id.get(pps_id)
+    if pps is None:
+        raise ValueError(f"H264: slice references unknown PPS {pps_id}")
+    sps = sps_by_id.get(pps["sps_id"])
+    if sps is None:
+        raise ValueError("H264: PPS references unknown SPS")
+    return sps, pps
+
+
+def looks_like_annexb(payload) -> bool:
+    """Cheap sniff: an Annex-B start code (3- or 4-byte form) followed by
+    a plausible NAL header (forbidden bit clear, known unit type).  Used
+    by the multimodal router — magic-byte tier, no parsing."""
+    head = bytes(payload[:5])
+    if head[:4] == b"\x00\x00\x00\x01" and len(head) >= 5:
+        hdr = head[4]
+    elif head[:3] == b"\x00\x00\x01" and len(head) >= 4:
+        hdr = head[3]
+    else:
+        return False
+    return not (hdr & 0x80) and (hdr & 0x1F) in (1, 5, 6, 7, 8, 9, 12)
+
+
+def count_annexb_pictures(buf: bytes) -> int:
+    """Number of coded pictures in an Annex-B stream, header-only: one per
+    slice NAL whose first_mb_in_slice is 0 (EP-strip touches ~8 bytes per
+    NAL via the peek, not the payload)."""
+    n = 0
+    pos = buf.find(b"\x00\x00\x01")
+    while pos >= 0:
+        start = pos + 3
+        if start < len(buf):
+            hdr = buf[start]
+            if not (hdr & 0x80) and (hdr & 0x1F) in (1, 5):
+                peek = _BitReader(
+                    strip_emulation_prevention(buf[start + 1 : start + 9])
+                )
+                if peek.ue() == 0:  # first_mb_in_slice
+                    n += 1
+        pos = buf.find(b"\x00\x00\x01", start)
+    return n
+
+
+def iter_h264_annexb_frames(buf: bytes):
+    """Annex-B elementary stream → uint8 (H, W) gray (luma) frames, one
+    live at a time (each picture's canvas is freed as it yields — a
+    10k-frame stream never materializes).
 
     Every access unit must be an I/IDR picture whose macroblocks are all
     I_PCM; anything else raises the named seam errors above."""
     sps_by_id: dict[int, dict] = {}
     pps_by_id: dict[int, dict] = {}
-    frames: list[np.ndarray] = []
+    got_any = False
     cur = None  # (sps, luma, done)
     for ref_idc, nal_type, rbsp in iter_annexb_nals(buf):
         if nal_type == 7:
@@ -458,25 +530,15 @@ def decode_h264_annexb(buf: bytes) -> list[np.ndarray]:
             pps_by_id[p["pps_id"]] = p
         elif nal_type in (1, 5):
             r = _BitReader(rbsp)
-            # peek pps id: first_mb ue, slice_type ue, pps_id ue
-            peek = _BitReader(rbsp)
-            peek.ue()
-            peek.ue()
-            pps_id = peek.ue()
-            pps = pps_by_id.get(pps_id)
-            if pps is None:
-                raise ValueError(f"H264: slice references unknown PPS "
-                                 f"{pps_id}")
-            sps = sps_by_id.get(pps["sps_id"])
-            if sps is None:
-                raise ValueError("H264: PPS references unknown SPS")
+            sps, pps = _resolve_param_sets(rbsp, sps_by_id, pps_by_id)
             hdr = _parse_slice_header(r, sps, pps, nal_type, ref_idc)
             if hdr["first_mb"] == 0 or cur is None or cur[0] is not sps:
                 if cur is not None and not cur[2].all():
                     raise ValueError("H264: picture ended with undecoded "
                                      "macroblocks")
                 if cur is not None:
-                    frames.append(_crop(cur[0], cur[1]))
+                    yield _crop(cur[0], cur[1])
+                    got_any = True
                 luma = np.zeros((sps["h_mbs"] * 16, sps["w_mbs"] * 16),
                                 dtype=np.uint8)
                 done = np.zeros(sps["w_mbs"] * sps["h_mbs"], dtype=bool)
@@ -490,10 +552,16 @@ def decode_h264_annexb(buf: bytes) -> list[np.ndarray]:
         if not cur[2].all():
             raise ValueError("H264: picture ended with undecoded "
                              "macroblocks")
-        frames.append(_crop(cur[0], cur[1]))
-    if not frames:
+        yield _crop(cur[0], cur[1])
+        got_any = True
+    if not got_any:
         raise ValueError("H264: stream contains no coded pictures")
-    return frames
+
+
+def decode_h264_annexb(buf: bytes) -> list[np.ndarray]:
+    """Annex-B elementary stream → list of gray frames (materialized; the
+    streaming video path uses ``iter_h264_annexb_frames`` directly)."""
+    return list(iter_h264_annexb_frames(buf))
 
 
 def _crop(sps: dict, luma: np.ndarray) -> np.ndarray:
@@ -627,13 +695,7 @@ def encode_h264_annexb(frames: list[np.ndarray]) -> bytes:
     IDR pictures coded entirely as I_PCM macroblocks.  Monochrome (High
     4:0:0) when a dimension is odd — its 1×1 crop unit represents any
     size exactly; Baseline 4:2:0 with neutral chroma otherwise."""
-    if not frames:
-        raise ValueError("encode_h264_annexb wants ≥1 frame")
-    h, wdt = frames[0].shape
-    for f in frames:
-        if f.shape != (h, wdt) or f.dtype != np.uint8:
-            raise ValueError("frames must share one uint8 (H, W) shape")
-    mono = bool((h & 1) or (wdt & 1))
+    h, wdt, mono = validate_uniform_frames(frames)
     w_mbs = -(-wdt // 16)
     h_mbs = -(-h // 16)
     sc = b"\x00\x00\x00\x01"
@@ -674,21 +736,35 @@ def parse_avcc(body: bytes) -> tuple[list[bytes], list[bytes], int]:
         pos += 2
         pps.append(body[pos : pos + ln])
         pos += ln
-    if not sps or not pps:
-        raise ValueError("H264: avcC carries no SPS/PPS")
+    # empty lists are LEGAL for avc3 (in-band parameter sets); the avc1
+    # caller enforces presence — see mp4._iter_avc_frames
     return sps, pps, length_size
 
 
 def decode_avcc_sample(
-    sample: bytes, sps: dict, pps: dict, length_size: int
+    sample: bytes,
+    sps_by_id: dict[int, dict],
+    pps_by_id: dict[int, dict],
+    length_size: int,
 ) -> np.ndarray:
-    """One length-prefixed MP4 sample (an IDR access unit) → gray frame."""
-    luma = np.zeros((sps["h_mbs"] * 16, sps["w_mbs"] * 16), dtype=np.uint8)
-    done = np.zeros(sps["w_mbs"] * sps["h_mbs"], dtype=bool)
-    got = False
+    """One length-prefixed MP4 sample (an access unit) → gray frame.
+
+    SPS/PPS NALs inside the sample — in-band parameter sets, the defining
+    shape of ``avc3`` tracks (14496-15 §5.3.4) — update the shared dicts
+    in place, so later samples inherit them; ``avc1`` carries them in the
+    avcC record instead and both forms resolve identically here."""
+    cur = None  # (sps, luma, done)
     for ref_idc, nal_type, rbsp in iter_length_prefixed_nals(
         sample, length_size
     ):
+        if nal_type == 7:
+            s = parse_sps(rbsp)
+            sps_by_id[s["sps_id"]] = s
+            continue
+        if nal_type == 8:
+            p = parse_pps(rbsp)
+            pps_by_id[p["pps_id"]] = p
+            continue
         if nal_type in (6, 9, 12):
             continue
         if nal_type not in (1, 5):
@@ -696,9 +772,31 @@ def decode_avcc_sample(
                 f"H264: unexpected NAL type {nal_type} inside an MP4 sample"
             )
         r = _BitReader(rbsp)
+        sps, pps = _resolve_param_sets(rbsp, sps_by_id, pps_by_id)
+        if cur is None:
+            luma = np.zeros(
+                (sps["h_mbs"] * 16, sps["w_mbs"] * 16), dtype=np.uint8
+            )
+            done = np.zeros(sps["w_mbs"] * sps["h_mbs"], dtype=bool)
+            cur = (sps, luma, done)
+        elif cur[0] is not sps:
+            raise ValueError(
+                "H264: slices of one sample reference different SPS"
+            )
         hdr = _parse_slice_header(r, sps, pps, nal_type, ref_idc)
-        _decode_slice_ipcm(r, sps, hdr["first_mb"], luma, done)
-        got = True
-    if not got or not done.all():
+        _decode_slice_ipcm(r, sps, hdr["first_mb"], cur[1], cur[2])
+    if cur is None or not cur[2].all():
         raise ValueError("H264: sample did not decode a complete picture")
-    return _crop(sps, luma)
+    return _crop(cur[0], cur[1])
+
+
+def validate_uniform_frames(frames: list) -> tuple[int, int, bool]:
+    """Shared encoder-input check: ≥1 uint8 (H, W) frame, all one shape →
+    (h, w, mono) where mono means an odd dimension forces High 4:0:0."""
+    if not frames:
+        raise ValueError("H264 encode wants ≥1 frame")
+    h, wdt = frames[0].shape
+    for f in frames:
+        if f.shape != (h, wdt) or f.dtype != np.uint8:
+            raise ValueError("frames must share one uint8 (H, W) shape")
+    return h, wdt, bool((h & 1) or (wdt & 1))

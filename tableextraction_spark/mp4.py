@@ -140,11 +140,12 @@ def _stsd_entry(buf: bytes, stbl: tuple[int, int]) -> tuple[bytes, int, int]:
     _, pos = _full_box(buf, stsd[0], stsd[1])
     if pos + 4 > stsd[1]:
         raise ValueError("MP4: truncated stsd")
-    # first SampleEntry: u32 size, u32 format fourcc
+    # first SampleEntry starts at pos+4 (pos holds the u32 entry_count):
+    # u32 size, u32 format fourcc, then the entry body
     if pos + 12 > stsd[1]:
         raise ValueError("MP4: stsd has no sample entry")
-    (size,) = _U32B.unpack_from(buf, pos)
-    end = min(pos + size, stsd[1]) if size >= 8 else stsd[1]
+    (size,) = _U32B.unpack_from(buf, pos + 4)
+    end = min(pos + 4 + size, stsd[1]) if size >= 8 else stsd[1]
     return buf[pos + 8 : pos + 12], pos + 12, end
 
 
@@ -236,7 +237,7 @@ def iter_mp4_mjpeg_frames(payload: bytes) -> Iterator[tuple[int, int, np.ndarray
     stbl = _video_stbl(buf, moov)
     fourcc, e_start, e_end = _stsd_entry(buf, stbl)
     if fourcc in (b"avc1", b"avc3"):
-        yield from _iter_avc_frames(buf, stbl, e_start, e_end)
+        yield from _iter_avc_frames(buf, stbl, fourcc, e_start, e_end)
         return
     if fourcc not in _MJPEG_ENTRIES:
         name = _KNOWN_CODECS.get(fourcc, fourcc.decode("ascii", "replace"))
@@ -263,21 +264,39 @@ def iter_mp4_mjpeg_frames(payload: bytes) -> Iterator[tuple[int, int, np.ndarray
 
 
 def _iter_avc_frames(
-    buf: bytes, stbl: tuple[int, int], e_start: int, e_end: int
+    buf: bytes, stbl: tuple[int, int], fourcc: bytes, e_start: int,
+    e_end: int
 ) -> Iterator[tuple[int, int, np.ndarray]]:
     """avc1/avc3 track: avcC config → per-sample H.264 decode (h264.py —
-    I_PCM payloads decode; CAVLC/CABAC raise their named seams)."""
-    from .h264 import decode_avcc_sample, parse_avcc, parse_pps, parse_sps
+    I_PCM payloads decode; CAVLC/CABAC raise their named seams).  avc1
+    carries SPS/PPS in the avcC record; avc3 may carry them in-band
+    inside each sync sample, which decode_avcc_sample consumes."""
+    from .h264 import (
+        decode_avcc_sample,
+        parse_avcc,
+        parse_pps,
+        parse_sps,
+        strip_emulation_prevention,
+    )
 
     # VisualSampleEntry: 78 fixed bytes, then child boxes (avcC, ...)
     avcc = _find(buf, e_start + 78, e_end, b"avcC")
     if avcc is None:
         raise ValueError("MP4 avc1 sample entry has no avcC box")
     sps_nals, pps_nals, length_size = parse_avcc(buf[avcc[0] : avcc[1]])
-    from .h264 import strip_emulation_prevention
-
-    sps = parse_sps(strip_emulation_prevention(sps_nals[0][1:]))
-    pps = parse_pps(strip_emulation_prevention(pps_nals[0][1:]))
+    if fourcc == b"avc1" and (not sps_nals or not pps_nals):
+        raise ValueError(
+            "H264: avc1 avcC carries no SPS/PPS (out-of-band parameter "
+            "sets are mandatory for avc1; in-band is the avc3 shape)"
+        )
+    sps_by_id: dict[int, dict] = {}
+    pps_by_id: dict[int, dict] = {}
+    for nal in sps_nals:
+        s = parse_sps(strip_emulation_prevention(nal[1:]))
+        sps_by_id[s["sps_id"]] = s
+    for nal in pps_nals:
+        p = parse_pps(strip_emulation_prevention(nal[1:]))
+        pps_by_id[p["pps_id"]] = p
     ranges = _sample_ranges(buf, stbl)
     n = len(ranges)
     if n == 0:
@@ -286,7 +305,8 @@ def _iter_avc_frames(
         blob = buf[off : off + size]
         if len(blob) < size:
             raise ValueError(f"sample {i}: offset table points outside mdat")
-        yield i, n, decode_avcc_sample(blob, sps, pps, length_size)
+        yield i, n, decode_avcc_sample(blob, sps_by_id, pps_by_id,
+                                       length_size)
 
 
 # ------------------------------------------------------------------ encode
@@ -325,13 +345,10 @@ def encode_mp4_h264(frames: list, fps: int = 10) -> bytes:
         _build_sps,
         _nal,
         build_avcc,
-        iter_annexb_nals,  # noqa: F401  (doc cross-ref)
+        validate_uniform_frames,
     )
 
-    if not frames:
-        raise ValueError("encode_mp4_h264 wants ≥1 frame")
-    height, width = frames[0].shape
-    mono = bool((height & 1) or (width & 1))
+    height, width, mono = validate_uniform_frames(frames)
     w_mbs = -(-width // 16)
     h_mbs = -(-height // 16)
     sps_nal = _nal(3, 7, _build_sps(width, height, mono))

@@ -156,12 +156,17 @@ def iter_video_frames(payload: bytes):
 
         yield from iter_mp4_mjpeg_frames(payload)
         return
-    if bytes(payload[:4]) in (b"\x00\x00\x00\x01", b"\x00\x00\x01\x67"):
-        from .h264 import decode_h264_annexb  # raw elementary stream
+    from .h264 import looks_like_annexb
 
-        frames = decode_h264_annexb(bytes(payload))
-        for i, f in enumerate(frames):
-            yield i, len(frames), f
+    if looks_like_annexb(payload):  # raw H.264 elementary stream
+        from .h264 import count_annexb_pictures, iter_h264_annexb_frames
+
+        buf = bytes(payload)
+        # frame count up front via the header-only picture scan (the MKV
+        # lane's pattern); decode stays one frame live at a time
+        n_pics = count_annexb_pictures(buf)
+        for i, f in enumerate(iter_h264_annexb_frames(buf)):
+            yield i, n_pics, f
         return
     if bytes(payload[:4]) == b"\x1aE\xdf\xa3":
         from .mkv import iter_mkv_mjpeg_frames

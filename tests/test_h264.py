@@ -304,3 +304,179 @@ def test_emulation_prevention_regex_matches_scalar_reference(data):
     assert strip_emulation_prevention(
         insert_emulation_prevention(data)
     ) == data
+
+
+# ------------------------------------------- review-pass regression pins
+
+def test_slice_header_poc_fields_consumed():
+    """A conformant stream whose PPS sets
+    bottom_field_pic_order_in_frame_present_flag carries an se(v)
+    delta_pic_order_cnt_bottom in every slice header — the reader must
+    consume it or every later field shifts (r5 review finding 2)."""
+    from tableextraction_spark.h264 import _nal
+
+    # hand-build an SPS with poc_type 0 (the encoder emits poc_type 2,
+    # which carries no slice-header POC fields at all)
+    s = _BitWriter()
+    s.u(66, 8)  # Baseline
+    s.u(0, 8)
+    s.u(30, 8)
+    s.ue(0)   # sps_id
+    s.ue(0)   # log2_max_frame_num_minus4
+    s.ue(0)   # pic_order_cnt_type = 0
+    s.ue(0)   # log2_max_pic_order_cnt_lsb_minus4 → 4 bits of poc_lsb
+    s.ue(0)   # max_num_ref_frames
+    s.u(0, 1)  # gaps_in_frame_num
+    s.ue(0); s.ue(0)  # 1×1 macroblock grid (16×16)
+    s.u(1, 1)  # frame_mbs_only
+    s.u(1, 1)  # direct_8x8_inference
+    s.u(0, 1)  # no cropping
+    s.rbsp_trailing()
+    # hand-build a PPS with the flag ON (encoder writes it off)
+    p = _BitWriter()
+    p.ue(0)   # pps_id
+    p.ue(0)   # sps_id
+    p.u(0, 1)  # CAVLC
+    p.u(1, 1)  # bottom_field_pic_order_in_frame_present_flag = 1
+    p.ue(0)   # num_slice_groups_minus1
+    p.ue(0); p.ue(0); p.u(0, 1); p.u(0, 2)
+    p.se(0)   # pic_init_qp
+    p.se(0); p.se(0)
+    p.u(1, 1)  # deblocking_filter_control_present
+    p.u(0, 1); p.u(0, 1)
+    p.rbsp_trailing()
+    frame = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    w = _BitWriter()
+    w.ue(0); w.ue(7); w.ue(0)  # first_mb, I, pps_id
+    w.u(0, 4)  # frame_num
+    w.ue(0)   # idr_pic_id
+    w.u(0, 4)  # pic_order_cnt_lsb (log2_max_poc_lsb = 4)
+    w.se(3)   # delta_pic_order_cnt_bottom ← the field under test
+    w.u(0, 1); w.u(0, 1)  # dec_ref_pic_marking (IDR)
+    w.se(0)   # slice_qp_delta
+    w.ue(1)   # disable deblocking
+    w.ue(25)  # I_PCM
+    w.align_zero()
+    w.raw_bytes(frame.tobytes())
+    w.raw_bytes(b"\x80" * 128)
+    w.rbsp_trailing()
+    sc = b"\x00\x00\x00\x01"
+    stream = (sc + _nal(3, 7, s.tobytes())
+              + sc + _nal(3, 8, p.tobytes())
+              + sc + _nal(3, 5, w.tobytes()))
+    got = decode_h264_annexb(stream)
+    assert len(got) == 1 and np.array_equal(got[0], frame)
+
+
+def test_redundant_slice_named_refusal():
+    from tableextraction_spark.h264 import _build_sps, _nal
+
+    p = _BitWriter()
+    p.ue(0); p.ue(0); p.u(0, 1); p.u(0, 1)
+    p.ue(0); p.ue(0); p.ue(0); p.u(0, 1); p.u(0, 2)
+    p.se(0); p.se(0); p.se(0)
+    p.u(1, 1); p.u(0, 1)
+    p.u(1, 1)  # redundant_pic_cnt_present_flag = 1
+    p.rbsp_trailing()
+    w = _BitWriter()
+    w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+    # (encoder SPS is poc_type 2 → no POC slice-header fields)
+    w.ue(1)   # redundant_pic_cnt = 1 ← a redundant copy
+    w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
+    w.ue(25); w.align_zero()
+    w.raw_bytes(bytes(256)); w.raw_bytes(b"\x80" * 128)
+    w.rbsp_trailing()
+    sc = b"\x00\x00\x00\x01"
+    stream = (sc + _nal(3, 7, _build_sps(16, 16, False))
+              + sc + _nal(3, 8, p.tobytes())
+              + sc + _nal(3, 5, w.tobytes()))
+    with pytest.raises(NotImplementedError, match="redundant"):
+        decode_h264_annexb(stream)
+
+
+def test_avc3_in_band_parameter_sets_decode():
+    """avc3's defining shape: avcC with NO SPS/PPS, parameter sets as
+    NAL 7/8 inside the sync sample (r5 review finding 3)."""
+    from tableextraction_spark.h264 import (
+        _build_idr_slice,
+        _build_pps,
+        _build_sps,
+        _nal,
+        decode_avcc_sample,
+    )
+
+    frame = _frames(1, 32, 48, seed=11)[0]
+    nals = [
+        _nal(3, 7, _build_sps(48, 32, False)),
+        _nal(3, 8, _build_pps()),
+        _nal(3, 5, _build_idr_slice(frame, 3, 2, False)),
+    ]
+    sample = b"".join(len(n).to_bytes(4, "big") + n for n in nals)
+    sps_by_id, pps_by_id = {}, {}
+    got = decode_avcc_sample(sample, sps_by_id, pps_by_id, 4)
+    assert np.array_equal(got, frame)
+    assert 0 in sps_by_id and 0 in pps_by_id  # later samples inherit
+    # and a PARAM-FREE follow-up sample decodes using the inherited sets
+    sample2 = (len(nals[2]).to_bytes(4, "big") + nals[2])
+    assert np.array_equal(
+        decode_avcc_sample(sample2, sps_by_id, pps_by_id, 4), frame
+    )
+
+
+def test_annexb_frames_stream_lazily_with_upfront_count():
+    from tableextraction_spark.h264 import (
+        count_annexb_pictures,
+        iter_h264_annexb_frames,
+    )
+
+    frames = _frames(4, 32, 32, seed=2)
+    buf = encode_h264_annexb(frames)
+    assert count_annexb_pictures(buf) == 4  # header-only scan
+    it = iter_h264_annexb_frames(buf)
+    first = next(it)  # yields without materializing the rest
+    assert np.array_equal(first, frames[0])
+    assert sum(1 for _ in it) == 3
+
+
+def test_encode_mp4_h264_rejects_mixed_shapes():
+    from tableextraction_spark.mp4 import encode_mp4_h264
+
+    with pytest.raises(ValueError, match="one uint8"):
+        encode_mp4_h264([np.zeros((32, 48), np.uint8),
+                         np.zeros((16, 16), np.uint8)])
+    with pytest.raises(ValueError, match="≥1 frame"):
+        encode_mp4_h264([])
+
+
+def test_router_accepts_aud_and_low_ref_idc_streams():
+    """Conformant streams may open with an access-unit delimiter (NAL 9,
+    common ffmpeg output) or an SPS with nal_ref_idc=1 — the router must
+    sniff the start code + NAL header, not one literal byte (r5 review
+    finding 6)."""
+    from tableextraction_spark.multimodal import iter_video_frames
+
+    frames = _frames(2, 16, 16, seed=7)
+    base = encode_h264_annexb(frames)
+    sc = b"\x00\x00\x00\x01"
+    aud = sc + bytes([0x09, 0xF0])  # AUD, primary_pic_type I
+    got = [f for _i, _n, f in iter_video_frames(aud + base)]
+    assert len(got) == 2 and np.array_equal(got[0], frames[0])
+    # SPS with ref_idc 1 (header byte 0x27), 3-byte start code form
+    swapped = b"\x00\x00\x01" + bytes([0x27]) + base[5:]
+    got2 = [f for _i, _n, f in iter_video_frames(swapped)]
+    assert len(got2) == 2
+
+
+def test_multi_entry_stsd_bounds_first_entry():
+    """_stsd_entry must size the FIRST sample entry from its own u32
+    size field, not span the whole stsd (r5 review finding 1)."""
+    from tableextraction_spark.mp4 import _box, _fbox, _stsd_entry, _U32B
+
+    entry1 = _box(b"jpeg", b"A" * 20)
+    entry2 = _box(b"avc1", b"B" * 30)
+    stsd = _fbox(b"stsd", 0, 0, _U32B.pack(2) + entry1 + entry2)
+    buf = _box(b"stbl", stsd)
+    fourcc, body_start, body_end = _stsd_entry(buf, (8, len(buf)))
+    assert fourcc == b"jpeg"
+    # the body must end exactly at entry1's boundary — entry2 excluded
+    assert buf[body_start:body_end] == b"A" * 20
