@@ -57,14 +57,78 @@ def _crc8(data: bytes) -> int:
     return crc
 
 
-def _crc16(data: bytes) -> int:
-    """CRC-16, poly 0x8005, init 0 — the whole-frame CRC."""
+def _crc16_ref(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 — literal bitwise reference; the
+    production ``_crc16`` below is property-tested against this."""
     crc = 0
     for b in data:
         crc ^= b << 8
         for _ in range(8):
             crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
     return crc
+
+
+_CRC16_POLY = 0x8005
+_W16: np.ndarray | None = None  # _W16[d] = x^(8d+16) mod p, grows 2×
+
+
+def _crc16_shift1(a: np.ndarray) -> np.ndarray:
+    """Multiply each element (a 16-bit GF(2) polynomial) by x, mod p."""
+    return (
+        ((a.astype(np.uint32) << 1) & 0xFFFF)
+        ^ ((a >> 15).astype(np.uint32) * _CRC16_POLY)
+    ).astype(np.uint16)
+
+
+def _crc16_w(n: int) -> np.ndarray:
+    """x^(8d+16) mod p for d = 0..n-1, cached and grown by doubling:
+    the second half is x^(8k)·(first half), applied as one table-driven
+    GF(2) linear map over the whole cached array."""
+    global _W16
+    if _W16 is None:
+        seeds = []
+        cur = _CRC16_POLY  # x^16 mod p (p is degree 16 with those taps)
+        for _ in range(4):
+            seeds.append(cur)
+            for _ in range(8):  # ×x^8
+                cur = ((cur << 1) & 0xFFFF) ^ ((cur >> 15) * _CRC16_POLY)
+        _W16 = np.array(seeds, dtype=np.uint16)
+    while len(_W16) < n:
+        k = len(_W16)
+        basis = np.empty(16, np.uint16)
+        cur = int(_W16[k - 2])  # x^(8(k-2)+16) = x^(8k) mod p
+        for i in range(16):
+            basis[i] = cur
+            cur = ((cur << 1) & 0xFFFF) ^ ((cur >> 15) * _CRC16_POLY)
+        v = np.arange(256)
+        tlo = np.zeros(256, np.uint16)
+        thi = np.zeros(256, np.uint16)
+        for j in range(8):
+            bit = ((v >> j) & 1).astype(np.uint16)
+            tlo ^= bit * basis[j]
+            thi ^= bit * basis[8 + j]
+        _W16 = np.concatenate([_W16, tlo[_W16 & 0xFF] ^ thi[_W16 >> 8]])
+    return _W16[:n]
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 — the whole-frame CRC.
+
+    Vectorized via GF(2) linearity: CRC(M) = Σ_i b_i(x)·x^(8·d_i+16)
+    mod p with d_i the byte's distance from the end, so the per-distance
+    factors come from the cached doubling table and the eight bit planes
+    of the frame fold in as numpy XORs (~8 passes, no per-byte Python)."""
+    n = len(data)
+    if n == 0:
+        return 0
+    b = np.frombuffer(bytes(data), np.uint8)
+    cur = _crc16_w(n)[:n][::-1].copy()
+    acc = np.zeros(n, np.uint16)
+    for j in range(8):
+        acc ^= ((b >> j) & 1).astype(np.uint16) * cur
+        if j < 7:
+            cur = _crc16_shift1(cur)
+    return int(np.bitwise_xor.reduce(acc))
 
 
 class _Bits:
@@ -119,6 +183,96 @@ class _Bits:
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
+
+    # ---------------------------------------------- vectorized bulk reads
+
+    def _unpack(self, lo: int, hi: int) -> tuple[np.ndarray, int]:
+        """uint8 0/1 array covering bit span [lo, hi), byte-aligned
+        outward → (bits, base_bit).  Spans are partition-local, so the
+        total unpack cost across a frame is O(frame bits)."""
+        b0 = lo >> 3
+        b1 = min((hi + 7) >> 3, len(self.buf))
+        arr = np.unpackbits(
+            np.frombuffer(self.buf, np.uint8, count=b1 - b0, offset=b0)
+        )
+        return arr, b0 * 8
+
+    def read_bulk(self, n: int, width: int) -> np.ndarray:
+        """n fixed-width unsigned reads as one int64 vector (the
+        VERBATIM / escape-partition shape)."""
+        if n == 0 or width == 0:
+            return np.zeros(n, np.int64)
+        end = self.pos + n * width
+        if end > self.nbits:
+            raise ValueError("FLAC: bitstream truncated")
+        arr, base = self._unpack(self.pos, end)
+        seg = arr[self.pos - base : end - base].reshape(n, width)
+        pw = 1 << np.arange(width - 1, -1, -1, dtype=np.int64)
+        self.pos = end
+        return seg.astype(np.int64) @ pw
+
+    def read_signed_bulk(self, n: int, width: int) -> np.ndarray:
+        v = self.read_bulk(n, width)
+        if width:
+            v = np.where(v >> (width - 1), v - (1 << width), v)
+        return v
+
+    def rice_bulk(self, nsamp: int, k: int) -> np.ndarray:
+        """Decode nsamp Rice(k) codes vectorized, zigzag → signed int64.
+
+        Terminator 1-bits are selected from the ones-position array by a
+        jump-pointer doubling scan: each symbol's terminator is the first
+        1-bit ≥ (previous terminator + 1 + k), so the per-index successor
+        map g = searchsorted(ones, ones + 1 + k) is computed once and the
+        orbit of length nsamp extracted by repeated composition — O(n log
+        n) numpy gathers, no per-symbol Python.  Quotients fall out as
+        position differences; the k remainder bits gather as one (n, k)
+        matrix.  The first nsamp terminators sit within the first
+        nsamp·(k+1)+1 ones after start (each code consumes ≤ k+1 one-
+        bits), which bounds the window; the bit REGION grows adaptively
+        because zero runs (quotients) are unbounded."""
+        if nsamp == 0:
+            return np.zeros(0, np.int64)
+        start = self.pos
+        # mean quotient for a well-chosen param is ~0.5-1 bit, so k+3
+        # bits/sample avoids the grow-retry on typical content
+        guess = nsamp * (k + 3) + 128
+        while True:
+            hi = min(start + guess, self.nbits)
+            arr, base = self._unpack(start, hi)
+            ones = np.flatnonzero(arr[start - base : hi - base]).astype(
+                np.int64
+            ) + start
+            nw = min(len(ones), nsamp * (k + 1) + 1)
+            window = ones[:nw]
+            # successor map over window indices, sentinel nw absorbing
+            g = np.empty(nw + 1, np.int64)
+            g[:nw] = np.searchsorted(window, window + 1 + k)
+            g[nw] = nw
+            seq = np.zeros(1, np.int64)
+            comp = g
+            while len(seq) < nsamp:
+                seq = np.concatenate([seq, comp[seq]])[:nsamp]
+                comp = comp[comp]
+            ok = nw > 0 and seq[-1] < nw
+            end_pos = int(window[seq[-1]]) + 1 + k if ok else hi + 1
+            if ok and end_pos <= hi:
+                break
+            if hi >= self.nbits:
+                raise ValueError("FLAC: unary run past end of stream")
+            guess *= 4  # region too small (long zero runs) — grow
+        term = window[seq]
+        starts = np.empty(nsamp, np.int64)
+        starts[0] = start
+        starts[1:] = term[:-1] + 1 + k
+        v = term - starts
+        if k:
+            pos_mat = term[:, None] + 1 + np.arange(k)
+            pw = 1 << np.arange(k - 1, -1, -1, dtype=np.int64)
+            rem = arr[pos_mat - base].astype(np.int64) @ pw
+            v = (v << k) | rem
+        self.pos = end_pos
+        return (v >> 1) ^ -(v & 1)
 
 
 def _read_utf8_number(bits: _Bits) -> int:
@@ -175,8 +329,8 @@ def parse_streaminfo(buf: bytes) -> dict:
     return info
 
 
-def _decode_residual(bits: _Bits, block: int, order: int) -> list[int]:
-    """Partitioned Rice residual (RESIDUAL_CODING_METHOD 0/1)."""
+def _decode_residual(bits: _Bits, block: int, order: int) -> np.ndarray:
+    """Partitioned Rice residual (RESIDUAL_CODING_METHOD 0/1) → int64."""
     method = bits.read(2)
     if method > 1:
         raise ValueError(f"FLAC: reserved residual method {method}")
@@ -186,7 +340,7 @@ def _decode_residual(bits: _Bits, block: int, order: int) -> list[int]:
     nparts = 1 << porder
     if block % nparts:
         raise ValueError("FLAC: partition order does not divide block size")
-    out: list[int] = []
+    parts: list[np.ndarray] = []
     for p in range(nparts):
         nsamp = (block >> porder) - (order if p == 0 else 0)
         if nsamp < 0:
@@ -194,14 +348,12 @@ def _decode_residual(bits: _Bits, block: int, order: int) -> list[int]:
         param = bits.read(plen)
         if param == escape:
             nbits = bits.read(5)
-            for _ in range(nsamp):
-                out.append(bits.read_signed(nbits) if nbits else 0)
-            continue
-        for _ in range(nsamp):
-            q = bits.unary()
-            v = (q << param) | bits.read(param)
-            out.append((v >> 1) ^ -(v & 1))  # zigzag → signed
-    return out
+            parts.append(bits.read_signed_bulk(nsamp, nbits))
+        else:
+            parts.append(bits.rice_bulk(nsamp, param))
+    return (
+        np.concatenate(parts) if parts else np.zeros(0, np.int64)
+    )
 
 
 def _decode_subframe(bits: _Bits, block: int, bps: int) -> np.ndarray:
@@ -216,19 +368,20 @@ def _decode_subframe(bits: _Bits, block: int, bps: int) -> np.ndarray:
         v = bits.read_signed(bps)
         samples = np.full(block, v, dtype=np.int64)
     elif stype == 1:  # VERBATIM
-        samples = np.array(
-            [bits.read_signed(bps) for _ in range(block)], dtype=np.int64
-        )
+        samples = bits.read_signed_bulk(block, bps)
     elif 8 <= stype <= 12:  # FIXED order 0-4
         order = stype - 8
-        warm = [bits.read_signed(bps) for _ in range(order)]
+        warm = np.array(
+            [bits.read_signed(bps) for _ in range(order)], dtype=np.int64
+        )
         resid = _decode_residual(bits, block, order)
-        coefs = _FIXED_COEFS[order]
-        s = list(warm)
-        for r in resid:
-            pred = sum(c * s[-1 - k] for k, c in enumerate(coefs)) if order else 0
-            s.append(pred + r)
-        samples = np.array(s, dtype=np.int64)
+        # the FIXED(k) predictor makes the residual the k-th finite
+        # difference of the signal — reconstruction is k cumulative sums,
+        # each seeded by the (j-1)-th difference of the warm-up samples
+        cur = resid
+        for j in range(order, 0, -1):
+            cur = np.diff(warm, j - 1)[-1] + np.cumsum(cur)
+        samples = np.concatenate([warm, cur]) if order else cur
     elif stype >= 32:  # LPC order 1-32
         order = stype - 31
         warm = [bits.read_signed(bps) for _ in range(order)]
@@ -239,7 +392,7 @@ def _decode_subframe(bits: _Bits, block: int, bps: int) -> np.ndarray:
         if shift < 0:
             raise ValueError("FLAC: negative LPC shift")
         coefs = [bits.read_signed(precision) for _ in range(order)]
-        resid = _decode_residual(bits, block, order)
+        resid = _decode_residual(bits, block, order).tolist()
         s = list(warm)
         for r in resid:
             pred = sum(c * s[-1 - k] for k, c in enumerate(coefs)) >> shift

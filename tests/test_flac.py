@@ -6,6 +6,8 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from tableextraction_spark import multimodal as mm
 from tableextraction_spark.flac import (
@@ -151,3 +153,68 @@ def test_reserved_bps_code_raises_not_guesses():
     payload[start + 3] = (payload[start + 3] & 0xF1) | (3 << 1)
     with pytest.raises(ValueError, match="reserved bps code 3"):
         decode_flac(bytes(payload))
+
+
+@given(st.binary(max_size=300))
+def test_crc16_vectorized_matches_reference(data):
+    """The GF(2)-linear vectorized CRC-16 must equal the literal bitwise
+    reference on arbitrary bytes (both poly 0x8005, init 0)."""
+    from tableextraction_spark.flac import _crc16, _crc16_ref
+
+    assert _crc16(data) == _crc16_ref(data)
+
+
+@given(
+    st.lists(st.integers(-(1 << 12), 1 << 12), min_size=0, max_size=80),
+    st.integers(0, 14),
+)
+@settings(deadline=None)
+def test_rice_bulk_matches_scalar_reference(values, k):
+    """rice_bulk must bit-exactly invert a scalar Rice encoder for any
+    residual values and parameter (value/size bounds keep the TEST's own
+    per-bit encoder fast; the huge-quotient edge has its own case
+    below)."""
+    import numpy as np
+
+    from tableextraction_spark.flac import _Bits
+
+    bits = []
+    for v in values:
+        z = 2 * v if v >= 0 else -2 * v - 1  # zigzag
+        q, r = z >> k, z & ((1 << k) - 1)
+        bits.extend([0] * q + [1])
+        bits.extend((r >> (k - 1 - j)) & 1 for j in range(k))
+    bits.extend([1] * 7)  # trailing padding ones (must not be consumed)
+    buf = bytes(
+        int("".join(map(str, bits[i : i + 8])).ljust(8, "0"), 2)
+        for i in range(0, len(bits), 8)
+    )
+    r = _Bits(buf)
+    got = r.rice_bulk(len(values), k)
+    assert got.tolist() == values
+    # reader must stop exactly after the last code
+    total = sum((2 * v if v >= 0 else -2 * v - 1) >> k for v in values) + len(
+        values
+    ) * (1 + k)
+    assert r.pos == total
+
+
+def test_rice_bulk_truncated_raises():
+    from tableextraction_spark.flac import _Bits
+
+    with pytest.raises(ValueError, match="unary"):
+        _Bits(b"\x00\x00").rice_bulk(1, 0)  # all zeros, no terminator
+
+
+def test_rice_bulk_huge_quotient_and_region_growth():
+    """A quotient far beyond the initial region guess (k=0, value 2^17 →
+    262k zero bits) must decode exactly via the grow-retry path."""
+    from tableextraction_spark.flac import _Bits
+
+    v = 131072  # zigzag 262144
+    q = 2 * v
+    nbytes, rem = divmod(q, 8)
+    buf = bytes(nbytes) + bytes([1 << (7 - rem)]) + b"\xff"
+    r = _Bits(buf)
+    assert r.rice_bulk(1, 0).tolist() == [v]
+    assert r.pos == q + 1
