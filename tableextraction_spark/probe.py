@@ -113,6 +113,14 @@ def probe_bytes(payload: bytes) -> dict:
                 out["n_frames"] = len(_frame_ranges(full)[0])
             except (ValueError, NotImplementedError):
                 pass  # audio-only or truncated: keep the header-only fields
+        elif buf[:3] == b"\x00\x00\x01" or buf[:4] == b"\x00\x00\x00\x01":
+            from .h264 import looks_like_annexb
+
+            if looks_like_annexb(full):
+                out.update(format="h264", kind="video")
+                out.update(_probe_h264_annexb(full))
+            else:
+                out.update(format="unknown", kind="unknown")
         elif buf[:4] == b"OggS":
             out.update(format="ogg", kind="audio")
             out.update(_probe_ogg(full))
@@ -249,6 +257,32 @@ def _probe_avi(buf: bytes) -> dict:
         "width": w, "height": h, "n_frames": total,
         "duration_s": total * usec / 1e6, "codec": "mjpeg",
     }
+
+
+def _probe_h264_annexb(buf: bytes) -> dict:
+    """Raw Annex-B elementary stream: dims/profile from the first SPS,
+    picture count from the header-only slice scan — start-code finds plus
+    ≤8-byte peeks, no payload decode."""
+    from .h264 import (
+        count_annexb_pictures,
+        iter_annexb_nals,
+        parse_sps,
+    )
+
+    out: dict = {"codec": "h264"}
+    try:
+        for _ref, nal_type, rbsp in iter_annexb_nals(buf):
+            if nal_type == 7:
+                sps = parse_sps(rbsp)
+                out.update(
+                    width=sps["width"], height=sps["height"],
+                    codec=f"h264-profile{sps['profile']}",
+                )
+                break
+    except (ValueError, NotImplementedError):
+        pass  # no parsable SPS: keep codec=h264, dims 0
+    out["n_frames"] = count_annexb_pictures(buf)
+    return out
 
 
 def _probe_mp4(buf: bytes) -> dict:

@@ -398,3 +398,21 @@ def test_mkv_unknown_size_segment():
 def test_mkv_garbage_is_bounded():
     out = probe_bytes(b"\x1a\x45\xdf\xa3" + b"\x00" * 500)
     assert out["format"] in ("mkv/webm", "mkv", "webm")  # no hang, no raise
+
+
+def test_h264_annexb_probe():
+    """Raw Annex-B elementary streams probe header-only: dims/profile
+    from the SPS, picture count from the slice scan."""
+    import numpy as np
+
+    from tableextraction_spark.h264 import encode_h264_annexb
+
+    frames = [np.full((32, 48), 9 * (f + 1), np.uint8) for f in range(3)]
+    d = probe_bytes(encode_h264_annexb(frames))
+    assert (d["format"], d["kind"]) == ("h264", "video")
+    assert (d["width"], d["height"], d["n_frames"]) == (48, 32, 3)
+    assert d["codec"] == "h264-profile66"
+    # MPEG-PS shares the 00 00 01 prefix but its stream id has the high
+    # bit set — must stay unknown, not misprobe as h264
+    ps = b"\x00\x00\x01\xba" + bytes(32)
+    assert probe_bytes(ps)["format"] == "unknown"
