@@ -27,6 +27,7 @@ engine-side corpus capability (SURVEY §2 scope note), not a port.
 from __future__ import annotations
 
 import struct
+import threading
 
 import numpy as np
 
@@ -70,6 +71,7 @@ def _crc16_ref(data: bytes) -> int:
 
 _CRC16_POLY = 0x8005
 _W16: np.ndarray | None = None  # _W16[d] = x^(8d+16) mod p, grows 2×
+_W16_LOCK = threading.Lock()  # growth is read-modify-write on a global
 
 
 def _crc16_shift1(a: np.ndarray) -> np.ndarray:
@@ -85,30 +87,33 @@ def _crc16_w(n: int) -> np.ndarray:
     the second half is x^(8k)·(first half), applied as one table-driven
     GF(2) linear map over the whole cached array."""
     global _W16
-    if _W16 is None:
-        seeds = []
-        cur = _CRC16_POLY  # x^16 mod p (p is degree 16 with those taps)
-        for _ in range(4):
-            seeds.append(cur)
-            for _ in range(8):  # ×x^8
+    if _W16 is not None and len(_W16) >= n:
+        return _W16[:n]  # fast path: growth already done (append-only)
+    with _W16_LOCK:
+        if _W16 is None:
+            seeds = []
+            cur = _CRC16_POLY  # x^16 mod p (p is degree 16 with those taps)
+            for _ in range(4):
+                seeds.append(cur)
+                for _ in range(8):  # ×x^8
+                    cur = ((cur << 1) & 0xFFFF) ^ ((cur >> 15) * _CRC16_POLY)
+            _W16 = np.array(seeds, dtype=np.uint16)
+        while len(_W16) < n:
+            k = len(_W16)
+            basis = np.empty(16, np.uint16)
+            cur = int(_W16[k - 2])  # x^(8(k-2)+16) = x^(8k) mod p
+            for i in range(16):
+                basis[i] = cur
                 cur = ((cur << 1) & 0xFFFF) ^ ((cur >> 15) * _CRC16_POLY)
-        _W16 = np.array(seeds, dtype=np.uint16)
-    while len(_W16) < n:
-        k = len(_W16)
-        basis = np.empty(16, np.uint16)
-        cur = int(_W16[k - 2])  # x^(8(k-2)+16) = x^(8k) mod p
-        for i in range(16):
-            basis[i] = cur
-            cur = ((cur << 1) & 0xFFFF) ^ ((cur >> 15) * _CRC16_POLY)
-        v = np.arange(256)
-        tlo = np.zeros(256, np.uint16)
-        thi = np.zeros(256, np.uint16)
-        for j in range(8):
-            bit = ((v >> j) & 1).astype(np.uint16)
-            tlo ^= bit * basis[j]
-            thi ^= bit * basis[8 + j]
-        _W16 = np.concatenate([_W16, tlo[_W16 & 0xFF] ^ thi[_W16 >> 8]])
-    return _W16[:n]
+            v = np.arange(256)
+            tlo = np.zeros(256, np.uint16)
+            thi = np.zeros(256, np.uint16)
+            for j in range(8):
+                bit = ((v >> j) & 1).astype(np.uint16)
+                tlo ^= bit * basis[j]
+                thi ^= bit * basis[8 + j]
+            _W16 = np.concatenate([_W16, tlo[_W16 & 0xFF] ^ thi[_W16 >> 8]])
+        return _W16[:n]
 
 
 def _crc16(data: bytes) -> int:
@@ -122,7 +127,7 @@ def _crc16(data: bytes) -> int:
     if n == 0:
         return 0
     b = np.frombuffer(bytes(data), np.uint8)
-    cur = _crc16_w(n)[:n][::-1].copy()
+    cur = _crc16_w(n)[::-1].copy()
     acc = np.zeros(n, np.uint16)
     for j in range(8):
         acc ^= ((b >> j) & 1).astype(np.uint16) * cur
@@ -351,9 +356,7 @@ def _decode_residual(bits: _Bits, block: int, order: int) -> np.ndarray:
             parts.append(bits.read_signed_bulk(nsamp, nbits))
         else:
             parts.append(bits.rice_bulk(nsamp, param))
-    return (
-        np.concatenate(parts) if parts else np.zeros(0, np.int64)
-    )
+    return np.concatenate(parts)  # nparts = 1 << porder >= 1, never empty
 
 
 def _decode_subframe(bits: _Bits, block: int, bps: int) -> np.ndarray:

@@ -262,26 +262,38 @@ def _probe_avi(buf: bytes) -> dict:
 def _probe_h264_annexb(buf: bytes) -> dict:
     """Raw Annex-B elementary stream: dims/profile from the first SPS,
     picture count from the header-only slice scan — start-code finds plus
-    ≤8-byte peeks, no payload decode."""
-    from .h264 import (
-        count_annexb_pictures,
-        iter_annexb_nals,
-        parse_sps,
-    )
+    single-byte peeks; only the (small) SPS NAL's payload is sliced and
+    parsed, so mid-stream captures with megabyte slice NALs before the
+    first SPS stay O(header) bytes touched."""
+    from .h264 import count_annexb_pictures, parse_sps, strip_emulation_prevention
 
     out: dict = {"codec": "h264"}
     try:
-        for _ref, nal_type, rbsp in iter_annexb_nals(buf):
-            if nal_type == 7:
-                sps = parse_sps(rbsp)
+        pos = buf.find(b"\x00\x00\x01")
+        while pos >= 0:
+            start = pos + 3
+            nxt = buf.find(b"\x00\x00\x01", start)
+            if start < len(buf) and (buf[start] & 0x1F) == 7 and not (
+                buf[start] & 0x80
+            ):
+                end = nxt if nxt >= 0 else len(buf)
+                while end > start and buf[end - 1] == 0:
+                    end -= 1  # 4-byte start-code form of the NEXT nal
+                sps = parse_sps(
+                    strip_emulation_prevention(buf[start + 1 : end])
+                )
                 out.update(
                     width=sps["width"], height=sps["height"],
                     codec=f"h264-profile{sps['profile']}",
                 )
                 break
+            pos = nxt
     except (ValueError, NotImplementedError):
         pass  # no parsable SPS: keep codec=h264, dims 0
-    out["n_frames"] = count_annexb_pictures(buf)
+    try:
+        out["n_frames"] = count_annexb_pictures(buf)
+    except (ValueError, NotImplementedError):
+        pass  # truncated slice header mid-scan: keep the SPS fields
     return out
 
 

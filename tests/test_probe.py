@@ -416,3 +416,38 @@ def test_h264_annexb_probe():
     # bit set — must stay unknown, not misprobe as h264
     ps = b"\x00\x00\x01\xba" + bytes(32)
     assert probe_bytes(ps)["format"] == "unknown"
+
+
+def test_h264_probe_keeps_sps_fields_on_truncated_slice():
+    """A truncated final slice NAL must not discard the already-parsed
+    SPS dims (r5 review finding: the frame-count scan gets its own try,
+    like the MKV branch)."""
+    import numpy as np
+
+    from tableextraction_spark.h264 import encode_h264_annexb
+
+    frames = [np.full((32, 48), 60, np.uint8)]
+    stream = encode_h264_annexb(frames)
+    # append a slice NAL holding ONLY its header byte — the picture-count
+    # peek hits end-of-bits mid-Exp-Golomb
+    hostile = stream + b"\x00\x00\x00\x01\x65"
+    d = probe_bytes(hostile)
+    assert (d["format"], d["width"], d["height"]) == ("h264", 48, 32)
+    assert d["codec"] == "h264-profile66"
+
+
+def test_h264_probe_sps_after_slices_stays_header_only():
+    """Mid-stream-join shape: slice NALs BEFORE the first SPS.  The probe
+    must still find the SPS (without EP-stripping the big slice payloads
+    — the scan peeks one byte per NAL) and report dims."""
+    import numpy as np
+
+    from tableextraction_spark.h264 import encode_h264_annexb
+
+    frames = [np.full((16, 16), 7, np.uint8)]
+    stream = encode_h264_annexb(frames)
+    sc = b"\x00\x00\x00\x01"
+    pieces = stream.split(sc)[1:]  # [sps, pps, idr]
+    rejoined = sc + pieces[2] + sc + pieces[0] + sc + pieces[1] + sc + pieces[2]
+    d = probe_bytes(rejoined)
+    assert (d["format"], d["width"], d["height"]) == ("h264", 16, 16)
