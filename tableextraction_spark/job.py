@@ -41,7 +41,7 @@ def main(argv: list[str] | None = None) -> None:
 
     from .pipeline import run_to_parquet
     from .session import apply_engine_conf
-    from .sources import is_path, read_table
+    from .sources import NATIVE_ICEBERG_SCHEME, is_path, read_table
 
     apply_engine_conf(spark)
     docs = read_table(spark, args.docs)
@@ -49,8 +49,13 @@ def main(argv: list[str] | None = None) -> None:
     # catalog-table form (Iceberg) → JVM scan DataFrame.  Pass the session
     # so configured-catalog refs (hyphenated / nested-namespace) route the
     # same way --docs does through read_table.
+    # the python scan auto-detects a native-Iceberg layout on a plain
+    # path, so an explicit iceberg+file: blobs ref just sheds its scheme
+    blobs_ref = args.blobs
+    if blobs_ref.startswith(NATIVE_ICEBERG_SCHEME):
+        blobs_ref = blobs_ref[len(NATIVE_ICEBERG_SCHEME):]
     blobs = (
-        args.blobs if is_path(args.blobs, spark) else read_table(spark, args.blobs)
+        blobs_ref if is_path(blobs_ref, spark) else read_table(spark, blobs_ref)
     )
     run_to_parquet(
         spark,

@@ -11,10 +11,17 @@ reference form and degrades explicitly:
   partitioning, and commit-time atomicity then come from Iceberg itself;
   the engine's resume anti-join consumes whatever the catalog's committed
   snapshot shows.
-- anything with a ``/`` (or ``file:``/``s3:`` scheme) → parquet path:
-  ``spark.read.parquet`` / ``DataFrameWriter.parquet`` append.  The
-  fixture/bench path, and byte-identical in behavior to the catalog form
-  minus transactional commit.
+- ``iceberg+file:/path`` (or a plain path already holding a
+  ``metadata/v*.metadata.json`` layout) → the NATIVE Iceberg v2 path:
+  this repo's from-scratch writer commits each append as one atomic
+  snapshot (sources/iceberg_native.append_snapshot) and reads resolve
+  the current committed snapshot — transactional resume without the JVM
+  runtime.  This is how the spans/metrics sinks honor the north rule's
+  "resumes from the last committed snapshot" on a bare filesystem.
+- anything else with a ``/`` (or ``file:``/``s3:`` scheme) → parquet
+  path: ``spark.read.parquet`` / ``DataFrameWriter.parquet`` append.
+  The fixture/bench path, and byte-identical in behavior to the catalog
+  form minus transactional commit.
 
 ``iceberg_available`` is a classpath probe so deployments fail loud at
 startup, not mid-job (mirrors media.decode_page's explicit PDF stub).
@@ -64,9 +71,102 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+#: Explicit scheme for NATIVE Iceberg tables — committed and resolved by
+#: this repo's from-scratch v2 reader/writer (sources/iceberg_native.py),
+#: no JVM Iceberg runtime needed.  ``iceberg+file:/path/to/table``.
+NATIVE_ICEBERG_SCHEME = "iceberg+file:"
+
+
+def _native_dir(ref: str) -> str:
+    return ref[len(NATIVE_ICEBERG_SCHEME):]
+
+
+def _is_native_iceberg(ref: str) -> bool:
+    """The explicit scheme, or a plain path that already holds a native
+    table layout (metadata/v*.metadata.json) — so resume reads route to
+    the snapshot view without the caller repeating the scheme."""
+    if ref.startswith(NATIVE_ICEBERG_SCHEME):
+        return True
+    import glob
+    import os
+
+    return bool(glob.glob(os.path.join(ref, "metadata", "v*.metadata.json")))
+
+
+def read_native_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Current committed snapshot of a native table as a DataFrame: the
+    live data-file list from the metadata walk → one parquet scan.
+    Snapshots with row-level deletes refuse loudly (read_table_files) —
+    the append-only sinks never write them."""
+    import os
+
+    from .iceberg_native import read_table_files, table_schema
+
+    if not os.path.isdir(os.path.join(table_dir, "metadata")):
+        raise ValueError(f"PATH_NOT_FOUND: no native Iceberg table at "
+                         f"{table_dir}")
+    files = read_table_files(table_dir)
+    if files:
+        return spark.read.parquet(*[f["path"] for f in files])
+    # empty table: reconstruct the recorded schema so downstream joins
+    # (e.g. the resume anti-join) see the right columns
+    fields = table_schema(table_dir) or []
+    if not fields:
+        raise ValueError(
+            f"native Iceberg table at {table_dir} is empty and records no "
+            "schema — cannot build a typed empty DataFrame"
+        )
+    from .iceberg_native import spark_ddl_for
+
+    return spark.createDataFrame([], spark_ddl_for(fields))
+
+
+def write_native_iceberg(df: DataFrame, table_dir: str) -> int:
+    """Append ``df`` to a native table as ONE transactional snapshot:
+    Spark writes parquet into a fresh per-commit directory under data/,
+    per-file stats are harvested from the parquet footers, and the
+    snapshot commit (append_snapshot) makes the files visible atomically.
+    A crash before the commit leaves only unreferenced files — readers
+    still see the previous snapshot.  Returns the snapshot id."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from .iceberg_native import (
+        append_snapshot,
+        iceberg_fields_for,
+        table_schema,
+    )
+
+    stage = os.path.join(table_dir, "data", f"commit-{uuid.uuid4().hex}")
+    df.write.parquet(stage)
+    files = []
+    for name in sorted(os.listdir(stage)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(stage, name)
+        files.append(
+            (p, pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
+        )
+    existing = None
+    try:
+        existing = table_schema(table_dir)
+    except FileNotFoundError:
+        pass  # first commit
+    fields = iceberg_fields_for(df.schema, existing)
+    return append_snapshot(table_dir, files, fields)
+
+
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
-    """Load a table by catalog name (Iceberg et al.) or parquet path."""
+    """Load a table by catalog name (Iceberg et al.), native-Iceberg
+    table dir (``iceberg+file:`` or auto-detected layout), or parquet
+    path."""
+    if ref.startswith(NATIVE_ICEBERG_SCHEME):
+        return read_native_iceberg(spark, _native_dir(ref))
     if is_path(ref, spark):
+        if _is_native_iceberg(ref):
+            return read_native_iceberg(spark, ref)
         return spark.read.parquet(ref)
     return spark.table(ref)
 
@@ -80,7 +180,13 @@ def write_table(df: DataFrame, ref: str) -> None:
     the FIRST run of a job against a fresh table name succeed instead of
     dying at the final write after hours of extraction compute.
     """
+    if ref.startswith(NATIVE_ICEBERG_SCHEME):
+        write_native_iceberg(df, _native_dir(ref))
+        return
     if is_path(ref, df.sparkSession):
+        if _is_native_iceberg(ref):
+            write_native_iceberg(df, ref)
+            return
         df.write.mode("append").parquet(ref)
         return
     try:

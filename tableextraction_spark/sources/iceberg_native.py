@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 
 from .avro import read_container, write_container
 
@@ -718,7 +719,288 @@ def write_table(
         "partition-specs": [{"spec-id": 0, "fields": partition_spec or []}],
         "default-spec-id": 0,
     }
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+    _commit_metadata(meta_dir, version, meta)
+
+
+def _commit_metadata(meta_dir: str, version: int, meta: dict) -> None:
+    """Make a new table version visible atomically: the metadata JSON and
+    the version hint are each written to a temp name and os.replace'd
+    (atomic on POSIX).  A crash between the two leaves a fully-written
+    v<N>.metadata.json that ``_latest_metadata``'s highest-version
+    fallback already resolves — never a torn file."""
+    mpath = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+    os.replace(tmp, mpath)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    tmp = hint + ".tmp"
+    with open(tmp, "w") as f:
         f.write(str(version))
+    os.replace(tmp, hint)
+
+
+#: Spark simpleString → Iceberg primitive type (append_snapshot schemas).
+_SPARK_TO_ICEBERG = {
+    "bigint": "long", "int": "int", "smallint": "int", "tinyint": "int",
+    "string": "string", "double": "double", "float": "float",
+    "boolean": "boolean", "binary": "binary", "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp", "date": "date",
+}
+
+
+def _all_ids(type_or_fields) -> list[int]:
+    """Every field/element/key/value id in an Iceberg schema fragment —
+    the uniqueness domain new ids must clear."""
+    out: list[int] = []
+    if isinstance(type_or_fields, list):
+        for f in type_or_fields:
+            out.append(f["id"])
+            out.extend(_all_ids(f.get("type")))
+    elif isinstance(type_or_fields, dict):
+        t = type_or_fields.get("type")
+        if t == "struct":
+            out.extend(_all_ids(type_or_fields.get("fields", [])))
+        elif t == "list":
+            out.append(type_or_fields["element-id"])
+            out.extend(_all_ids(type_or_fields.get("element")))
+        elif t == "map":
+            out.append(type_or_fields["key-id"])
+            out.append(type_or_fields["value-id"])
+            out.extend(_all_ids(type_or_fields.get("key")))
+            out.extend(_all_ids(type_or_fields.get("value")))
+    return out
+
+
+def iceberg_fields_for(spark_schema, existing: list[dict] | None) -> list[dict]:
+    """Spark StructType → Iceberg schema fields with STABLE field ids:
+    names already in ``existing`` keep their id (a field's identity in
+    Iceberg), new names get fresh ids above the current maximum —
+    recursively, so nested struct fields and list elements (the spans
+    table's ``array<struct<…>>`` shape) keep their ids across appends
+    per the spec's schema-evolution rules."""
+    import pyspark.sql.types as T
+
+    next_id = [max(_all_ids(existing or []), default=0) + 1]
+
+    def alloc() -> int:
+        fid = next_id[0]
+        next_id[0] += 1
+        return fid
+
+    def conv(dt, prev):
+        """Spark DataType + matching previous Iceberg type (or None) →
+        Iceberg type JSON, reusing previous nested ids by name/slot."""
+        if isinstance(dt, T.StructType):
+            prev_fields = (
+                {f["name"]: f for f in prev.get("fields", [])}
+                if isinstance(prev, dict) and prev.get("type") == "struct"
+                else {}
+            )
+            fields = []
+            for sub in dt.fields:
+                pf = prev_fields.get(sub.name)
+                fields.append(
+                    {
+                        "id": pf["id"] if pf else alloc(),
+                        "name": sub.name,
+                        "required": False,
+                        "type": conv(sub.dataType, pf and pf.get("type")),
+                    }
+                )
+            return {"type": "struct", "fields": fields}
+        if isinstance(dt, T.ArrayType):
+            is_prev = isinstance(prev, dict) and prev.get("type") == "list"
+            return {
+                "type": "list",
+                "element-id": prev["element-id"] if is_prev else alloc(),
+                "element": conv(
+                    dt.elementType, prev.get("element") if is_prev else None
+                ),
+                "element-required": False,
+            }
+        if isinstance(dt, T.MapType):
+            is_prev = isinstance(prev, dict) and prev.get("type") == "map"
+            return {
+                "type": "map",
+                "key-id": prev["key-id"] if is_prev else alloc(),
+                "key": conv(dt.keyType, prev.get("key") if is_prev else None),
+                "value-id": prev["value-id"] if is_prev else alloc(),
+                "value": conv(
+                    dt.valueType, prev.get("value") if is_prev else None
+                ),
+                "value-required": False,
+            }
+        simple = dt.simpleString()
+        typ = _SPARK_TO_ICEBERG.get(simple)
+        if typ is None and simple.startswith("decimal("):
+            typ = simple  # decimal(p, s) spells the same in both
+        if typ is None:
+            raise NotImplementedError(
+                f"iceberg-native append: Spark type {simple!r} has no "
+                "Iceberg mapping"
+            )
+        return typ
+
+    by_name = {f["name"]: f for f in existing} if existing else {}
+    out = []
+    for field in spark_schema.fields:
+        prev = by_name.get(field.name)
+        out.append(
+            {
+                "id": prev["id"] if prev else alloc(),
+                "name": field.name,
+                "required": False,
+                "type": conv(field.dataType, prev and prev.get("type")),
+            }
+        )
+    return out
+
+
+def spark_ddl_for(fields: list[dict]) -> str:
+    """Iceberg schema fields → a Spark DDL string (empty-table reads)."""
+
+    def one(t) -> str:
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                inner = ", ".join(
+                    f"{f['name']}: {one(f['type'])}" for f in t["fields"]
+                )
+                return f"struct<{inner}>"
+            if kind == "list":
+                return f"array<{one(t['element'])}>"
+            if kind == "map":
+                return f"map<{one(t['key'])}, {one(t['value'])}>"
+            raise ValueError(f"unknown Iceberg type {t!r}")
+        return _ICEBERG_TO_SPARK_DDL.get(t, t)
+
+    return ", ".join(f"{f['name']} {one(f['type'])}" for f in fields)
+
+
+_ICEBERG_TO_SPARK_DDL = {
+    "long": "bigint", "int": "int", "string": "string", "double": "double",
+    "float": "float", "boolean": "boolean", "binary": "binary",
+    "timestamptz": "timestamp", "timestamp": "timestamp_ntz",
+    "date": "date",
+}
+
+
+def append_snapshot(
+    table_dir: str,
+    data_files: list[tuple],
+    schema_fields: list[dict] | None = None,
+) -> int:
+    """Commit one APPEND snapshot to a (possibly fresh) native table.
+
+    Unlike :func:`write_table` (the fixture author, whose snapshot lists
+    only the manifests it builds), this is the production append shape:
+    the new manifest-list carries the PREVIOUS snapshot's manifests
+    forward untouched plus one new manifest for ``data_files``
+    ``[(path, record_count, file_size_in_bytes)]`` — so the committed
+    snapshot is cumulative, earlier snapshots stay readable (time
+    travel), and the commit point is the atomic metadata/hint rename
+    (:func:`_commit_metadata`).  A crash before the commit leaves only
+    unreferenced data files — invisible to readers, per Iceberg
+    semantics.  Returns the new snapshot id."""
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    prev_meta: dict = {}
+    prev_manifests: list[dict] = []
+    version = 1
+    try:
+        prev_path = _latest_metadata(table_dir)
+        with open(prev_path) as f:
+            prev_meta = json.load(f)
+        version = int(re.search(r"v(\d+)\.metadata", prev_path).group(1)) + 1
+        cur = prev_meta.get("current-snapshot-id")
+        snaps = {s["snapshot-id"]: s for s in prev_meta.get("snapshots", [])}
+        if cur in snaps:
+            with open(_local(snaps[cur]["manifest-list"]), "rb") as f:
+                _, prev_manifests = read_container(f.read())
+    except FileNotFoundError:
+        pass  # fresh table: first commit creates it
+    snapshot_id = int(prev_meta.get("last-sequence-number", 0)) + 1
+    if schema_fields is None:
+        schema_fields = (_current_schema(prev_meta) if prev_meta else None) or []
+    entry_schema = _manifest_entry_schema(None)
+    manifests = list(prev_manifests)
+    if data_files:
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherited from the manifest
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.abspath(p),
+                    "file_format": "PARQUET",
+                    "record_count": int(rc),
+                    "file_size_in_bytes": int(sz),
+                    "equality_ids": None,
+                },
+            }
+            for p, rc, sz in data_files
+        ]
+        buf = write_container(entry_schema, entries)
+        mpath = os.path.join(meta_dir, f"snap{snapshot_id}-append-m0.avro")
+        with open(mpath, "wb") as f:
+            f.write(buf)
+        manifests.append(
+            {
+                "manifest_path": os.path.abspath(mpath),
+                "manifest_length": len(buf),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": snapshot_id,
+                "min_sequence_number": snapshot_id,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(data_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(int(rc) for _p, rc, _sz in data_files),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1-append.avro")
+    with open(ml_path, "wb") as f:
+        f.write(write_container(_MANIFEST_FILE_SCHEMA, manifests))
+    meta = {
+        "format-version": 2,
+        "table-uuid": prev_meta.get(
+            "table-uuid", "00000000-0000-0000-0000-000000000000"
+        ),
+        "location": os.path.abspath(table_dir),
+        "last-sequence-number": snapshot_id,
+        "current-snapshot-id": snapshot_id,
+        "snapshots": prev_meta.get("snapshots", [])
+        + [
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": snapshot_id,
+                "timestamp-ms": int(time.time() * 1000),
+                "manifest-list": os.path.abspath(ml_path),
+                "summary": {"operation": "append"},
+            }
+        ],
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": schema_fields}
+        ],
+        "current-schema-id": 0,
+        "partition-specs": prev_meta.get(
+            "partition-specs", [{"spec-id": 0, "fields": []}]
+        ),
+        "default-spec-id": prev_meta.get("default-spec-id", 0),
+    }
+    _commit_metadata(meta_dir, version, meta)
+    return snapshot_id
+
+
+def _current_schema(meta: dict) -> list[dict] | None:
+    cur = meta.get("current-schema-id", 0)
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id", 0) == cur:
+            return s.get("fields") or None
+    return None

@@ -1,0 +1,237 @@
+"""Native Iceberg v2 APPEND path (sources/iceberg_native.append_snapshot +
+catalog routing): cumulative snapshot commits, atomic visibility (a crash
+before the commit leaves only unreferenced files), time travel, field-id
+stability across appends, and the resume loop through run_to_parquet —
+all without a JVM Iceberg runtime, per the catalog module contract.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tableextraction_spark.sources.catalog import (
+    NATIVE_ICEBERG_SCHEME,
+    read_native_iceberg,
+    read_table,
+    write_native_iceberg,
+    write_table,
+)
+from tableextraction_spark.sources.iceberg_native import (
+    append_snapshot,
+    iceberg_fields_for,
+    read_table_files,
+    read_table_snapshot,
+    snapshot_ids,
+    table_schema,
+)
+
+
+def _pq(path, ids):
+    pq.write_table(pa.table({"id": ids, "v": [i * 10 for i in ids]}), path)
+    return path, len(ids), os.path.getsize(path)
+
+
+FIELDS = [
+    {"id": 1, "name": "id", "required": False, "type": "long"},
+    {"id": 2, "name": "v", "required": False, "type": "long"},
+]
+
+
+# ------------------------------------------------ metadata layer (no Spark)
+
+def test_append_snapshot_is_cumulative_with_time_travel(tmp_path):
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "data"))
+    f1 = _pq(os.path.join(t, "data", "a.parquet"), [1, 2, 3])
+    s1 = append_snapshot(t, [f1], FIELDS)
+    f2 = _pq(os.path.join(t, "data", "b.parquet"), [4, 5])
+    s2 = append_snapshot(t, [f2], FIELDS)
+    assert (s1, s2) == (1, 2)
+    assert snapshot_ids(t) == [1, 2]
+    # current snapshot sees BOTH files (the manifest carry-forward)
+    files = read_table_files(t)
+    assert sorted(os.path.basename(f["path"]) for f in files) == [
+        "a.parquet", "b.parquet"
+    ]
+    assert sum(f["record_count"] for f in files) == 5
+    # time travel: snapshot 1 sees only the first commit
+    old = read_table_snapshot(t, snapshot_id=1)["data_files"]
+    assert [os.path.basename(f["path"]) for f in old] == ["a.parquet"]
+
+
+def test_append_over_fixture_written_table(tmp_path):
+    """append_snapshot composes with the fixture author write_table —
+    the carried-forward manifests are reused untouched."""
+    from tableextraction_spark.sources.iceberg_native import write_table as wt
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "data"))
+    f1 = _pq(os.path.join(t, "data", "a.parquet"), [1, 2])
+    wt(t, [f1[:3]], snapshot_id=1, schema_fields=FIELDS)
+    f2 = _pq(os.path.join(t, "data", "b.parquet"), [3])
+    append_snapshot(t, [f2])
+    files = read_table_files(t)
+    assert sorted(os.path.basename(f["path"]) for f in files) == [
+        "a.parquet", "b.parquet"
+    ]
+    assert table_schema(t) == FIELDS  # schema carried when not passed
+
+
+def test_uncommitted_files_stay_invisible(tmp_path):
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "data"))
+    f1 = _pq(os.path.join(t, "data", "a.parquet"), [1])
+    append_snapshot(t, [f1], FIELDS)
+    # a crash mid-append: data written, NO commit
+    _pq(os.path.join(t, "data", "orphan.parquet"), [9, 9, 9])
+    files = read_table_files(t)
+    assert [os.path.basename(f["path"]) for f in files] == ["a.parquet"]
+    # and the hint file is never torn: only whole-file renames happen
+    assert open(os.path.join(t, "metadata", "version-hint.text")).read() == "1"
+
+
+def test_field_ids_stable_and_new_columns_get_fresh_ids():
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    fields = iceberg_fields_for(schema, FIELDS)
+    assert [(f["id"], f["name"]) for f in fields] == [(1, "id"), (2, "v")]
+    wider = T.StructType(
+        schema.fields + [T.StructField("extra", T.StringType())]
+    )
+    fields2 = iceberg_fields_for(wider, FIELDS)
+    assert [(f["id"], f["name"]) for f in fields2] == [
+        (1, "id"), (2, "v"), (3, "extra")
+    ]
+    assert fields2[2]["type"] == "string"
+
+
+def test_nested_spans_shape_gets_recursive_stable_ids():
+    """array<struct<…>> — the spans table's own shape — maps to Iceberg
+    list/struct JSON with unique ids, and a second conversion against the
+    first keeps EVERY nested id stable."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField(
+                "spans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("kind", T.StringType()),
+                            T.StructField("offset", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    from tableextraction_spark.sources.iceberg_native import (
+        _all_ids,
+        spark_ddl_for,
+    )
+
+    f1 = iceberg_fields_for(schema, None)
+    ids = _all_ids(f1)
+    assert len(ids) == len(set(ids)) == 5  # doc_id, spans, element, 2 subs
+    f2 = iceberg_fields_for(schema, f1)
+    assert f2 == f1  # every id, nested included, is stable
+    assert spark_ddl_for(f1) == (
+        "doc_id string, spans array<struct<kind: string, offset: int>>"
+    )
+
+
+def test_unmappable_type_refuses_loudly():
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("a", T.CalendarIntervalType())])
+    with pytest.raises(NotImplementedError, match="no Iceberg mapping"):
+        iceberg_fields_for(schema, None)
+
+
+# --------------------------------------------------- Spark catalog routing
+
+def test_spark_write_read_roundtrip_and_autodetect(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    ref = NATIVE_ICEBERG_SCHEME + t
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    write_table(df, ref)
+    write_table(spark.range(5, 8).selectExpr("id", "id * 2 AS v"), ref)
+    got = read_table(spark, ref)
+    assert got.count() == 8
+    assert {r.id for r in got.collect()} == set(range(8))
+    # a PLAIN path to the same dir auto-detects the native layout —
+    # the resume read needs no scheme
+    assert read_table(spark, t).count() == 8
+    assert snapshot_ids(t) == [1, 2]
+    # and appends through the plain path commit snapshots too
+    write_table(spark.range(8, 9).selectExpr("id", "id * 2 AS v"), t)
+    assert read_table(spark, t).count() == 9
+    assert snapshot_ids(t) == [1, 2, 3]
+
+
+def test_spark_empty_table_read_has_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    append_snapshot(t, [], FIELDS)  # empty commit, schema recorded
+    got = read_native_iceberg(spark, t)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "v"]
+
+
+def test_spark_missing_table_raises_path_not_found(spark, tmp_path):
+    with pytest.raises(Exception, match="PATH_NOT_FOUND"):
+        read_native_iceberg(spark, str(tmp_path / "nope"))
+
+
+def test_timestamp_column_roundtrips(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(2).select(
+        "id", F.current_timestamp().alias("committed_at")
+    )
+    write_native_iceberg(df, t)
+    fields = {f["name"]: f["type"] for f in table_schema(t)}
+    assert fields["committed_at"] == "timestamptz"
+    got = read_native_iceberg(spark, t)
+    assert got.count() == 2 and "committed_at" in got.columns
+
+
+# --------------------------------------------- end-to-end job resume loop
+
+def test_run_to_parquet_native_iceberg_resume(spark, tmp_path):
+    """The north-rule loop: spans + metrics land in NATIVE Iceberg tables
+    as snapshot commits; a rerun resumes from the committed snapshot and
+    is a no-op on rows."""
+    from tableextraction_spark.fixtures import gen_corpus
+    from tableextraction_spark.fixtures.spark_gen import (
+        BLOBS_SCHEMA,
+        DOCS_SCHEMA,
+    )
+    from tableextraction_spark.pipeline import run_to_parquet
+
+    docs_rows, blobs_rows, _exp = gen_corpus(6)
+    docs = spark.createDataFrame(docs_rows, DOCS_SCHEMA).repartition(2)
+    blobs = spark.createDataFrame(blobs_rows, BLOBS_SCHEMA).repartition(2)
+    out = NATIVE_ICEBERG_SCHEME + str(tmp_path / "spans")
+    metrics = NATIVE_ICEBERG_SCHEME + str(tmp_path / "metrics")
+    run_to_parquet(spark, docs, blobs, out, metrics_path=metrics)
+    first = read_table(spark, out)
+    n1 = first.count()
+    assert n1 > 0
+    m1 = read_table(spark, metrics)
+    assert m1.count() > 0 and "pages_decoded" in m1.columns
+    # rerun: resume anti-join sees the committed snapshot → no new rows
+    run_to_parquet(spark, docs, blobs, out, metrics_path=metrics)
+    assert read_table(spark, out).count() == n1
+    # every run committed snapshots transactionally
+    assert len(snapshot_ids(str(tmp_path / "spans"))) >= 1
