@@ -50,10 +50,20 @@ def main(argv: list[str] | None = None) -> None:
     # so configured-catalog refs (hyphenated / nested-namespace) route the
     # same way --docs does through read_table.
     # the python scan auto-detects a native-Iceberg layout on a plain
-    # path, so an explicit iceberg+file: blobs ref just sheds its scheme
+    # path, so an explicit iceberg+file: blobs ref sheds its scheme —
+    # but the scheme is a CLAIM of snapshot-isolated reads, so a dir
+    # without a committed table fails loudly instead of silently
+    # degrading to a raw directory scan (orphaned files included)
     blobs_ref = args.blobs
     if blobs_ref.startswith(NATIVE_ICEBERG_SCHEME):
+        from .sources.iceberg_native import is_native_table_dir
+
         blobs_ref = blobs_ref[len(NATIVE_ICEBERG_SCHEME):]
+        if not is_native_table_dir(blobs_ref):
+            raise ValueError(
+                f"--blobs {args.blobs}: no committed native Iceberg table "
+                f"at {blobs_ref}"
+            )
     blobs = (
         blobs_ref if is_path(blobs_ref, spark) else read_table(spark, blobs_ref)
     )

@@ -83,14 +83,14 @@ def _native_dir(ref: str) -> str:
 
 def _is_native_iceberg(ref: str) -> bool:
     """The explicit scheme, or a plain path that already holds a native
-    table layout (metadata/v*.metadata.json) — so resume reads route to
-    the snapshot view without the caller repeating the scheme."""
+    table layout — so resume reads route to the snapshot view without
+    the caller repeating the scheme.  Layout detection is the ONE shared
+    predicate (iceberg_native.is_native_table_dir)."""
     if ref.startswith(NATIVE_ICEBERG_SCHEME):
         return True
-    import glob
-    import os
+    from .iceberg_native import is_native_table_dir
 
-    return bool(glob.glob(os.path.join(ref, "metadata", "v*.metadata.json")))
+    return is_native_table_dir(ref)
 
 
 def read_native_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -98,16 +98,29 @@ def read_native_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
     live data-file list from the metadata walk → one parquet scan.
     Snapshots with row-level deletes refuse loudly (read_table_files) —
     the append-only sinks never write them."""
-    import os
+    from .iceberg_native import (
+        is_native_table_dir,
+        read_table_files,
+        spark_ddl_for,
+        table_schema,
+    )
 
-    from .iceberg_native import read_table_files, table_schema
-
-    if not os.path.isdir(os.path.join(table_dir, "metadata")):
-        raise ValueError(f"PATH_NOT_FOUND: no native Iceberg table at "
-                         f"{table_dir}")
+    if not is_native_table_dir(table_dir):
+        # covers both a missing dir AND crash debris (metadata/ created
+        # but no version ever committed) — either way nothing is
+        # committed, which the resume path treats as first-run
+        raise ValueError(f"PATH_NOT_FOUND: no committed native Iceberg "
+                         f"table at {table_dir}")
     files = read_table_files(table_dir)
     if files:
-        return spark.read.parquet(*[f["path"] for f in files])
+        fields = table_schema(table_dir)
+        reader = spark.read
+        if fields:
+            # project through the TABLE schema, not one file's: appends
+            # that added columns null-fill older files instead of the
+            # column silently vanishing behind mergeSchema=false
+            reader = reader.schema(spark_ddl_for(fields))
+        return reader.parquet(*[f["path"] for f in files])
     # empty table: reconstruct the recorded schema so downstream joins
     # (e.g. the resume anti-join) see the right columns
     fields = table_schema(table_dir) or []
@@ -129,11 +142,13 @@ def write_native_iceberg(df: DataFrame, table_dir: str) -> int:
     A crash before the commit leaves only unreferenced files — readers
     still see the previous snapshot.  Returns the snapshot id."""
     import os
+    import shutil
     import uuid
 
     import pyarrow.parquet as pq
 
     from .iceberg_native import (
+        CommitConflictError,
         append_snapshot,
         iceberg_fields_for,
         table_schema,
@@ -141,21 +156,33 @@ def write_native_iceberg(df: DataFrame, table_dir: str) -> int:
 
     stage = os.path.join(table_dir, "data", f"commit-{uuid.uuid4().hex}")
     df.write.parquet(stage)
-    files = []
-    for name in sorted(os.listdir(stage)):
-        if not name.endswith(".parquet"):
-            continue
-        p = os.path.join(stage, name)
-        files.append(
-            (p, pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
-        )
-    existing = None
     try:
-        existing = table_schema(table_dir)
-    except FileNotFoundError:
-        pass  # first commit
-    fields = iceberg_fields_for(df.schema, existing)
-    return append_snapshot(table_dir, files, fields)
+        files = []
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(stage, name)
+            files.append(
+                (p, pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p))
+            )
+        # optimistic concurrency: on a version conflict, re-read the
+        # table state and re-commit the SAME staged files (Iceberg's
+        # HadoopTableOperations retry contract)
+        for attempt in range(3):
+            existing = None
+            try:
+                existing = table_schema(table_dir)
+            except FileNotFoundError:
+                pass  # first commit
+            fields = iceberg_fields_for(df.schema, existing)
+            try:
+                return append_snapshot(table_dir, files, fields)
+            except CommitConflictError:
+                if attempt == 2:
+                    raise
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)  # no orphaned data files
+        raise
 
 
 def read_table(spark: SparkSession, ref: str) -> DataFrame:

@@ -269,14 +269,15 @@ def table_schema(table_dir: str) -> list[dict] | None:
     only for files without ids (see ``resolve_columns``)."""
     with open(_latest_metadata(table_dir)) as f:
         meta = json.load(f)
-    schemas = meta.get("schemas") or []
-    if not schemas:
+    if not meta.get("schemas"):
         return None
-    cur = meta.get("current-schema-id", 0)
-    for s in schemas:
-        if s.get("schema-id", 0) == cur:
-            return s.get("fields") or None
-    raise ValueError(f"current-schema-id {cur} not in table schemas")
+    fields = _current_schema(meta)
+    if fields is None:
+        raise ValueError(
+            f"current-schema-id {meta.get('current-schema-id', 0)} not in "
+            "table schemas"
+        )
+    return fields
 
 
 def resolve_columns(
@@ -722,22 +723,59 @@ def write_table(
     _commit_metadata(meta_dir, version, meta)
 
 
+class CommitConflictError(Exception):
+    """Another writer committed this table version first — re-read the
+    table state and retry the commit (optimistic concurrency, the same
+    contract as Iceberg's HadoopTableOperations)."""
+
+
+def _write_durable(path: str, data: str) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())  # data hits disk before any rename journals
+    os.replace(tmp, path)
+
+
 def _commit_metadata(meta_dir: str, version: int, meta: dict) -> None:
-    """Make a new table version visible atomically: the metadata JSON and
-    the version hint are each written to a temp name and os.replace'd
-    (atomic on POSIX).  A crash between the two leaves a fully-written
-    v<N>.metadata.json that ``_latest_metadata``'s highest-version
-    fallback already resolves — never a torn file."""
+    """Make a new table version visible atomically AND exclusively: the
+    metadata JSON is fsynced at a temp name then hard-linked to its final
+    name — ``os.link`` fails with EEXIST when a concurrent writer already
+    committed this version (raised as :class:`CommitConflictError`, never
+    a silent clobber), unlike a replace.  The version hint is advisory
+    (``_latest_metadata`` falls back to the highest version), so it uses
+    a plain durable replace.  A crash at any point leaves either the old
+    version or a fully-written new one — never a torn file."""
     mpath = os.path.join(meta_dir, f"v{version}.metadata.json")
-    tmp = mpath + ".tmp"
+    tmp = f"{mpath}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
-    os.replace(tmp, mpath)
-    hint = os.path.join(meta_dir, "version-hint.text")
-    tmp = hint + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, hint)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, mpath)  # exclusive create: loser gets EEXIST
+    except FileExistsError:
+        raise CommitConflictError(
+            f"version {version} of {meta_dir} was committed concurrently"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    dfd = os.open(meta_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)  # the link itself
+    finally:
+        os.close(dfd)
+    _write_durable(os.path.join(meta_dir, "version-hint.text"), str(version))
+
+
+def is_native_table_dir(path: str) -> bool:
+    """True when ``path`` holds a readable native-table layout — at least
+    one ``metadata/v*.metadata.json``.  The ONE layout predicate shared
+    by catalog routing, the python media scan, and the job entry."""
+    import glob
+
+    return bool(glob.glob(os.path.join(path, "metadata", "v*.metadata.json")))
 
 
 #: Spark simpleString → Iceberg primitive type (append_snapshot schemas).
@@ -843,15 +881,27 @@ def iceberg_fields_for(spark_schema, existing: list[dict] | None) -> list[dict]:
         return typ
 
     by_name = {f["name"]: f for f in existing} if existing else {}
-    out = []
+    df_names = {f.name for f in spark_schema.fields}
+    # columns the table already records but this df lacks are CARRIED —
+    # an append must never silently drop a column from the table schema
+    # (old files still hold it; schema-projected reads null-fill new ones)
+    out = [dict(f) for f in (existing or []) if f["name"] not in df_names]
     for field in spark_schema.fields:
         prev = by_name.get(field.name)
+        typ = conv(field.dataType, prev and prev.get("type"))
+        if prev is not None and typ != prev.get("type"):
+            raise NotImplementedError(
+                f"iceberg-native append: column {field.name!r} changes "
+                f"type {prev.get('type')!r} → {typ!r} — type evolution is "
+                "not supported by the native append path (reads of older "
+                "files would silently corrupt); use the JVM runtime"
+            )
         out.append(
             {
                 "id": prev["id"] if prev else alloc(),
                 "name": field.name,
                 "required": False,
-                "type": conv(field.dataType, prev and prev.get("type")),
+                "type": typ,
             }
         )
     return out
@@ -912,15 +962,43 @@ def append_snapshot(
         prev_path = _latest_metadata(table_dir)
         with open(prev_path) as f:
             prev_meta = json.load(f)
+        if prev_meta.get("format-version") != 2:
+            raise NotImplementedError(
+                f"iceberg-native append: table at {table_dir} is format-"
+                f"version {prev_meta.get('format-version')!r} — only v2 "
+                "tables append natively (a v1 manifest list lacks the "
+                "sequence/content fields the rewrite would fabricate)"
+            )
         version = int(re.search(r"v(\d+)\.metadata", prev_path).group(1)) + 1
         cur = prev_meta.get("current-snapshot-id")
         snaps = {s["snapshot-id"]: s for s in prev_meta.get("snapshots", [])}
         if cur in snaps:
             with open(_local(snaps[cur]["manifest-list"]), "rb") as f:
                 _, prev_manifests = read_container(f.read())
+        # the carry-forward RE-SERIALIZES these entries with OUR manifest-
+        # list schema: refuse when a foreign writer's entry holds fields
+        # that rewrite would silently drop (partition summaries etc.)
+        ours = {f["name"] for f in _MANIFEST_FILE_SCHEMA["fields"]}
+        for m in prev_manifests:
+            extra = {
+                k for k, v in m.items() if k not in ours and v not in (None, [])
+            }
+            if extra:
+                raise NotImplementedError(
+                    "iceberg-native append: existing manifest-list entries "
+                    f"carry foreign-writer fields {sorted(extra)} that the "
+                    "carry-forward rewrite would drop — append this table "
+                    "with the JVM Iceberg runtime"
+                )
     except FileNotFoundError:
         pass  # fresh table: first commit creates it
-    snapshot_id = int(prev_meta.get("last-sequence-number", 0)) + 1
+    snapshot_id = (
+        max(
+            [int(prev_meta.get("last-sequence-number", 0))]
+            + [int(s["snapshot-id"]) for s in prev_meta.get("snapshots", [])]
+        )
+        + 1
+    )
     if schema_fields is None:
         schema_fields = (_current_schema(prev_meta) if prev_meta else None) or []
     entry_schema = _manifest_entry_schema(None)

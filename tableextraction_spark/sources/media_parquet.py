@@ -42,14 +42,14 @@ def _iceberg_snapshot(path: str) -> tuple[dict, list | None] | None:
     consistent view).  The schema fields drive FIELD-ID column resolution:
     a column renamed after a file was written still reads correctly, and a
     column added later null-fills (iceberg_native.resolve_columns)."""
-    import glob
+    from .iceberg_native import (
+        is_native_table_dir,
+        read_table_snapshot,
+        table_schema,
+    )
 
-    if not os.path.isdir(os.path.join(path, "metadata")):
+    if not is_native_table_dir(path):
         return None
-    if not glob.glob(os.path.join(path, "metadata", "v*.metadata.json")):
-        return None
-    from .iceberg_native import read_table_snapshot, table_schema
-
     return read_table_snapshot(path), table_schema(path)
 
 

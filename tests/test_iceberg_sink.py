@@ -235,3 +235,173 @@ def test_run_to_parquet_native_iceberg_resume(spark, tmp_path):
     assert read_table(spark, out).count() == n1
     # every run committed snapshots transactionally
     assert len(snapshot_ids(str(tmp_path / "spans"))) >= 1
+
+
+# ------------------------------------------- review-pass regression pins
+
+def test_schema_projected_read_null_fills_added_column(spark, tmp_path):
+    """An append that adds a column must not make reads file-order
+    dependent: the scan projects through the TABLE schema, so older
+    files null-fill (mergeSchema=false would silently drop it)."""
+    t = str(tmp_path / "tbl")
+    write_table(spark.range(2).selectExpr("id", "id AS v"),
+                NATIVE_ICEBERG_SCHEME + t)
+    write_table(
+        spark.range(2, 4).selectExpr("id", "id AS v", "'x' AS extra"),
+        NATIVE_ICEBERG_SCHEME + t,
+    )
+    got = read_table(spark, t)
+    assert set(got.columns) == {"id", "v", "extra"}
+    rows = {r.id: r.extra for r in got.collect()}
+    assert rows[0] is None and rows[3] == "x"
+
+
+def test_append_carries_columns_absent_from_df():
+    """A narrower df must not drop recorded columns from the schema."""
+    import pyspark.sql.types as T
+
+    narrow = T.StructType([T.StructField("id", T.LongType())])
+    fields = iceberg_fields_for(narrow, FIELDS)
+    assert {f["name"] for f in fields} == {"id", "v"}
+    assert next(f for f in fields if f["name"] == "v")["id"] == 2
+
+
+def test_type_change_refuses_loudly():
+    import pyspark.sql.types as T
+
+    changed = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    with pytest.raises(NotImplementedError, match="type"):
+        iceberg_fields_for(changed, FIELDS)
+
+
+def test_commit_conflict_raises_not_clobbers(tmp_path):
+    from tableextraction_spark.sources.iceberg_native import (
+        CommitConflictError,
+        _commit_metadata,
+    )
+
+    meta_dir = str(tmp_path / "metadata")
+    os.makedirs(meta_dir)
+    _commit_metadata(meta_dir, 1, {"winner": True})
+    with pytest.raises(CommitConflictError, match="concurrently"):
+        _commit_metadata(meta_dir, 1, {"loser": True})
+    import json
+
+    with open(os.path.join(meta_dir, "v1.metadata.json")) as f:
+        assert json.load(f) == {"winner": True}  # never overwritten
+
+
+def test_write_retries_after_commit_conflict(spark, tmp_path, monkeypatch):
+    """The sink re-reads table state and re-commits the SAME staged files
+    when another writer wins the version race."""
+    from tableextraction_spark.sources import iceberg_native as ice
+
+    t = str(tmp_path / "tbl")
+    real = ice._commit_metadata
+    calls = {"n": 0}
+
+    def flaky(meta_dir, version, meta):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # a concurrent writer wins this version with an EMPTY append
+            # (its own commit, referencing only its own — zero — files)
+            from tableextraction_spark.sources.avro import write_container
+
+            ml = os.path.join(meta_dir, "snap-winner.avro")
+            with open(ml, "wb") as f:
+                f.write(write_container(ice._MANIFEST_FILE_SCHEMA, []))
+            winner = {
+                "format-version": 2, "table-uuid": "winner",
+                "location": meta["location"], "last-sequence-number": 1,
+                "current-snapshot-id": 1,
+                "snapshots": [
+                    {"snapshot-id": 1, "sequence-number": 1,
+                     "timestamp-ms": 0, "manifest-list": ml,
+                     "summary": {"operation": "append"}}
+                ],
+                "schemas": [], "current-schema-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "default-spec-id": 0,
+            }
+            real(meta_dir, version, winner)
+            raise ice.CommitConflictError("simulated race")
+        return real(meta_dir, version, meta)
+
+    monkeypatch.setattr(ice, "_commit_metadata", flaky)
+    write_native_iceberg(spark.range(3).selectExpr("id", "id AS v"), t)
+    assert calls["n"] >= 2
+    got = read_native_iceberg(spark, t)
+    assert got.count() == 3  # the staged rows exactly once, no dupes
+    assert snapshot_ids(t) == [1, 2]  # winner's snapshot + the retried one
+
+
+def test_crash_debris_metadata_dir_is_first_run(spark, tmp_path):
+    """metadata/ created but nothing committed (crash inside the first
+    append) must classify as first-run, not a permanent abort."""
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "metadata"))
+    with pytest.raises(ValueError, match="PATH_NOT_FOUND"):
+        read_native_iceberg(spark, t)
+    from tableextraction_spark.streaming.sink import is_missing_output_error
+
+    try:
+        read_native_iceberg(spark, t)
+    except ValueError as exc:
+        assert is_missing_output_error(exc)
+
+
+def test_v1_table_append_refuses(tmp_path):
+    import json
+
+    t = str(tmp_path / "tbl")
+    meta_dir = os.path.join(t, "metadata")
+    os.makedirs(meta_dir)
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump({"format-version": 1, "snapshots": []}, f)
+    with pytest.raises(NotImplementedError, match="format-version"):
+        append_snapshot(t, [], FIELDS)
+
+
+def test_foreign_manifest_fields_refuse(tmp_path):
+    """A manifest list written by a richer (real) writer carries fields
+    our carry-forward rewrite would drop — the append must refuse, not
+    silently strip them."""
+    import json
+
+    from tableextraction_spark.sources.avro import write_container
+    from tableextraction_spark.sources.iceberg_native import (
+        _MANIFEST_FILE_SCHEMA,
+    )
+
+    t = str(tmp_path / "tbl")
+    meta_dir = os.path.join(t, "metadata")
+    os.makedirs(meta_dir)
+    foreign_schema = json.loads(json.dumps(_MANIFEST_FILE_SCHEMA))
+    foreign_schema["fields"].append(
+        {"name": "partitions_summary", "type": "string"}
+    )
+    entry = {
+        f["name"]: 0 for f in _MANIFEST_FILE_SCHEMA["fields"]
+    }
+    entry.update(
+        manifest_path="/x.avro", partitions_summary="stats-we-would-drop"
+    )
+    ml = os.path.join(meta_dir, "snap-1-1-x.avro")
+    with open(ml, "wb") as f:
+        f.write(write_container(foreign_schema, [entry]))
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as f:
+        json.dump(
+            {
+                "format-version": 2,
+                "last-sequence-number": 1,
+                "current-snapshot-id": 1,
+                "snapshots": [
+                    {"snapshot-id": 1, "manifest-list": ml},
+                ],
+            },
+            f,
+        )
+    with pytest.raises(NotImplementedError, match="foreign-writer"):
+        append_snapshot(t, [], FIELDS)
