@@ -257,6 +257,94 @@ WHERE 1 = 0
 """
 
 
+
+
+def q59_iceberg_append_verify(spark, sf_dir):
+    """Write half of the native chain (r5), empty-on-success: two
+    snapshot commits through the catalog's ``iceberg+file:`` route, then
+    EAGER relational checks — cumulative reads match closed-form
+    arithmetic, time travel sees exactly the first commit, an
+    uncommitted orphan parquet under data/ stays invisible, and a column
+    added by the second append null-fills the first commit's rows
+    (schema-projected read).  The table lives in a per-invocation temp
+    dir torn down before returning, so the checks are computed eagerly
+    and the returned frame is a materialized (tiny) list of mismatch
+    rows.  Rows = failed checks."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources import NATIVE_ICEBERG_SCHEME, read_table, write_table
+    from ..sources.iceberg_native import read_table_snapshot, snapshot_ids
+
+    n1 = max(20, min(200, int(round(sf_of(sf_dir) * 10000))))
+    n2 = n1 // 2
+    bench_root = os.environ.get("TABLEX_BENCH_DIR", "/tmp/tablex_bench")
+    os.makedirs(bench_root, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="q59_", dir=bench_root)
+    t = os.path.join(root, "tbl")
+    ref = NATIVE_ICEBERG_SCHEME + t
+    bad: list[tuple[str, float, float]] = []
+
+    def check(name: str, got, want) -> None:
+        if float(got) != float(want):
+            bad.append((name, float(got), float(want)))
+
+    try:
+        write_table(
+            spark.range(n1).selectExpr("id", "id * 3 AS v"), ref
+        )
+        write_table(
+            spark.range(n1, n1 + n2).selectExpr(
+                "id", "id * 3 AS v", "CAST(id AS STRING) AS extra"
+            ),
+            ref,
+        )
+        got = read_table(spark, t)
+        agg = got.agg(
+            F.count("*").alias("n"),
+            F.sum("id").alias("sid"),
+            F.sum(F.col("extra").isNull().cast("long")).alias("nulls"),
+        ).collect()[0]
+        total = n1 + n2
+        check("append_rows", agg["n"], total)
+        check("append_sum_id", agg["sid"], total * (total - 1) / 2)
+        check("added_column_null_fills_old_files", agg["nulls"], n1)
+        check("snapshot_count", len(snapshot_ids(t)), 2)
+        s1 = read_table_snapshot(t, snapshot_id=1)["data_files"]
+        check(
+            "time_travel_first_commit_rows",
+            sum(f["record_count"] for f in s1),
+            n1,
+        )
+        # a crash between staging and commit leaves only invisible files
+        stray = os.path.join(t, "data", "orphan.parquet")
+        spark.range(999).write.parquet(stray + ".d")
+        open(stray, "wb").write(open(
+            next(
+                os.path.join(stray + ".d", f)
+                for f in os.listdir(stray + ".d")
+                if f.endswith(".parquet")
+            ),
+            "rb",
+        ).read())
+        check("orphan_invisible", read_table(spark, t).count(), total)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        bad, "check string, got double, want double"
+    )
+
+
+Q59_SQL = """
+SELECT CAST(NULL AS VARCHAR) AS check, CAST(NULL AS DOUBLE) AS got,
+       CAST(NULL AS DOUBLE) AS want
+WHERE 1 = 0
+"""
+
+
 QUERIES = {
     "q54_iceberg_scan_verify": (q54_iceberg_scan_verify, Q54_SQL),
+    "q59_iceberg_append_verify": (q59_iceberg_append_verify, Q59_SQL),
 }
