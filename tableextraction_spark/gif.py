@@ -88,46 +88,72 @@ def _lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
     cbase, cend = 0, min(nbits, _WIN_CHUNK)
     win = _win_slice(data, 0, cend)
     bpos = 0
-    out = bytearray()
-    table: list[bytes] = []
+    # Self-referential emission (the LZ77-style identity): the string of
+    # table entry j — created while processing code k as string(c_{k-1})
+    # + firstchar(c_k) — is exactly out[s_{k-1} : s_{k-1}+len_{k-1}+1],
+    # CONTIGUOUS in the output already emitted.  So the table holds only
+    # (src, len) integer pairs and each code emits as one bytearray
+    # slice copy instead of allocating bytes objects per code; the cSc
+    # code (code == next table slot) overlaps its own first target byte
+    # and copies prefix-then-firstchar, as every LZW decoder must.
+    out = bytearray(npix + 4097)  # slack: a final entry may overshoot
+    pos = 0                        # npix and is trimmed, as before
+    srcs = [0] * 4096  # entry j → start of its slice in out
+    lens = [1] * 4096  # entry j → slice length (literals: 1)
+    tsize = clear + 2
     width = min_code + 1
-    prev: bytes | None = None
+    mask = (1 << width) - 1
+    prev_src = prev_len = -1  # previous code's emitted slice
 
     def reset():
-        nonlocal table, width, prev
-        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        nonlocal tsize, width, mask, prev_src, prev_len
+        tsize = clear + 2
         width = min_code + 1
-        prev = None
+        mask = (1 << width) - 1
+        prev_src = prev_len = -1
 
     reset()
-    while len(out) < npix:
+    while pos < npix:
         if bpos + width > nbits:
             raise ValueError("GIF: LZW stream truncated")
         if bpos >= cend:
             cbase = bpos
             cend = min(nbits, cbase + _WIN_CHUNK)
             win = _win_slice(data, cbase, cend)
-        code = win[bpos - cbase] & ((1 << width) - 1)
+        code = win[bpos - cbase] & mask
         bpos += width
         if code == clear:
             reset()
             continue
         if code == end:
             break
-        if code < len(table):
-            entry = table[code]
-        elif code == len(table) and prev is not None:
-            entry = prev + prev[:1]
+        if code < clear:  # literal
+            s, ln = pos, 1
+            out[pos] = code
+        elif code < tsize and code >= clear + 2:
+            s, ln = pos, lens[code]
+            src = srcs[code]
+            out[pos : pos + ln] = out[src : src + ln]
+        elif code == tsize and prev_len > 0 and tsize < 4096:
+            # cSc: previous string + its own first char — the source's
+            # last byte IS the first target byte, so copy prefix then
+            # first char (the one overlap every LZW decoder must order)
+            s, ln = pos, prev_len + 1
+            out[pos : pos + ln - 1] = out[prev_src : prev_src + ln - 1]
+            out[pos + ln - 1] = out[prev_src]
         else:
             raise ValueError("GIF: invalid LZW code")
-        out += entry
-        if prev is not None and len(table) < 4096:
-            table.append(prev + entry[:1])
-            if len(table) == (1 << width) and width < 12:
+        if prev_len > 0 and tsize < 4096:
+            srcs[tsize] = prev_src
+            lens[tsize] = prev_len + 1
+            tsize += 1
+            if tsize == (1 << width) and width < 12:
                 width += 1
-        prev = entry
-    if len(out) < npix:
-        raise ValueError(f"GIF: LZW yielded {len(out)} of {npix} pixels")
+                mask = (1 << width) - 1
+        prev_src, prev_len = s, ln
+        pos += ln
+    if pos < npix:
+        raise ValueError(f"GIF: LZW yielded {pos} of {npix} pixels")
     return np.frombuffer(bytes(out[:npix]), dtype=np.uint8)
 
 

@@ -3,6 +3,8 @@ hostile-input bounds, decode_page routing, and color-palette luma."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from tableextraction_spark.gif import MAGICS, decode_gif, encode_gif_gray
 from tableextraction_spark.media import decode_page
@@ -198,3 +200,68 @@ def test_sample_frames_over_animated_gif(spark):
     assert all(r.n_frames == 5 and r.error is None for r in got)
     vals = [mm.decode_image(bytes(r.content))[0, 0] for r in got]
     assert vals == [0, 120, 240]
+
+
+def _lzw_decode_reference(data, min_code, npix):
+    """The pre-r5 bytes-table algorithm, kept as the property-test
+    reference for the (src, len) self-referential decoder."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    nbits = len(data) * 8
+    bpos, out = 0, bytearray()
+    table, width, prev = [], min_code + 1, None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        prev = None
+
+    reset()
+    while len(out) < npix:
+        if bpos + width > nbits:
+            raise ValueError("truncated")
+        byte = bpos >> 3
+        chunk = int.from_bytes(data[byte : byte + 4], "little")
+        code = (chunk >> (bpos & 7)) & ((1 << width) - 1)
+        bpos += width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("invalid")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < npix:
+        raise ValueError("short")
+    return bytes(out[:npix])
+
+
+@given(
+    st.lists(st.integers(0, 255), min_size=1, max_size=600),
+    st.integers(2, 8),
+)
+@settings(deadline=None, max_examples=60)
+def test_lzw_decoder_matches_bytes_table_reference(vals, min_code):
+    """The r5 (src, len) slice-copy decoder must agree byte-for-byte
+    with the bytes-table algorithm on real encoder output — repetitive
+    input drives the cSc and deep-chain paths."""
+    import numpy as np
+
+    from tableextraction_spark.gif import _lzw_decode, _lzw_encode
+
+    # repeat the list to force dictionary reuse and cSc patterns
+    idx = np.array((vals * 5)[:2000], dtype=np.uint8) % (1 << min_code)
+    data = _lzw_encode(idx, max(2, min_code))
+    want = _lzw_decode_reference(data, max(2, min_code), len(idx))
+    got = _lzw_decode(data, max(2, min_code), len(idx))
+    assert bytes(got.tobytes()) == want
