@@ -1082,3 +1082,108 @@ def _current_schema(meta: dict) -> list[dict] | None:
         if s.get("schema-id", 0) == cur:
             return s.get("fields") or None
     return None
+
+
+# ------------------------------------------------- table maintenance (r5)
+
+
+def _referenced_files(table_dir: str) -> set[str]:
+    """Every file path reachable from the CURRENT metadata version: all
+    snapshots' manifest lists, their manifests, and every data/delete
+    file entry (status included — a deleted entry's file may still be
+    read by an older snapshot)."""
+    with open(_latest_metadata(table_dir)) as f:
+        meta = json.load(f)
+    refs: set[str] = set()
+    for snap in meta.get("snapshots", []):
+        ml = _local(snap["manifest-list"])
+        refs.add(os.path.abspath(ml))
+        with open(ml, "rb") as f:
+            _, manifests = read_container(f.read())
+        for m in manifests:
+            mp = _local(m["manifest_path"])
+            refs.add(os.path.abspath(mp))
+            with open(mp, "rb") as f:
+                _, entries = read_container(f.read())
+            for e in entries:
+                refs.add(os.path.abspath(_local(e["data_file"]["file_path"])))
+    return refs
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots from the table
+    metadata (the current snapshot is always kept), committed as a new
+    metadata version through the same exclusive atomic path as appends.
+    Returns the expired snapshot ids.  The files those snapshots alone
+    referenced become orphans for :func:`gc_orphans` — the two-step
+    expire-then-gc shape of Iceberg's own maintenance actions."""
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    prev_path = _latest_metadata(table_dir)
+    with open(prev_path) as f:
+        meta = json.load(f)
+    snaps = meta.get("snapshots", [])
+    if len(snaps) <= keep_last:
+        return []
+    snaps_sorted = sorted(snaps, key=lambda s: s["snapshot-id"])
+    keep = snaps_sorted[-keep_last:]
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and cur not in {s["snapshot-id"] for s in keep}:
+        raise ValueError(
+            "expire_snapshots: keep_last window excludes the CURRENT "
+            f"snapshot {cur} — refusing to expire the live view"
+        )
+    expired = [s["snapshot-id"] for s in snaps_sorted[:-keep_last]]
+    version = int(re.search(r"v(\d+)\.metadata", prev_path).group(1)) + 1
+    meta = {**meta, "snapshots": keep}
+    _commit_metadata(os.path.join(table_dir, "metadata"), version, meta)
+    return expired
+
+
+def gc_orphans(table_dir: str, grace_seconds: float = 86400.0) -> dict:
+    """Delete files under ``data/`` and ``metadata/`` that no snapshot in
+    the CURRENT metadata references and that are older than
+    ``grace_seconds`` (the grace window protects a concurrent writer's
+    staged-but-not-yet-committed files — Iceberg's remove_orphan_files
+    contract).  Metadata JSONs and the version hint are never touched
+    (older versions stay for forensics; expire them by hand if needed).
+    Returns ``{"deleted": [...], "kept_recent": n, "referenced": n}``."""
+    refs = _referenced_files(table_dir)
+    cutoff = time.time() - grace_seconds
+    deleted: list[str] = []
+    kept_recent = 0
+    roots = [os.path.join(table_dir, "data"), os.path.join(table_dir, "metadata")]
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, names in os.walk(root):
+            for name in names:
+                p = os.path.abspath(os.path.join(dirpath, name))
+                if p in refs:
+                    continue
+                if name.endswith(".metadata.json") or name == "version-hint.text":
+                    continue  # table history, never GC'd here
+                # Spark _SUCCESS/.crc markers are unreferenced by design
+                # and fall through to the normal age-gated delete
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        kept_recent += 1
+                        continue
+                    os.unlink(p)
+                    deleted.append(p)
+                except FileNotFoundError:
+                    continue  # concurrent GC
+    # drop now-empty per-commit staging dirs
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for dirpath, dirs, names in os.walk(data_root, topdown=False):
+            if dirpath != data_root and not dirs and not names:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+    return {
+        "deleted": sorted(deleted),
+        "kept_recent": kept_recent,
+        "referenced": len(refs),
+    }

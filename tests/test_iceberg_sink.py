@@ -405,3 +405,82 @@ def test_foreign_manifest_fields_refuse(tmp_path):
         )
     with pytest.raises(NotImplementedError, match="foreign-writer"):
         append_snapshot(t, [], FIELDS)
+
+
+# ----------------------------------------------- maintenance: expire + gc
+
+def test_expire_then_gc_reclaims_only_dead_files(spark, tmp_path):
+    """The two-step maintenance shape: expire old snapshots, then GC —
+    files referenced by ANY remaining snapshot survive; files only the
+    expired snapshots referenced (and crash-orphaned stages) are
+    reclaimed; recent files are protected by the grace window."""
+    from tableextraction_spark.sources.iceberg_native import (
+        expire_snapshots,
+        gc_orphans,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo, hi in [(0, 3), (3, 5), (5, 9)]:
+        write_table(
+            spark.range(lo, hi).selectExpr("id", "id AS v"),
+            NATIVE_ICEBERG_SCHEME + t,
+        )
+    # a crash-orphaned stage dir, old enough to clear the grace window
+    orphan_dir = os.path.join(t, "data", "commit-deadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-0.parquet")
+    _pq(orphan, [99])
+    # grace window first: a RECENT orphan (just written) must survive
+    res0 = gc_orphans(t, grace_seconds=3600)
+    assert orphan not in res0["deleted"]
+    assert os.path.exists(orphan)
+
+    expired = expire_snapshots(t, keep_last=1)
+    assert expired == [1, 2]
+    from tableextraction_spark.sources.iceberg_native import snapshot_ids
+
+    assert snapshot_ids(t) == [3]
+    # age everything so the grace window is not a factor, then GC
+    for dirpath, _d, names in os.walk(t):
+        for n in names:
+            os.utime(os.path.join(dirpath, n), (1, 1))
+    res = gc_orphans(t, grace_seconds=60)
+    assert orphan in res["deleted"]
+    assert not os.path.exists(orphan_dir)  # empty stage dir removed
+    # the LIVE view still reads every row (snapshot 3 is cumulative:
+    # its manifest list carries all three appends' manifests forward)
+    got = read_table(spark, t)
+    assert got.count() == 9 and {r.id for r in got.collect()} == set(range(9))
+    # metadata history is never GC'd
+    assert os.path.exists(os.path.join(t, "metadata", "v1.metadata.json"))
+
+
+def test_expire_refuses_to_drop_current_snapshot(tmp_path):
+    from tableextraction_spark.sources.iceberg_native import (
+        expire_snapshots,
+    )
+    import json
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(t, [], FIELDS)
+    append_snapshot(t, [], FIELDS)
+    # point current at the OLDER snapshot by hand
+    meta_path = os.path.join(t, "metadata", "v2.metadata.json")
+    meta = json.load(open(meta_path))
+    meta["current-snapshot-id"] = 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="CURRENT"):
+        expire_snapshots(t, keep_last=1)
+
+
+def test_expire_noop_when_nothing_to_drop(tmp_path):
+    from tableextraction_spark.sources.iceberg_native import (
+        expire_snapshots,
+        snapshot_ids,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(t, [], FIELDS)
+    assert expire_snapshots(t, keep_last=5) == []
+    assert snapshot_ids(t) == [1]
