@@ -228,14 +228,22 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
     same as the GIF lane's fix)."""
     from .jpeg import _WIN_CHUNK, _win_slice_msb
 
-    out = bytearray()
-    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
-    width, prev = 9, b""
+    # dictionary entries as (src, len) slices over the emitted output —
+    # the same self-referential identity as gif._lzw_decode (r5): entry
+    # strings are contiguous in `out`, so each code emits as one
+    # bytearray slice copy and the cSc code copies prefix-then-firstchar
+    out = bytearray(expected + 4097)  # slack: a final entry may overshoot
+    pos = 0
+    srcs = [0] * 4096
+    lens = [1] * 4096
+    tsize = 258
+    width = 9
+    prev_src, prev_len = -1, 0
     nbits = len(data) * 8
     cbase, cend = 0, min(nbits, _WIN_CHUNK)
     win = _win_slice_msb(data, 0, cend)
     bpos = 0
-    while len(out) < expected:
+    while pos < expected:
         if bpos + width > nbits:
             raise ValueError("TIFF LZW: data exhausted before declared size")
         if bpos >= cend:
@@ -247,24 +255,35 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
         if code == _LZW_EOI:
             raise ValueError("TIFF LZW: EOI before declared size")
         if code == _LZW_CLEAR:
-            table = table[:258]
-            width, prev = 9, b""
+            tsize, width = 258, 9
+            prev_src, prev_len = -1, 0
             continue
-        if code < len(table):
-            entry = table[code]
-        elif code == len(table) and prev:
-            entry = prev + prev[:1]
+        if code < 256:  # literal
+            s, ln = pos, 1
+            out[pos] = code
+        elif 258 <= code < tsize:
+            s, ln = pos, lens[code]
+            src = srcs[code]
+            out[pos : pos + ln] = out[src : src + ln]
+        elif code == tsize and prev_len > 0:
+            s, ln = pos, prev_len + 1
+            out[pos : pos + ln - 1] = out[prev_src : prev_src + ln - 1]
+            out[pos + ln - 1] = out[prev_src]
         else:
             raise ValueError(f"TIFF LZW: code {code} out of table")
-        out += entry
-        if prev:
-            table.append(prev + entry[:1])
-        prev = entry
+        if prev_len > 0 and tsize < 4096:
+            # 12-bit codes cap the reachable table at 4096 entries; a
+            # conformant encoder emits CLEAR before this point
+            srcs[tsize] = prev_src
+            lens[tsize] = prev_len + 1
+            tsize += 1
+        prev_src, prev_len = s, ln
+        pos += ln
         # early change, minus the decoder's one-entry lag behind the
         # encoder: the encoder bumps when its NEXT free entry is
         # 2^w - 1, at which point the decoder's table (one add behind)
         # holds 2^w - 2 entries
-        if len(table) >= (1 << width) - 2 and width < 12:
+        if tsize >= (1 << width) - 2 and width < 12:
             width += 1
     return bytes(out[:expected])
 

@@ -9,6 +9,8 @@ import struct
 import zlib
 
 import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
 import pytest
 
 from tableextraction_spark.tiff import (
@@ -375,3 +377,54 @@ def test_jpeg_strip_dimension_mismatch_named():
             struct.pack_into("<H", t, at + 8, 10)
     with pytest.raises(ValueError, match="declared"):
         decode_tiff(bytes(t))
+
+
+def _tiff_lzw_reference(data, expected):
+    """Pre-r5 bytes-table TIFF-LZW algorithm — property-test reference."""
+    out = bytearray()
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, b""
+    nbits = len(data) * 8
+    bpos = 0
+    while len(out) < expected:
+        if bpos + width > nbits:
+            raise ValueError("exhausted")
+        byte = bpos >> 3
+        chunk = int.from_bytes(
+            data[byte : byte + 4].ljust(4, b"\0"), "big"
+        )
+        code = (chunk >> (32 - (bpos & 7) - width)) & ((1 << width) - 1)
+        bpos += width
+        if code == 257:
+            raise ValueError("EOI early")
+        if code == 256:
+            table = table[:258]
+            width, prev = 9, b""
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("bad code")
+        out += entry
+        if prev:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out[:expected])
+
+
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=500))
+@settings(deadline=None, max_examples=50)
+def test_tiff_lzw_matches_bytes_table_reference(vals):
+    """The r5 (src, len) TIFF-LZW decoder must agree byte-for-byte with
+    the bytes-table algorithm — repetition drives cSc, deep chains, and
+    the early-change width boundary."""
+    from tableextraction_spark.tiff import _lzw_decode, _lzw_encode
+
+    raw = bytes((vals * 8)[:3000])
+    data = _lzw_encode(raw)
+    assert _tiff_lzw_reference(data, len(raw)) == raw  # reference sane
+    assert _lzw_decode(data, len(raw)) == raw
