@@ -50,111 +50,27 @@ def _read_subblocks(buf: bytes, pos: int) -> tuple[bytes, int]:
     raise ValueError("GIF: unterminated sub-block chain")
 
 
-_WIN_CHUNK = 1 << 20  # window entries per materialized slice (same memory
-# rationale as jpeg._BitReader: a full per-bit int list is ~36 B of heap per
-# input BIT — >1 GB transient on a multi-MB GIF — so 16-bit LSB-first
-# windows are computed vectorized PER CHUNK, from only that chunk's bytes:
-# peak heap is one ~36 MB window list + one ~20 MB uint32 slice, regardless
-# of stream size (an earlier version accumulated over the whole stream,
-# which silently cost ~128 B per input byte — measured, not assumed)
-
-
-def _win_slice(data: bytes, cbase: int, cend: int) -> list[int]:
-    """win[i-cbase] = the 16 bits starting at bit i, LSB-first, for
-    i in [cbase, cend) — built from only the covering byte range."""
-    b0 = cbase >> 3
-    b1 = min(len(data), ((cend + 16) >> 3) + 1)
-    bits = np.unpackbits(
-        np.frombuffer(data, dtype=np.uint8, offset=b0, count=b1 - b0),
-        bitorder="little",
-    ).astype(np.uint32)
-    lo = cbase - b0 * 8
-    n = cend - cbase
-    padded = np.concatenate([bits[lo:], np.zeros(16, dtype=np.uint32)])
-    acc = np.zeros(n, dtype=np.uint32)
-    for k in range(16):
-        acc += padded[k : k + n] << np.uint32(k)
-    return acc.tolist()
-
-
 def _lzw_decode(data: bytes, min_code: int, npix: int) -> np.ndarray:
-    """Variable-width LZW (GIF flavor) → exactly ``npix`` palette indices."""
+    """Variable-width LZW (GIF flavor: LSB-first, late width change) →
+    exactly ``npix`` palette indices, via the shared (src, len)
+    slice-dictionary core (``lzw.decode_slices`` — see its module
+    docstring for the self-referential emission identity)."""
     if not 2 <= min_code <= 11:
         raise ValueError(f"GIF: bad LZW min code size {min_code}")
-    clear = 1 << min_code
-    end = clear + 1
-    # a code of width w at bit i is win[i-cbase] & ((1<<w)-1) — one index
-    nbits = len(data) * 8
-    cbase, cend = 0, min(nbits, _WIN_CHUNK)
-    win = _win_slice(data, 0, cend)
-    bpos = 0
-    # Self-referential emission (the LZ77-style identity): the string of
-    # table entry j — created while processing code k as string(c_{k-1})
-    # + firstchar(c_k) — is exactly out[s_{k-1} : s_{k-1}+len_{k-1}+1],
-    # CONTIGUOUS in the output already emitted.  So the table holds only
-    # (src, len) integer pairs and each code emits as one bytearray
-    # slice copy instead of allocating bytes objects per code; the cSc
-    # code (code == next table slot) overlaps its own first target byte
-    # and copies prefix-then-firstchar, as every LZW decoder must.
-    out = bytearray(npix + 4097)  # slack: a final entry may overshoot
-    pos = 0                        # npix and is trimmed, as before
-    srcs = [0] * 4096  # entry j → start of its slice in out
-    lens = [1] * 4096  # entry j → slice length (literals: 1)
-    tsize = clear + 2
-    width = min_code + 1
-    mask = (1 << width) - 1
-    prev_src = prev_len = -1  # previous code's emitted slice
+    from .lzw import decode_slices
 
-    def reset():
-        nonlocal tsize, width, mask, prev_src, prev_len
-        tsize = clear + 2
-        width = min_code + 1
-        mask = (1 << width) - 1
-        prev_src = prev_len = -1
-
-    reset()
-    while pos < npix:
-        if bpos + width > nbits:
-            raise ValueError("GIF: LZW stream truncated")
-        if bpos >= cend:
-            cbase = bpos
-            cend = min(nbits, cbase + _WIN_CHUNK)
-            win = _win_slice(data, cbase, cend)
-        code = win[bpos - cbase] & mask
-        bpos += width
-        if code == clear:
-            reset()
-            continue
-        if code == end:
-            break
-        if code < clear:  # literal
-            s, ln = pos, 1
-            out[pos] = code
-        elif code < tsize and code >= clear + 2:
-            s, ln = pos, lens[code]
-            src = srcs[code]
-            out[pos : pos + ln] = out[src : src + ln]
-        elif code == tsize and prev_len > 0 and tsize < 4096:
-            # cSc: previous string + its own first char — the source's
-            # last byte IS the first target byte, so copy prefix then
-            # first char (the one overlap every LZW decoder must order)
-            s, ln = pos, prev_len + 1
-            out[pos : pos + ln - 1] = out[prev_src : prev_src + ln - 1]
-            out[pos + ln - 1] = out[prev_src]
-        else:
-            raise ValueError("GIF: invalid LZW code")
-        if prev_len > 0 and tsize < 4096:
-            srcs[tsize] = prev_src
-            lens[tsize] = prev_len + 1
-            tsize += 1
-            if tsize == (1 << width) and width < 12:
-                width += 1
-                mask = (1 << width) - 1
-        prev_src, prev_len = s, ln
-        pos += ln
-    if pos < npix:
-        raise ValueError(f"GIF: LZW yielded {pos} of {npix} pixels")
-    return np.frombuffer(bytes(out[:npix]), dtype=np.uint8)
+    out = decode_slices(
+        data,
+        npix,
+        min_code,
+        msb=False,
+        early=0,
+        eoi_raises=False,
+        msg_truncated="GIF: LZW stream truncated",
+        msg_invalid="GIF: invalid LZW code",
+        msg_short="GIF: LZW yielded {pos} of {npix} pixels",
+    )
+    return np.frombuffer(out, dtype=np.uint8)
 
 
 def _interlace_order(h: int) -> np.ndarray:

@@ -1087,26 +1087,68 @@ def _current_schema(meta: dict) -> list[dict] | None:
 # ------------------------------------------------- table maintenance (r5)
 
 
+_FOREIGN_META_KEYS = (
+    # metadata fields a real (JVM) writer emits that our maintenance
+    # does not understand: branch/tag refs, Puffin statistics, history
+    # logs that must stay consistent with the snapshot list
+    "refs", "statistics", "partition-statistics", "snapshot-log",
+    "metadata-log",
+)
+
+
+def _refuse_foreign_maintenance(meta: dict, op: str) -> None:
+    for key in _FOREIGN_META_KEYS:
+        if meta.get(key):
+            raise NotImplementedError(
+                f"iceberg-native {op}: table metadata carries {key!r} — a "
+                "real-writer feature this maintenance path does not "
+                "preserve; use the JVM Iceberg runtime's maintenance "
+                "actions on this table"
+            )
+
+
+def _all_metadata_paths(table_dir: str) -> list[str]:
+    meta_dir = os.path.join(table_dir, "metadata")
+    out = []
+    for name in os.listdir(meta_dir):
+        if re.match(r"v(\d+)\.metadata\.json$", name):
+            out.append(os.path.join(meta_dir, name))
+    if not out:
+        raise FileNotFoundError(f"no v*.metadata.json under {meta_dir}")
+    return sorted(out)
+
+
 def _referenced_files(table_dir: str) -> set[str]:
-    """Every file path reachable from the CURRENT metadata version: all
-    snapshots' manifest lists, their manifests, and every data/delete
-    file entry (status included — a deleted entry's file may still be
-    read by an older snapshot)."""
-    with open(_latest_metadata(table_dir)) as f:
-        meta = json.load(f)
+    """Every file path reachable from ANY metadata version on disk — not
+    just the hint's: a crash between the metadata link and the hint
+    update leaves the hint stale, and a GC trusting it would delete the
+    newest committed snapshot's files.  Manifest lists and manifests are
+    each decoded once (cumulative appends reference the same manifest
+    from every later snapshot)."""
     refs: set[str] = set()
-    for snap in meta.get("snapshots", []):
-        ml = _local(snap["manifest-list"])
-        refs.add(os.path.abspath(ml))
-        with open(ml, "rb") as f:
-            _, manifests = read_container(f.read())
-        for m in manifests:
-            mp = _local(m["manifest_path"])
-            refs.add(os.path.abspath(mp))
-            with open(mp, "rb") as f:
-                _, entries = read_container(f.read())
-            for e in entries:
-                refs.add(os.path.abspath(_local(e["data_file"]["file_path"])))
+    seen_ml: set[str] = set()
+    for mpath in _all_metadata_paths(table_dir):
+        with open(mpath) as f:
+            meta = json.load(f)
+        for snap in meta.get("snapshots", []):
+            ml = os.path.abspath(_local(snap["manifest-list"]))
+            refs.add(ml)
+            if ml in seen_ml:
+                continue
+            seen_ml.add(ml)
+            with open(ml, "rb") as f:
+                _, manifests = read_container(f.read())
+            for m in manifests:
+                mp = os.path.abspath(_local(m["manifest_path"]))
+                if mp in refs:
+                    continue
+                refs.add(mp)
+                with open(mp, "rb") as f:
+                    _, entries = read_container(f.read())
+                for e in entries:
+                    refs.add(
+                        os.path.abspath(_local(e["data_file"]["file_path"]))
+                    )
     return refs
 
 
@@ -1122,10 +1164,16 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
     prev_path = _latest_metadata(table_dir)
     with open(prev_path) as f:
         meta = json.load(f)
+    _refuse_foreign_maintenance(meta, "expire_snapshots")
     snaps = meta.get("snapshots", [])
     if len(snaps) <= keep_last:
         return []
-    snaps_sorted = sorted(snaps, key=lambda s: s["snapshot-id"])
+    # commit order is the SEQUENCE number (monotonic per spec), not the
+    # snapshot id (random 64-bit for real writers)
+    snaps_sorted = sorted(
+        snaps,
+        key=lambda s: (s.get("sequence-number", 0), s["snapshot-id"]),
+    )
     keep = snaps_sorted[-keep_last:]
     cur = meta.get("current-snapshot-id")
     if cur is not None and cur not in {s["snapshot-id"] for s in keep}:
@@ -1148,9 +1196,12 @@ def gc_orphans(table_dir: str, grace_seconds: float = 86400.0) -> dict:
     contract).  Metadata JSONs and the version hint are never touched
     (older versions stay for forensics; expire them by hand if needed).
     Returns ``{"deleted": [...], "kept_recent": n, "referenced": n}``."""
+    with open(_latest_metadata(table_dir)) as f:
+        _refuse_foreign_maintenance(json.load(f), "gc_orphans")
     refs = _referenced_files(table_dir)
     cutoff = time.time() - grace_seconds
     deleted: list[str] = []
+    emptied: set[str] = set()  # dirs whose last contents WE deleted
     kept_recent = 0
     roots = [os.path.join(table_dir, "data"), os.path.join(table_dir, "metadata")]
     for root in roots:
@@ -1171,14 +1222,26 @@ def gc_orphans(table_dir: str, grace_seconds: float = 86400.0) -> dict:
                         continue
                     os.unlink(p)
                     deleted.append(p)
+                    emptied.add(os.path.dirname(p))
                 except FileNotFoundError:
                     continue  # concurrent GC
-    # drop now-empty per-commit staging dirs
+    # drop now-empty per-commit staging dirs.  A dir is removable when
+    # WE emptied it this pass (its contents were provably old + dead —
+    # unlink bumps the parent mtime, so the mtime test alone would spare
+    # it) or when it was already empty AND old (a concurrent writer's
+    # freshly-created stage dir survives the grace window); os.walk's
+    # dirs lists were snapshotted before children were removed, so a
+    # nested chain drains across successive invocations
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):
         for dirpath, dirs, names in os.walk(data_root, topdown=False):
             if dirpath != data_root and not dirs and not names:
                 try:
+                    if (
+                        dirpath not in emptied
+                        and os.path.getmtime(dirpath) > cutoff
+                    ):
+                        continue
                     os.rmdir(dirpath)
                 except OSError:
                     pass

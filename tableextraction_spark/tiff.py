@@ -218,74 +218,23 @@ _LZW_CLEAR, _LZW_EOI = 256, 257
 
 def _lzw_decode(data: bytes, expected: int) -> bytes:
     """TIFF-variant LZW (spec §13): MSB-first code packing and the *early*
-    code-width change (width grows when the NEXT code would overflow,
-    one entry before the GIF variant does).
+    code-width change — the decoder, one table add behind the encoder,
+    bumps at 2^w − 2 (the classic TIFF off-by-one).  Decodes via the
+    shared (src, len) slice-dictionary core (``lzw.decode_slices``);
+    TIFF is the ``min_code = 8`` flavor with EOI-before-size an error."""
+    from .lzw import decode_slices
 
-    Bit I/O uses the shared vectorized 16-bit MSB window from the JPEG
-    lane (``jpeg._win_slice_msb``, bounded-chunk materialization) — a code
-    of width w at bit i is ``win[i] >> (16 - w)``, one list index per
-    symbol instead of a per-byte Python shift loop (32× on dense pages,
-    same as the GIF lane's fix)."""
-    from .jpeg import _WIN_CHUNK, _win_slice_msb
-
-    # dictionary entries as (src, len) slices over the emitted output —
-    # the same self-referential identity as gif._lzw_decode (r5): entry
-    # strings are contiguous in `out`, so each code emits as one
-    # bytearray slice copy and the cSc code copies prefix-then-firstchar
-    out = bytearray(expected + 4097)  # slack: a final entry may overshoot
-    pos = 0
-    srcs = [0] * 4096
-    lens = [1] * 4096
-    tsize = 258
-    width = 9
-    prev_src, prev_len = -1, 0
-    nbits = len(data) * 8
-    cbase, cend = 0, min(nbits, _WIN_CHUNK)
-    win = _win_slice_msb(data, 0, cend)
-    bpos = 0
-    while pos < expected:
-        if bpos + width > nbits:
-            raise ValueError("TIFF LZW: data exhausted before declared size")
-        if bpos >= cend:
-            cbase = bpos
-            cend = min(nbits, cbase + _WIN_CHUNK)
-            win = _win_slice_msb(data, cbase, cend)
-        code = win[bpos - cbase] >> (16 - width)
-        bpos += width
-        if code == _LZW_EOI:
-            raise ValueError("TIFF LZW: EOI before declared size")
-        if code == _LZW_CLEAR:
-            tsize, width = 258, 9
-            prev_src, prev_len = -1, 0
-            continue
-        if code < 256:  # literal
-            s, ln = pos, 1
-            out[pos] = code
-        elif 258 <= code < tsize:
-            s, ln = pos, lens[code]
-            src = srcs[code]
-            out[pos : pos + ln] = out[src : src + ln]
-        elif code == tsize and prev_len > 0:
-            s, ln = pos, prev_len + 1
-            out[pos : pos + ln - 1] = out[prev_src : prev_src + ln - 1]
-            out[pos + ln - 1] = out[prev_src]
-        else:
-            raise ValueError(f"TIFF LZW: code {code} out of table")
-        if prev_len > 0 and tsize < 4096:
-            # 12-bit codes cap the reachable table at 4096 entries; a
-            # conformant encoder emits CLEAR before this point
-            srcs[tsize] = prev_src
-            lens[tsize] = prev_len + 1
-            tsize += 1
-        prev_src, prev_len = s, ln
-        pos += ln
-        # early change, minus the decoder's one-entry lag behind the
-        # encoder: the encoder bumps when its NEXT free entry is
-        # 2^w - 1, at which point the decoder's table (one add behind)
-        # holds 2^w - 2 entries
-        if tsize >= (1 << width) - 2 and width < 12:
-            width += 1
-    return bytes(out[:expected])
+    return decode_slices(
+        data,
+        expected,
+        8,
+        msb=True,
+        early=2,
+        eoi_raises=True,
+        msg_truncated="TIFF LZW: data exhausted before declared size",
+        msg_invalid="TIFF LZW: code {code} out of table",
+        msg_eoi="TIFF LZW: EOI before declared size",
+    )
 
 
 def _lzw_encode(data: bytes) -> bytes:

@@ -484,3 +484,52 @@ def test_expire_noop_when_nothing_to_drop(tmp_path):
     append_snapshot(t, [], FIELDS)
     assert expire_snapshots(t, keep_last=5) == []
     assert snapshot_ids(t) == [1]
+
+
+def test_gc_protects_newer_version_behind_stale_hint(spark, tmp_path):
+    """Data-loss regression (r5 review): a crash between the metadata
+    link and the hint update leaves version-hint.text stale — GC must
+    compute references from ALL metadata versions, never the hint."""
+    from tableextraction_spark.sources.iceberg_native import gc_orphans
+
+    t = str(tmp_path / "tbl")
+    write_table(spark.range(3).selectExpr("id", "id AS v"),
+                NATIVE_ICEBERG_SCHEME + t)
+    write_table(spark.range(3, 5).selectExpr("id", "id AS v"),
+                NATIVE_ICEBERG_SCHEME + t)
+    # simulate the crash: hint points at version 1 again
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    for dirpath, _d, names in os.walk(t):
+        for n in names:
+            os.utime(os.path.join(dirpath, n), (1, 1))
+    res = gc_orphans(t, grace_seconds=60)
+    # snapshot 2's data/manifests survive; only Spark markers are dead
+    assert all(p.endswith(("_SUCCESS", ".crc")) for p in res["deleted"])
+    # restore the hint and confirm both snapshots read intact
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as f:
+        f.write("2")
+    assert read_table(spark, t).count() == 5
+
+
+def test_maintenance_refuses_foreign_writer_tables(tmp_path):
+    """Tables carrying refs/statistics/history-log metadata (real-writer
+    features this path does not preserve) refuse maintenance loudly."""
+    import json
+
+    from tableextraction_spark.sources.iceberg_native import (
+        expire_snapshots,
+        gc_orphans,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_snapshot(t, [], FIELDS)
+    mp = os.path.join(t, "metadata", "v1.metadata.json")
+    meta = json.load(open(mp))
+    meta["refs"] = {"main": {"snapshot-id": 1, "type": "branch"}}
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(NotImplementedError, match="refs"):
+        expire_snapshots(t, keep_last=1)
+    with pytest.raises(NotImplementedError, match="refs"):
+        gc_orphans(t, grace_seconds=0)
