@@ -283,6 +283,7 @@ def _image_batches(batches: Iterator) -> Iterator:
 
     from ..bmp import encode_bmp_gray
     from ..gif import encode_gif_gray
+    from ..h264 import encode_h264_annexb
     from ..jp2 import encode_jp2_gray
     from ..media import encode_image
     from ..png import encode_png, encode_png_palette
@@ -364,7 +365,7 @@ def q48_resize_format_verify(spark, sf_dir):
 
 INVENTORY_FORMATS = (
     "img1", "png", "jpeg", "gif", "bmp", "tiff", "jp2",
-    "wav", "flac", "ogg", "avi", "mp4", "mkv",
+    "wav", "flac", "ogg", "avi", "mp4", "mkv", "h264",
 )
 INVENTORY_SCHEMA = "media_ref string, content binary"
 
@@ -377,6 +378,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
     from ..bmp import encode_bmp_gray
     from ..flac import encode_flac
     from ..gif import encode_gif_gray
+    from ..h264 import encode_h264_annexb
     from ..jp2 import encode_jp2_gray
     from ..jpeg import encode_jpeg_gray
     from ..media import encode_image
@@ -420,6 +422,9 @@ def _inventory_batches(batches: Iterator) -> Iterator:
                 "mkv": lambda: encode_mkv_mjpeg(
                     [encode_jpeg_gray(img)] * nf, w, h, fps=10
                 ),
+                # raw Annex-B elementary stream: dims/profile from the
+                # SPS, frame count from the slice scan — no container
+                "h264": lambda: encode_h264_annexb([img] * nf),
                 "tiff": lambda: encode_tiff_gray(img, "lzw"),
                 "jp2": lambda: encode_jp2_gray(img, levels=2),
             }[fmt]
@@ -429,8 +434,8 @@ def _inventory_batches(batches: Iterator) -> Iterator:
 
 def q49_media_inventory_verify(spark, sf_dir):
     """The crawl-inventory stage (header-only `probe_media`) in the hard
-    gate, empty-on-success: a distributed mixed-format corpus (all thirteen
-    native formats in one batch) probes to exactly the format / kind /
+    gate, empty-on-success: a distributed mixed-format corpus (all fourteen
+    native formats in one batch, raw H.264 elementary streams included) probes to exactly the format / kind /
     dimensions / sample-rate / duration the plan arithmetic predicts —
     every field compared as a string so one query pins the whole row."""
     from ..probe import probe_media
@@ -443,7 +448,7 @@ def q49_media_inventory_verify(spark, sf_dir):
     )
     is_img = fmt.isin("img1", "png", "jpeg", "gif", "bmp", "tiff", "jp2")
     is_aud = fmt.isin("wav", "flac", "ogg")
-    is_vid = fmt.isin("avi", "mp4", "mkv")
+    is_vid = fmt.isin("avi", "mp4", "mkv", "h264")
     h = F.lit(24) + (F.col("i") % 3) * 8
     w = F.lit(32) + (F.col("i") % 2) * 8
     ln = F.lit(4000) + (F.col("i") % 4) * 500
