@@ -34,8 +34,11 @@ for part in (
 # Demote 8 long-stable relational queries (green in every round, each
 # double-covered by tests/test_queries_oracle.py) past position 50 so the
 # late-added components — WARC, Iceberg, CCNet chunk dedup, PII, Gopher
-# repetition, CDX, TF-IDF, PageRank — get green driver rows.
+# repetition, CDX, TF-IDF, PageRank — get green driver rows.  NEW queries
+# added after that reorder (q59+) are demoted too: they must never push a
+# first-driver-row query back past the gate (the r4 failure mode).
 _DEMOTED = (
+    "q59_iceberg_append_verify",
     "q02_top10_orders",
     "q04_customers_without_orders",
     "q07_running_total",
@@ -48,5 +51,20 @@ _DEMOTED = (
 REGISTRY: dict = {k: v for k, v in _MERGED.items() if k not in _DEMOTED}
 for _k in _DEMOTED:
     REGISTRY[_k] = _MERGED[_k]
+
+# guard the gate invariant at import time: every component that has ever
+# needed its FIRST green driver row stays inside the checked window
+_GATED = (
+    "q50_repetition_quality", "q51_chunk_dedup_stats", "q52_pii_scrub",
+    "q53_warc_ingest_verify", "q54_iceberg_scan_verify",
+    "q56_cdx_urlkey_verify", "q57_tfidf_top_terms", "q58_pagerank",
+)
+_first50 = list(REGISTRY)[:50]
+_missing = [q for q in _GATED if q not in _first50]
+if _missing:  # pragma: no cover
+    raise AssertionError(
+        f"registry reorder regression: {_missing} fell past the driver's "
+        "50-row CORRECTNESS gate"
+    )
 
 __all__ = ["REGISTRY"]
