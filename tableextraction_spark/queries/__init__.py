@@ -19,11 +19,12 @@ from .scrubops import QUERIES as _SCRUB
 from .warcops import QUERIES as _WARC
 from .icebergops import QUERIES as _ICE
 from .rankops import QUERIES as _RANK
+from .corpusops import QUERIES as _CORPUS
 
 _MERGED: dict = {}
 for part in (
     _REL, _TEXT, _VEC, _EXTRACT, _PIPE, _HTML, _MM, _SCRUB, _WARC, _ICE,
-    _RANK,
+    _RANK, _CORPUS,
 ):
     overlap = _MERGED.keys() & part.keys()
     if overlap:  # pragma: no cover
@@ -39,6 +40,8 @@ for part in (
 # first-driver-row query back past the gate (the r4 failure mode).
 _DEMOTED = (
     "q59_iceberg_append_verify",
+    "q60_dup_substring_spans",
+    "q61_lm_quality_buckets",
     "q02_top10_orders",
     "q04_customers_without_orders",
     "q07_running_total",
