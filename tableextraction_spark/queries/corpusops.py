@@ -30,19 +30,25 @@ Public sources for the semantics (patterns only, re-derived here):
 100-TB plan shapes:
 
 - q60: explode K-windows (rows ~= token count, each a doc_id + digest),
-  occurrence counts via COUNT(*) OVER (PARTITION BY digest) — ONE shuffle
-  keyed on the digest, no groupBy+join-back (which would shuffle the same
-  rows AND rescan the corpus for the second branch) — then one
-  doc_id-partitioned window pass for the island merge.  Nothing
-  corpus-sized is broadcast; digests are 32-hex strings, never text.
-- q61: explode bigrams -> COUNT(*) OVER (PARTITION BY bigram) (same
-  single-shuffle shape) -> doc_id groupBy with map-side combine.  The
-  corpus total is a scalar second scan, broadcast as one row.  The tertile
-  cutoffs use exact `percentile` here because it is bit-identical to
-  DuckDB's `quantile_cont` (both interpolate between the same two order
-  statistics), which the oracle gate needs; at production scale swap in
-  `percentile_approx` (a mergeable sketch, fully distributed) — the plan
-  downstream is unchanged, a 2-element broadcast join.  There is
+  occurrence counts via groupBy(digest) — NOT a COUNT(*) OVER
+  (PARTITION BY digest) window, which has no partial aggregation: a hot
+  digest (a boilerplate 8-token window duplicated across a large corpus
+  fraction) would buffer its entire occurrence set in ONE window
+  partition, the q14-round-3 failure class.  The groupBy's map-side
+  combine collapses hot keys to one row per mapper, and the join back to
+  positions is AQE-skew-splittable.  Cost: the corpus is scanned twice
+  (once per branch) — scans are the cheap part at 100 TB, skewed
+  single-task buffers are not.  Nothing corpus-sized is broadcast;
+  digests are 32-hex strings, never text.
+- q61: explode bigrams -> groupBy(bigram) counts (map-side combine; the
+  same skew reasoning — "of the" is a percent-scale key) -> join counts
+  back -> doc_id groupBy.  The counts frame is vocabulary-sized (bounded,
+  far smaller than the corpus) and branch-shared, so it is cached.  The
+  tertile cutoffs use exact `percentile` here because it is bit-identical
+  to DuckDB's `quantile_cont` (both interpolate between the same two
+  order statistics), which the oracle gate needs; at production scale
+  swap in `percentile_approx` (a mergeable sketch, fully distributed) —
+  the plan downstream is unchanged, a 2-element broadcast join.  There is
   deliberately NO global row_number/ntile window: bucketing compares each
   row against broadcast cutoffs.
 """
@@ -84,13 +90,16 @@ def q60_dup_substring_spans(spark, sf_dir):
             )
         ).alias("pos", "fp"),
     )
-    dpos = (
-        pos.withColumn(
-            "n_occ", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-        )
+    # groupBy, not a fp-partitioned COUNT window: map-side combine keeps a
+    # hot digest from buffering its whole occurrence set in one task (see
+    # module docstring); AQE skew-splits the join back if a key is hot
+    dup = (
+        pos.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
         .where(F.col("n_occ") >= SPAN_MIN_OCC)
-        .select("doc_id", "pos")
+        .select("fp")
     )
+    dpos = pos.join(dup, "fp").select("doc_id", "pos")
     # gaps-and-islands: a new island starts when the previous duplicated
     # window ends before this one begins (windows at p, q overlap or touch
     # iff q - p <= SPAN_K)
@@ -129,10 +138,8 @@ pos AS (
          md5(array_to_string(words[u.i + 1 : u.i + {SPAN_K}], ' ')) AS fp
   FROM w, UNNEST(range(0, len(words) - {SPAN_K} + 1)) AS u(i)
 ),
-dpos AS (
-  SELECT doc_id, pos FROM pos
-  QUALIFY COUNT(*) OVER (PARTITION BY fp) >= {SPAN_MIN_OCC}
-),
+dup AS (SELECT fp FROM pos GROUP BY fp HAVING COUNT(*) >= {SPAN_MIN_OCC}),
+dpos AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (fp)),
 flagged AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER dw IS NULL
@@ -178,11 +185,15 @@ def q61_lm_quality_buckets(spark, sf_dir):
         "explode(transform(sequence(0, size(words) - 2), "
         "i -> concat(words[i], ' ', words[i+1]))) AS bg",
     )
-    tot = grams.agg(F.count(F.lit(1)).alias("n_total"))
+    # groupBy, not a bg-partitioned COUNT window — same skew rationale as
+    # q60; cached because the totals branch and the scoring join both
+    # consume it (vocabulary-sized: bounded, far smaller than the corpus)
+    counts = (
+        grams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    )
+    tot = counts.agg(F.sum("cnt").alias("n_total"))
     scored = (
-        grams.withColumn(
-            "cnt", F.count(F.lit(1)).over(Window.partitionBy("bg"))
-        )
+        grams.join(counts, "bg")
         .crossJoin(F.broadcast(tot))
         .selectExpr(
             "doc_id",
@@ -233,16 +244,14 @@ grams AS (
   SELECT doc_id, words[u.i] || ' ' || words[u.i + 1] AS bg
   FROM w, UNNEST(range(1, len(words))) AS u(i)
 ),
-tot AS (SELECT COUNT(*) AS n_total FROM grams),
-counted AS (
-  SELECT doc_id, COUNT(*) OVER (PARTITION BY bg) AS cnt FROM grams
-),
+counts AS (SELECT bg, COUNT(*) AS cnt FROM grams GROUP BY bg),
+tot AS (SELECT SUM(cnt) AS n_total FROM counts),
 scored AS (
   SELECT doc_id,
          CAST(ROUND(-LN(cnt / CAST(n_total AS DOUBLE)) * 1000, 0)
               AS BIGINT) AS mnat,
          CASE WHEN cnt >= {BG_FREQ_MIN} THEN 1 ELSE 0 END AS fam
-  FROM counted CROSS JOIN tot
+  FROM grams JOIN counts USING (bg) CROSS JOIN tot
 ),
 doc AS (
   SELECT doc_id, COUNT(*) AS n_bigrams,
