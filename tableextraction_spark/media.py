@@ -94,6 +94,11 @@ def decode_page(payload: bytes) -> np.ndarray:
         from .bmp import decode_bmp
 
         return decode_bmp(payload)  # real BMP pages: uncompressed DIB
+    if head in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        from .ico import decode_ico
+
+        # real ICO/CUR favicons: largest entry, DIB or embedded PNG
+        return decode_ico(payload)
     from .tiff import is_tiff_magic
 
     if is_tiff_magic(head):

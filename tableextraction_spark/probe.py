@@ -113,6 +113,13 @@ def probe_bytes(payload: bytes) -> dict:
                 out["n_frames"] = len(_frame_ranges(full)[0])
             except (ValueError, NotImplementedError):
                 pass  # audio-only or truncated: keep the header-only fields
+        elif buf[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+            # must precede the Annex-B branch: an ICO directory magic is a
+            # 3-byte start code followed by NAL type 0, which the h264
+            # sniff rejects but the elif chain would swallow
+            from .ico import ico_probe
+
+            out.update(ico_probe(full))
         elif buf[:3] == b"\x00\x00\x01" or buf[:4] == b"\x00\x00\x00\x01":
             from .h264 import looks_like_annexb
 

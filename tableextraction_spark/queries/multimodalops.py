@@ -266,7 +266,9 @@ WHERE 1 = 0
 
 
 RESIZE_W, RESIZE_H = 24, 18
-_LOSSLESS = ("img1", "png", "pngi", "pngp", "gif", "bmp", "tiff", "jp2")
+_LOSSLESS = (
+    "img1", "png", "pngi", "pngp", "gif", "bmp", "tiff", "jp2", "ico", "icop",
+)
 IMAGES_SCHEMA = "media_ref string, content binary, want_md5 string"
 
 
@@ -284,6 +286,7 @@ def _image_batches(batches: Iterator) -> Iterator:
     from ..bmp import encode_bmp_gray
     from ..gif import encode_gif_gray
     from ..h264 import encode_h264_annexb
+    from ..ico import encode_ico_gray, encode_ico_png
     from ..jp2 import encode_jp2_gray
     from ..media import encode_image
     from ..png import encode_png, encode_png_palette
@@ -304,6 +307,9 @@ def _image_batches(batches: Iterator) -> Iterator:
         # reversible-5/3 JPEG 2000: lossless, exercises the full T.800
         # chain (tag trees, EBCOT tier-1, inverse DWT) under the gate
         "jp2": lambda img: encode_jp2_gray(img, levels=2),
+        # favicons, both wire flavors: headerless-DIB and embedded-PNG
+        "ico": encode_ico_gray,
+        "icop": encode_ico_png,
     }
     for pdf in batches:
         rows = []
@@ -322,12 +328,13 @@ def _image_batches(batches: Iterator) -> Iterator:
 
 def q48_resize_format_verify(spark, sf_dir):
     """Resize-stage verify, empty-on-success: deterministic images encoded
-    across every LOSSLESS raster codec (IMG1/PNG/GIF/BMP/LZW-TIFF/JP2) go through the
-    real ``resize_images`` stage; the output pixel bytes (IMG1 payload
+    across every LOSSLESS raster codec (IMG1/PNG/GIF/BMP/LZW-TIFF/JP2/ICO,
+    with interlaced+palette PNG and DIB+PNG-flavor ICO variants) go through
+    the real ``resize_images`` stage; the output pixel bytes (IMG1 payload
     minus its 12-byte header, hashed in-plan via ``md5(substring(...))``)
     must equal the plan-side nearest-neighbor expectation EXACTLY — pinning
-    the magic-routed decode and the resize arithmetic for all six codecs
-    in the driver's hard gate.  Rows = failed checks."""
+    the magic-routed decode and the resize arithmetic for all ten codec
+    lanes in the driver's hard gate.  Rows = failed checks."""
     from ..multimodal import resize_images
 
     n = _n_clips_for(sf_dir)
@@ -364,7 +371,7 @@ def q48_resize_format_verify(spark, sf_dir):
 
 
 INVENTORY_FORMATS = (
-    "img1", "png", "jpeg", "gif", "bmp", "tiff", "jp2",
+    "img1", "png", "jpeg", "gif", "bmp", "tiff", "jp2", "ico",
     "wav", "flac", "ogg", "avi", "mp4", "mkv", "h264",
 )
 INVENTORY_SCHEMA = "media_ref string, content binary"
@@ -379,6 +386,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
     from ..flac import encode_flac
     from ..gif import encode_gif_gray
     from ..h264 import encode_h264_annexb
+    from ..ico import encode_ico_gray
     from ..jp2 import encode_jp2_gray
     from ..jpeg import encode_jpeg_gray
     from ..media import encode_image
@@ -427,6 +435,7 @@ def _inventory_batches(batches: Iterator) -> Iterator:
                 "h264": lambda: encode_h264_annexb([img] * nf),
                 "tiff": lambda: encode_tiff_gray(img, "lzw"),
                 "jp2": lambda: encode_jp2_gray(img, levels=2),
+                "ico": lambda: encode_ico_gray(img),
             }[fmt]
             rows.append((f"{fmt}-{i:04d}", enc()))
         yield pd.DataFrame(rows, columns=["media_ref", "content"])
@@ -434,8 +443,9 @@ def _inventory_batches(batches: Iterator) -> Iterator:
 
 def q49_media_inventory_verify(spark, sf_dir):
     """The crawl-inventory stage (header-only `probe_media`) in the hard
-    gate, empty-on-success: a distributed mixed-format corpus (all fourteen
-    native formats in one batch, raw H.264 elementary streams included) probes to exactly the format / kind /
+    gate, empty-on-success: a distributed mixed-format corpus (all fifteen
+    native formats in one batch, raw H.264 elementary streams and ICO
+    favicons included) probes to exactly the format / kind /
     dimensions / sample-rate / duration the plan arithmetic predicts —
     every field compared as a string so one query pins the whole row."""
     from ..probe import probe_media
@@ -446,7 +456,7 @@ def q49_media_inventory_verify(spark, sf_dir):
         F.array(*[F.lit(f) for f in INVENTORY_FORMATS]),
         (F.col("i") % len(INVENTORY_FORMATS)) + 1,
     )
-    is_img = fmt.isin("img1", "png", "jpeg", "gif", "bmp", "tiff", "jp2")
+    is_img = fmt.isin("img1", "png", "jpeg", "gif", "bmp", "tiff", "jp2", "ico")
     is_aud = fmt.isin("wav", "flac", "ogg")
     is_vid = fmt.isin("avi", "mp4", "mkv", "h264")
     h = F.lit(24) + (F.col("i") % 3) * 8
